@@ -48,7 +48,8 @@ _CTX_LAYOUT = [
     ("chroma_qp_adj_idc", CI.INIT_CHROMA_QP_ADJ_IDC),
     ("qt_cbf", CI.INIT_QT_CBF),
     ("qt_root_cbf", CI.INIT_QT_ROOT_CBF),
-    ("last", CI.INIT_LAST),
+    ("last", CI.INIT_LAST),        # last-significant-X contexts
+    ("last_y", CI.INIT_LAST),      # last-significant-Y contexts (separate set)
     ("sig_cg", CI.INIT_SIG_CG_FLAG),
     ("sig", CI.INIT_SIG_FLAG),
     ("one", CI.INIT_ONE_FLAG),

@@ -1,0 +1,212 @@
+"""Top-level decoder: NAL dispatch, slice decoding, hash verification.
+
+Dual of HM TDecTop.cpp:687 (NAL dispatch) / TDecSlice.cpp:69-253 (CTU loop) /
+TDecGop.cpp:207-260 (decoded-picture-hash check).  Single-picture DPB logic
+for now (AI); full RPS-driven DPB lands with the inter stage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from hm16_2_tpu.bitstream.bitio import (
+    BitReader, split_annexb, strip_emulation_prevention)
+from hm16_2_tpu.bitstream.cabac import ByteFifo, CabacDecoder
+from hm16_2_tpu.decode.ctu_dec import SliceDecoder
+from hm16_2_tpu.decode.picture import PictureState
+from hm16_2_tpu.decode.loopfilter import apply_loop_filters
+from hm16_2_tpu.headers import params as P
+from hm16_2_tpu.headers.parse import (
+    parse_pps, parse_slice_header, parse_sps, parse_vps)
+
+
+@dataclass
+class DecodedPicture:
+    poc: int
+    planes: list
+    hash_ok: bool | None = None
+
+
+@dataclass
+class SEIHash:
+    method: int = 0
+    digests: list = field(default_factory=list)
+
+
+def parse_sei_rbsp(rbsp: bytes) -> list[tuple[int, bytes]]:
+    """SEI message list: (payload_type, payload_bytes)."""
+    out = []
+    br = BitReader(rbsp)
+    while True:
+        ptype = 0
+        b = br.u(8)
+        while b == 255:
+            ptype += 255
+            b = br.u(8)
+        ptype += b
+        psize = 0
+        b = br.u(8)
+        while b == 255:
+            psize += 255
+            b = br.u(8)
+        psize += b
+        start = br.pos // 8
+        payload = rbsp[start:start + psize]
+        out.append((ptype, payload))
+        br.pos = (start + psize) * 8
+        if br.bits_left() <= 8:
+            break
+    return out
+
+
+def parse_picture_hash_sei(payload: bytes) -> SEIHash:
+    method = payload[0]
+    digests = []
+    pos = 1
+    n = 16 if method == 0 else (2 if method == 1 else 4)
+    while pos + n <= len(payload):
+        digests.append(payload[pos:pos + n])
+        pos += n
+    return SEIHash(method, digests)
+
+
+def picture_md5(planes, bit_depths) -> list[bytes]:
+    """Per-plane MD5 (TComPicYuvMD5.cpp:127: LE bytes per sample)."""
+    out = []
+    for plane, bd in zip(planes, bit_depths):
+        m = hashlib.md5()
+        data = np.ascontiguousarray(plane, dtype=np.uint8 if bd <= 8
+                                    else np.uint16)
+        m.update(data.tobytes())   # numpy LE on this platform
+        out.append(m.digest())
+    return out
+
+
+class Decoder:
+    def __init__(self):
+        self.sps_map: dict[int, P.SPS] = {}
+        self.pps_map: dict[int, P.PPS] = {}
+        self.prev_tid0_poc = 0
+        self.cur_pic: PictureState | None = None
+        self.pending_hash: SEIHash | None = None
+        self.outputs: list[DecodedPicture] = []
+        self.hash_failures = 0
+
+    # ------------------------------------------------------------------
+
+    def decode_stream(self, data: bytes) -> list[DecodedPicture]:
+        for nal in split_annexb(data):
+            self.decode_nal(nal)
+        self._finish_picture()
+        return self.outputs
+
+    def decode_nal(self, nal: bytes):
+        nal_type = (nal[0] >> 1) & 63
+        temporal_id = (nal[1] & 7) - 1
+        rbsp = strip_emulation_prevention(nal[2:])
+        if nal_type == P.NAL_VPS:
+            parse_vps(BitReader(rbsp))
+        elif nal_type == P.NAL_SPS:
+            s = parse_sps(BitReader(rbsp))
+            self.sps_map[s.sps_id] = s
+        elif nal_type == P.NAL_PPS:
+            p = parse_pps(BitReader(rbsp))
+            self.pps_map[p.pps_id] = p
+        elif nal_type in (P.NAL_SEI_PREFIX, P.NAL_SEI_SUFFIX):
+            for ptype, payload in parse_sei_rbsp(rbsp):
+                if ptype == 132:  # decoded picture hash
+                    self.pending_hash = parse_picture_hash_sei(payload)
+                    self._check_hash()
+        elif nal_type <= 31:   # VCL
+            self._decode_slice(nal_type, temporal_id, rbsp)
+
+    # ------------------------------------------------------------------
+
+    def _decode_slice(self, nal_type, temporal_id, rbsp):
+        br = BitReader(rbsp)
+        sh = parse_slice_header(br, nal_type, temporal_id, self.sps_map,
+                                self.pps_map, self.prev_tid0_poc)
+        if sh.first_slice_in_pic:
+            self._finish_picture()
+            self.cur_pic = PictureState(sh.sps, sh.pps)
+            self.cur_pic.poc = sh.poc
+            self.cur_pic.temporal_id = temporal_id
+            self.cur_pic.is_irap = P.is_irap(nal_type)
+        pic = self.cur_pic
+        pic.slices.append(sh)
+        if temporal_id == 0 and not P.is_rasl(nal_type) and \
+                not P.is_radl(nal_type) and P.is_reference_nal(nal_type):
+            self.prev_tid0_poc = sh.poc
+
+        slice_idx = len(pic.slices) - 1
+        sd = SliceDecoder(pic, sh, slice_idx)
+        data_start = br.pos // 8
+
+        if sh.pps.tiles_enabled or sh.pps.entropy_coding_sync:
+            raise NotImplementedError("tiles/WPP decode (next stage)")
+
+        sd.ctx = sd.init_contexts()
+        sd.dec = CabacDecoder(ByteFifo(rbsp, data_start), sd.ctx)
+
+        w_ctbs = pic.w_ctbs
+        n_ctus = w_ctbs * pic.h_ctbs
+        ctu_ts = sh.segment_address   # rs==ts without tiles
+        while ctu_ts < n_ctus:
+            ctu_rs = int(pic.tiles.ctu_ts_to_rs[ctu_ts])
+            cx, cy = ctu_rs % w_ctbs, ctu_rs // w_ctbs
+            if sh.sps.sao_enabled and (sh.sao_luma or sh.sao_chroma):
+                left_ok = cx > 0 and self._ctu_same_slice_tile(pic, ctu_rs, ctu_rs - 1, slice_idx)
+                above_ok = cy > 0 and self._ctu_same_slice_tile(pic, ctu_rs, ctu_rs - w_ctbs, slice_idx)
+                sd.parse_sao(ctu_rs, left_ok, above_ok)
+            end = sd.decode_ctu(cx, cy)
+            sd.reconstruct_ctu(cx, cy)
+            ctu_ts += 1
+            if end:
+                break
+
+    @staticmethod
+    def _ctu_same_slice_tile(pic, cur_rs, other_rs, slice_idx):
+        parts = pic.ctb // 4
+        ox, oy = (other_rs % pic.w_ctbs) * parts, (other_rs // pic.w_ctbs) * parts
+        if not pic.coded[oy, ox]:
+            return False
+        if pic.slice_id[oy, ox] != slice_idx:
+            return False
+        return pic.tiles.tile_of_ctu.flat[other_rs] == \
+            pic.tiles.tile_of_ctu.flat[cur_rs]
+
+    # ------------------------------------------------------------------
+
+    def _finish_picture(self):
+        if self.cur_pic is None:
+            return
+        pic = self.cur_pic
+        apply_loop_filters(pic)
+        bds = [pic.sps.bit_depth_luma] + \
+            [pic.sps.bit_depth_chroma] * (pic.num_comps - 1)
+        planes = [pic.crop_output(c) for c in range(pic.num_comps)]
+        self.outputs.append(DecodedPicture(pic.poc, planes))
+        self.cur_pic = None
+        self._check_hash()
+
+    def _check_hash(self):
+        if self.pending_hash is None or not self.outputs:
+            return
+        dp = self.outputs[-1]
+        if dp.hash_ok is not None:
+            return
+        pic_bds = [8] * len(dp.planes)
+        # bit depths from the active SPS of the last picture
+        sps = next(iter(self.sps_map.values()))
+        pic_bds = [sps.bit_depth_luma] + [sps.bit_depth_chroma] * (len(dp.planes) - 1)
+        if self.pending_hash.method == 0:
+            ours = picture_md5(dp.planes, pic_bds)
+            dp.hash_ok = ours == self.pending_hash.digests
+        else:
+            dp.hash_ok = None   # CRC/checksum later
+        if dp.hash_ok is False:
+            self.hash_failures += 1
+        self.pending_hash = None

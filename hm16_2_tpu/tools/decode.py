@@ -1,0 +1,37 @@
+"""Decoder CLI (TAppDecoder dual): decode an Annex-B HEVC stream to YUV.
+
+Usage: python -m hm16_2_tpu.tools.decode stream.bin [-o out.yuv]
+Prints per-POC lines with hash verdicts like the reference decoder.
+"""
+
+import argparse
+import sys
+
+from hm16_2_tpu.decode.top import Decoder
+from hm16_2_tpu.io.yuv import write_yuv_frame
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("bitstream")
+    ap.add_argument("-o", "--output", default=None)
+    args = ap.parse_args(argv)
+
+    dec = Decoder()
+    data = open(args.bitstream, "rb").read()
+    pics = dec.decode_stream(data)
+    sps = next(iter(dec.sps_map.values()))
+    bds = [sps.bit_depth_luma] + [sps.bit_depth_chroma] * 2
+    out = open(args.output, "wb") if args.output else None
+    for p in sorted(pics, key=lambda x: x.poc):
+        verdict = {True: "(OK)", False: "(MISMATCH)", None: ""}[p.hash_ok]
+        print(f"POC {p.poc:4d} decoded {verdict}")
+        if out:
+            write_yuv_frame(out, p.planes, bds)
+    if out:
+        out.close()
+    return 1 if dec.hash_failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,32 @@
+"""Golden-stream decode tests: bit-exact reconstruction of reference-encoder
+bitstreams, verified via decoded-picture-hash SEI (the reference test
+strategy, SURVEY.md section 4)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from hm16_2_tpu.decode.top import Decoder
+
+STREAMS = [
+    ("/tmp/hevc_data/tiny64_ai_nolf.bin", "/tmp/hevc_data/tiny64_ai_nolf_rec.yuv", 64, 64),
+    ("/tmp/hevc_data/bq_ai_nolf.bin", "/tmp/hevc_data/bq_ai_nolf_rec.yuv", 416, 240),
+]
+
+
+@pytest.mark.parametrize("bs,rec,w,h", STREAMS)
+def test_bitexact_decode(bs, rec, w, h):
+    if not os.path.exists(bs):
+        pytest.skip("golden stream absent (see .claude/skills/verify)")
+    dec = Decoder()
+    pics = dec.decode_stream(open(bs, "rb").read())
+    assert pics, "no pictures decoded"
+    for p in pics:
+        assert p.hash_ok is True, f"hash mismatch at POC {p.poc}"
+    # byte-exact vs reference recon file
+    raw = np.fromfile(rec, dtype=np.uint8)
+    frame = w * h * 3 // 2
+    for i, p in enumerate(sorted(pics, key=lambda x: x.poc)):
+        ours = np.concatenate([pl.astype(np.uint8).ravel() for pl in p.planes])
+        np.testing.assert_array_equal(ours, raw[i * frame:(i + 1) * frame])

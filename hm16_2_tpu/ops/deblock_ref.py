@@ -1,0 +1,342 @@
+"""HEVC deblocking filter, decode side (spec 8.7.2; HM TComLoopFilter.cpp).
+
+Restructured picture-wide: edge masks and boundary strengths are derived
+from the dense per-part syntax arrays (no CU recursion), then the normative
+per-edge filters are applied — vertical edges over the whole picture first,
+then horizontal (matching loopFilterPic's two passes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from hm16_2_tpu.common.tables import CHROMA_QP_SCALE
+from hm16_2_tpu.decode.picture import MODE_INTRA, PictureState
+
+TC_TABLE = np.array(
+    [0]*18 + [1]*9 + [2]*4 + [3]*4 + [4]*3 + [5, 5, 6, 6, 7, 8, 9, 10, 11,
+     13, 14, 16, 18, 20, 22, 24], dtype=np.int64)
+BETA_TABLE = np.array(
+    [0]*16 + list(range(6, 19)) + list(range(20, 66, 2)), dtype=np.int64)
+
+EDGE_VER, EDGE_HOR = 0, 1
+
+
+def _slice_flags(pic: PictureState):
+    """Per-slice (disable, beta, tc, lf_cross_slices) lookup arrays."""
+    n = len(pic.slices)
+    dis = np.zeros(n + 1, dtype=bool)
+    beta = np.zeros(n + 1, dtype=np.int64)
+    tc = np.zeros(n + 1, dtype=np.int64)
+    cross = np.ones(n + 1, dtype=bool)
+    for i, sh in enumerate(pic.slices):
+        dis[i] = bool(sh.deblocking_filter_disabled)
+        beta[i] = sh.beta_offset_div2
+        tc[i] = sh.tc_offset_div2
+        cross[i] = bool(sh.loop_filter_across_slices)
+    return dis, beta, tc, cross
+
+
+def build_edge_masks(pic: PictureState, direction: int):
+    """edge_filter + TU pre-marker masks over the part grid.
+
+    Mirrors xSetEdgefilterTU/PU + xSetLoopfilterParam (TComLoopFilter.cpp:
+    269-410): TU edges and PU edges inside a CU use the internal-edge value;
+    CU left/top edges use availability across slice/tile boundaries.
+    """
+    ph, pw = pic.depth.shape
+    edge = np.zeros((ph, pw), dtype=bool)
+    marker = np.zeros((ph, pw), dtype=bool)
+    dis, _, _, cross = _slice_flags(pic)
+    lf_cross_tiles = bool(pic.pps.loop_filter_across_tiles)
+
+    valid_h = pic.h // 4
+    valid_w = pic.w // 4
+    for py in range(valid_h):
+        for px in range(valid_w):
+            sl = pic.slice_id[py, px]
+            if sl < 0:
+                continue
+            internal = not dis[sl]
+            depth = int(pic.depth[py, px])
+            cu_n = 1 << (pic.log2_ctb - 2 - depth)
+            tu_n = cu_n >> int(pic.tr_idx[py, px])
+            if direction == EDGE_VER:
+                on_tu_edge = (px % tu_n) == 0
+                on_cu_edge = (px % cu_n) == 0
+                nx, ny = px - 1, py
+            else:
+                on_tu_edge = (py % tu_n) == 0
+                on_cu_edge = (py % cu_n) == 0
+                nx, ny = px, py - 1
+            if on_cu_edge:
+                # CU boundary: xSetLoopfilterParam's bLeftEdge/bTopEdge
+                val = internal
+                if (direction == EDGE_VER and px == 0) or \
+                        (direction == EDGE_HOR and py == 0):
+                    val = False
+                elif nx < 0 or ny < 0:
+                    val = False
+                else:
+                    nsl = pic.slice_id[ny, nx]
+                    if nsl < 0:
+                        val = False
+                    elif nsl != sl and not cross[sl]:
+                        val = False
+                    elif not lf_cross_tiles and \
+                            pic.tile_of_part(nx, ny) != pic.tile_of_part(px, py):
+                        val = False
+                edge[py, px] = val
+                marker[py, px] = val
+            elif on_tu_edge:
+                edge[py, px] = internal
+                marker[py, px] = internal
+            else:
+                # PU internal edges (intra NxN; inter part modes via pu_edge)
+                if pic.part_size[py, px] == 3:   # NxN
+                    half = cu_n >> 1
+                    on_pu = (px % cu_n == half) if direction == EDGE_VER \
+                        else (py % cu_n == half)
+                    if on_pu:
+                        edge[py, px] = internal
+                # AMP/rect inter PU edges are added by the inter stage
+    return edge, marker
+
+
+def compute_bs(pic: PictureState, direction: int, edge, marker):
+    """Boundary strength per part (xGetBoundaryStrengthSingle)."""
+    ph, pw = edge.shape
+    bs = np.zeros((ph, pw), dtype=np.int8)
+    for py in range(ph):
+        for px in range(pw):
+            if not edge[py, px]:
+                continue
+            nx, ny = (px - 1, py) if direction == EDGE_VER else (px, py - 1)
+            p_intra = pic.pred_mode[ny, nx] == MODE_INTRA
+            q_intra = pic.pred_mode[py, px] == MODE_INTRA
+            if p_intra or q_intra:
+                bs[py, px] = 2
+                continue
+            # inter: cbf rule on TU boundaries
+            if marker[py, px]:
+                cbf_q = (int(pic.cbf[0][py, px]) >> int(pic.tr_idx[py, px])) & 1
+                cbf_p = (int(pic.cbf[0][ny, nx]) >> int(pic.tr_idx[ny, nx])) & 1
+                if cbf_q or cbf_p:
+                    bs[py, px] = 1
+                    continue
+            bs[py, px] = _bs_mv(pic, px, py, nx, ny)
+    return bs
+
+
+def _bs_mv(pic: PictureState, px, py, nx, ny):
+    """MV-difference boundary strength (inter-inter edges)."""
+    def refs(pt_x, pt_y):
+        out = []
+        for lx in range(2):
+            ri = int(pic.ref_idx[lx, pt_y, pt_x])
+            out.append(pic.ref_poc_lookup(lx, ri) if ri >= 0 else None)
+        return out
+    if not hasattr(pic, "ref_poc_lookup"):
+        return 0   # AI picture: no inter parts exist
+    refp = refs(nx, ny)
+    refq = refs(px, py)
+    mvp = [pic.mv[lx, ny, nx] if refp[lx] is not None else np.zeros(2, np.int32)
+           for lx in range(2)]
+    mvq = [pic.mv[lx, py, px] if refq[lx] is not None else np.zeros(2, np.int32)
+           for lx in range(2)]
+
+    def mv_far(a, b):
+        return abs(int(a[0]) - int(b[0])) >= 4 or abs(int(a[1]) - int(b[1])) >= 4
+
+    if (refp[0] == refq[0] and refp[1] == refq[1]) or \
+            (refp[0] == refq[1] and refp[1] == refq[0]):
+        if refp[0] != refp[1]:
+            if refp[0] == refq[0]:
+                return 1 if (mv_far(mvq[0], mvp[0]) or mv_far(mvq[1], mvp[1])) else 0
+            return 1 if (mv_far(mvq[1], mvp[0]) or mv_far(mvq[0], mvp[1])) else 0
+        same = mv_far(mvq[0], mvp[0]) or mv_far(mvq[1], mvp[1])
+        crossed = mv_far(mvq[1], mvp[0]) or mv_far(mvq[0], mvp[1])
+        return 1 if (same and crossed) else 0
+    return 1
+
+
+def _no_filter_flags(pic, px, py):
+    if pic.sps.pcm_enabled and pic.sps.pcm_loop_filter_disabled and \
+            pic.ipcm[py, px]:
+        return True
+    if pic.pps.transquant_bypass_enabled and pic.tqb[py, px]:
+        return True
+    return False
+
+
+def deblock_picture(pic: PictureState):
+    dis, beta_off, tc_off, _ = _slice_flags(pic)
+    for direction in (EDGE_VER, EDGE_HOR):
+        edge, marker = build_edge_masks(pic, direction)
+        bs = compute_bs(pic, direction, edge, marker)
+        _filter_luma(pic, direction, bs, beta_off, tc_off)
+        if pic.num_comps > 1:
+            _filter_chroma(pic, direction, bs, tc_off)
+
+
+def _filter_luma(pic: PictureState, direction, bs, beta_off, tc_off):
+    rec = pic.rec[0]
+    bd = pic.sps.bit_depth_luma
+    bd_scale = 1 << (bd - 8)
+    max_val = (1 << bd) - 1
+    ph, pw = bs.shape
+    valid_h, valid_w = pic.h // 4, pic.w // 4
+    # 8-aligned edges only
+    for py in range(valid_h):
+        for px in range(valid_w):
+            if direction == EDGE_VER and (px % 2): continue
+            if direction == EDGE_HOR and (py % 2): continue
+            b = int(bs[py, px])
+            if b == 0:
+                continue
+            sl = pic.slice_id[py, px]
+            nx, ny = (px - 1, py) if direction == EDGE_VER else (px, py - 1)
+            qp_q = int(pic.qp[py, px])
+            qp_p = int(pic.qp[ny, nx])
+            qp = (qp_p + qp_q + 1) >> 1
+            idx_tc = int(np.clip(qp + 2 * (b - 1) + (int(tc_off[sl]) << 1), 0, 53))
+            idx_b = int(np.clip(qp + (int(beta_off[sl]) << 1), 0, 51))
+            tc = int(TC_TABLE[idx_tc]) * bd_scale
+            beta = int(BETA_TABLE[idx_b]) * bd_scale
+            if beta == 0 and tc == 0:
+                continue
+            side_thresh = (beta + (beta >> 1)) >> 3
+            thr_cut = tc * 10
+
+            x0, y0 = px * 4, py * 4
+            def get(line, k):
+                # sample at distance k from edge (negative = P side)
+                if direction == EDGE_VER:
+                    return int(rec[y0 + line, x0 + k])
+                return int(rec[y0 + k, x0 + line])
+            def put(line, k, v):
+                if direction == EDGE_VER:
+                    rec[y0 + line, x0 + k] = v
+                else:
+                    rec[y0 + k, x0 + line] = v
+
+            def dp(line):
+                return abs(get(line, -3) - 2 * get(line, -2) + get(line, -1))
+            def dq(line):
+                return abs(get(line, 0) - 2 * get(line, 1) + get(line, 2))
+
+            dp0, dq0, dp3, dq3 = dp(0), dq(0), dp(3), dq(3)
+            d0, d3 = dp0 + dq0, dp3 + dq3
+            d = d0 + d3
+            if d >= beta:
+                continue
+            no_p = _no_filter_flags(pic, nx, ny)
+            no_q = _no_filter_flags(pic, px, py)
+            filter_p = (dp0 + dp3) < side_thresh
+            filter_q = (dq0 + dq3) < side_thresh
+
+            def strong(line, dd):
+                return (abs(get(line, -4) - get(line, -1)) +
+                        abs(get(line, 3) - get(line, 0))) < (beta >> 3) and \
+                    dd < (beta >> 2) and \
+                    abs(get(line, -1) - get(line, 0)) < ((tc * 5 + 1) >> 1)
+            sw = strong(0, 2 * d0) and strong(3, 2 * d3)
+
+            for line in range(4):
+                m = [get(line, k) for k in range(-4, 4)]  # m[0..7] = m0..m7
+                if sw:
+                    res = {
+                        -1: np.clip((m[1] + 2*m[2] + 2*m[3] + 2*m[4] + m[5] + 4) >> 3, m[3]-2*tc, m[3]+2*tc),
+                        0: np.clip((m[2] + 2*m[3] + 2*m[4] + 2*m[5] + m[6] + 4) >> 3, m[4]-2*tc, m[4]+2*tc),
+                        -2: np.clip((m[1] + m[2] + m[3] + m[4] + 2) >> 2, m[2]-2*tc, m[2]+2*tc),
+                        1: np.clip((m[3] + m[4] + m[5] + m[6] + 2) >> 2, m[5]-2*tc, m[5]+2*tc),
+                        -3: np.clip((2*m[0] + 3*m[1] + m[2] + m[3] + m[4] + 4) >> 3, m[1]-2*tc, m[1]+2*tc),
+                        2: np.clip((m[3] + m[4] + m[5] + 3*m[6] + 2*m[7] + 4) >> 3, m[6]-2*tc, m[6]+2*tc),
+                    }
+                    for k, v in res.items():
+                        put(line, k, int(v))
+                else:
+                    delta = (9 * (m[4] - m[3]) - 3 * (m[5] - m[2]) + 8) >> 4
+                    if abs(delta) < thr_cut:
+                        delta = int(np.clip(delta, -tc, tc))
+                        put(line, -1, int(np.clip(m[3] + delta, 0, max_val)))
+                        put(line, 0, int(np.clip(m[4] - delta, 0, max_val)))
+                        tc2 = tc >> 1
+                        if filter_p:
+                            d1 = int(np.clip((((m[1] + m[3] + 1) >> 1) - m[2] + delta) >> 1, -tc2, tc2))
+                            put(line, -2, int(np.clip(m[2] + d1, 0, max_val)))
+                        if filter_q:
+                            d2 = int(np.clip((((m[6] + m[4] + 1) >> 1) - m[5] - delta) >> 1, -tc2, tc2))
+                            put(line, 1, int(np.clip(m[5] + d2, 0, max_val)))
+                if no_p:
+                    for k in (-1, -2, -3):
+                        put(line, k, m[4 + k])
+                if no_q:
+                    for k in (0, 1, 2):
+                        put(line, k, m[4 + k])
+
+
+def _filter_chroma(pic: PictureState, direction, bs, tc_off):
+    sx, sy = pic.comp_shift[1]
+    bd = pic.sps.bit_depth_chroma
+    bd_scale = 1 << (bd - 8)
+    max_val = (1 << bd) - 1
+    fmt = pic.sps.chroma_format_idc
+    ph, pw = bs.shape
+    valid_h, valid_w = pic.h // 4, pic.w // 4
+    # part grid alignment for chroma (8 chroma px): 420 -> every 4 parts
+    align = (8 << (sx if direction == EDGE_VER else sy)) // 4
+    pels_h = 4 >> sx   # chroma pels per part horizontally
+    pels_v = 4 >> sy
+    for py in range(valid_h):
+        for px in range(valid_w):
+            if direction == EDGE_VER:
+                if px % align: continue
+            else:
+                if py % align: continue
+            b = int(bs[py, px])
+            if b <= 1:
+                continue
+            sl = pic.slice_id[py, px]
+            nx, ny = (px - 1, py) if direction == EDGE_VER else (px, py - 1)
+            qp_q = int(pic.qp[py, px])
+            qp_p = int(pic.qp[ny, nx])
+            no_p = _no_filter_flags(pic, nx, ny)
+            no_q = _no_filter_flags(pic, px, py)
+            for comp in (1, 2):
+                rec = pic.rec[comp]
+                off = pic.pps.cb_qp_offset if comp == 1 else pic.pps.cr_qp_offset
+                qp = ((qp_p + qp_q + 1) >> 1) + off
+                if qp >= 58:
+                    qp = qp - 6 if fmt == 1 else min(qp, 51)
+                elif qp >= 0:
+                    qp = int(CHROMA_QP_SCALE[fmt][qp])
+                idx_tc = int(np.clip(qp + 2 * (b - 1) + (int(tc_off[sl]) << 1), 0, 53))
+                tc = int(TC_TABLE[idx_tc]) * bd_scale
+                if tc == 0:
+                    continue
+                cx0 = (px * 4) >> sx
+                cy0 = (py * 4) >> sy
+                n_lines = pels_v if direction == EDGE_VER else pels_h
+                for line in range(n_lines):
+                    if direction == EDGE_VER:
+                        yy, xx = cy0 + line, cx0
+                        m2, m3 = int(rec[yy, xx-2]), int(rec[yy, xx-1])
+                        m4, m5 = int(rec[yy, xx]), int(rec[yy, xx+1])
+                    else:
+                        yy, xx = cy0, cx0 + line
+                        m2, m3 = int(rec[yy-2, xx]), int(rec[yy-1, xx])
+                        m4, m5 = int(rec[yy, xx]), int(rec[yy+1, xx])
+                    delta = int(np.clip((((m4 - m3) << 2) + m2 - m5 + 4) >> 3, -tc, tc))
+                    new_p = int(np.clip(m3 + delta, 0, max_val))
+                    new_q = int(np.clip(m4 - delta, 0, max_val))
+                    if no_p:
+                        new_p = m3
+                    if no_q:
+                        new_q = m4
+                    if direction == EDGE_VER:
+                        rec[yy, xx-1] = new_p
+                        rec[yy, xx] = new_q
+                    else:
+                        rec[yy-1, xx] = new_p
+                        rec[yy, xx] = new_q

@@ -12,6 +12,9 @@ from hm16_2_tpu.decode.top import Decoder
 STREAMS = [
     ("/tmp/hevc_data/tiny64_ai_nolf.bin", "/tmp/hevc_data/tiny64_ai_nolf_rec.yuv", 64, 64),
     ("/tmp/hevc_data/bq_ai_nolf.bin", "/tmp/hevc_data/bq_ai_nolf_rec.yuv", 416, 240),
+    ("/tmp/hevc_data/tiny64_ai.bin", "/tmp/hevc_data/tiny64_ai_rec.yuv", 64, 64),
+    ("/tmp/hevc_data/bq_ai_q22.bin", "/tmp/hevc_data/bq_ai_q22_rec.yuv", 416, 240),
+    ("/tmp/hevc_data/bq_ai_q37.bin", "/tmp/hevc_data/bq_ai_q37_rec.yuv", 416, 240),
 ]
 
 

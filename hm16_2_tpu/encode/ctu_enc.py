@@ -1,0 +1,468 @@
+"""CTU syntax encoding: emits the CABAC bin stream for decided CTUs.
+
+Exact dual of hm16_2_tpu.decode.ctu_dec (reference TEncSbac.cpp:423-1716,
+TEncCu::xEncodeCU :1185, TEncEntropy::xEncodeTransform).  Subclasses the
+decoder's SliceDecoder to reuse every context-derivation helper — encoder
+and decoder share one source of truth for context indices, guaranteeing
+the bin sequence the decoder will parse.
+
+The picture arrays (depth / modes / cbf / coeff planes) must already be
+filled by the search before encode_ctu is called.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from hm16_2_tpu.bitstream.cabac import CabacEncoder
+from hm16_2_tpu.common.tables import (
+    GROUP_IDX, MIN_IN_GROUP, SCAN_VER, get_scan)
+from hm16_2_tpu.decode.ctu_dec import (
+    C1FLAG_NUMBER, CBF_CTX_START, COEF_REMAIN_BIN_REDUCTION, CTX_SET_START,
+    SBH_THRESHOLD, SIG_CTX_CHANNEL_OFFSET, SIG_CTX_SET_START,
+    NON_DIAG_8x8_CTX_OFFSET, SliceDecoder)
+from hm16_2_tpu.decode.picture import MODE_INTRA, SIZE_2Nx2N, SIZE_NxN
+from hm16_2_tpu.headers.params import I_SLICE
+from hm16_2_tpu.ops.intra_ref import DC_IDX, DM_CHROMA_IDX, HOR_IDX, PLANAR_IDX, VER_IDX
+
+
+class CtuEncoder(SliceDecoder):
+    """Syntax emitter. self.enc is the CabacEncoder; self.ctx shared."""
+
+    def attach(self, cabac_enc: CabacEncoder):
+        self.enc = cabac_enc
+        self.ctx = cabac_enc.ctx
+
+    # ------------------------------------------------------------------
+
+    def encode_ctu(self, ctu_x: int, ctu_y: int, last_in_slice: bool):
+        pic = self.pic
+        parts = pic.ctb // 4
+        px, py = ctu_x * parts, ctu_y * parts
+        self._enc_cu(px, py, pic.log2_ctb, 0)
+        self.enc.encode_bin_trm(1 if last_in_slice else 0)
+
+    def _enc_cu(self, px, py, log2, depth):
+        pic, e, c = self.pic, self.enc, self.ctx
+        sps, pps = self.sps, self.pps
+        boundary = not self._cu_inside_pic(px, py, log2)
+        split = int(pic.depth[py, px]) > depth
+        if not boundary:
+            if log2 > sps.log2_min_cb:
+                e.encode_bin(1 if split else 0,
+                             c.idx("split_flag", self._ctx_split(px, py, depth)))
+            else:
+                split = False
+        if split or boundary:
+            half = 1 << (log2 - 3)
+            for sub in range(4):
+                sx = px + (sub & 1) * half
+                sy = py + (sub >> 1) * half
+                if sx * 4 < pic.w and sy * 4 < pic.h:
+                    self._enc_cu(sx, sy, log2 - 1, depth + 1)
+            return
+
+        if pps.transquant_bypass_enabled:
+            e.encode_bin(int(pic.tqb[py, px]), c.idx("cu_transquant_bypass"))
+        if self.sh.slice_type != I_SLICE:
+            raise NotImplementedError("inter CU encode")
+        # pred mode implicit intra on I slices
+        part_size = int(pic.part_size[py, px])
+        if log2 == sps.log2_min_cb:
+            e.encode_bin(1 if part_size == SIZE_2Nx2N else 0, c.idx("part_size"))
+        if sps.pcm_enabled and part_size == SIZE_2Nx2N and \
+                sps.log2_min_pcm_cb <= log2 <= sps.log2_max_pcm_cb:
+            e.encode_bin_trm(0)   # pcm_flag (not used by this encoder)
+        self._enc_intra_dirs(px, py, log2, part_size)
+        self._enc_tu_tree_root(px, py, log2, part_size)
+
+    # ------------------------------------------------------------------
+
+    def _enc_intra_dirs(self, px, py, log2, part_size):
+        pic, e, c = self.pic, self.enc, self.ctx
+        n_parts = 4 if part_size == SIZE_NxN else 1
+        half = 1 << (log2 - 3)
+        offs = [(0, 0)] if n_parts == 1 else [(0, 0), (half, 0), (0, half), (half, half)]
+        modes = [int(pic.intra_luma[py + oy, px + ox]) for ox, oy in offs]
+        # two passes like the decoder: first all mpm flags, then idx/rem
+        preds_list = []
+        flags = []
+        for j, (ox, oy) in enumerate(offs):
+            preds = self._intra_mpm(px + ox, py + oy)
+            preds_list.append(preds)
+            flags.append(modes[j] in preds)
+            e.encode_bin(1 if flags[j] else 0, c.idx("intra_pred_mode"))
+            # note: decoder's MPM uses neighbor state before this PU's mode is
+            # marked; mark progressively in the second pass below
+        for j, (ox, oy) in enumerate(offs):
+            preds = preds_list[j]
+            mode = modes[j]
+            if flags[j]:
+                idx = preds.index(mode)
+                if idx == 0:
+                    e.encode_bin_ep(0)
+                else:
+                    e.encode_bin_ep(1)
+                    e.encode_bin_ep(idx - 1)
+            else:
+                rem = mode
+                for p in sorted(preds, reverse=True):
+                    if rem > p:
+                        rem -= 1
+                e.encode_bins_ep(rem, 5)
+
+        chroma_mode = int(pic.intra_chroma[py, px])
+        if chroma_mode == DM_CHROMA_IDX:
+            e.encode_bin(0, c.idx("chroma_pred_mode"))
+        else:
+            e.encode_bin(1, c.idx("chroma_pred_mode"))
+            allowed = [PLANAR_IDX, VER_IDX, HOR_IDX, DC_IDX, DM_CHROMA_IDX]
+            luma0 = modes[0]
+            for i in range(4):
+                if luma0 == allowed[i]:
+                    allowed[i] = 34
+                    break
+            e.encode_bins_ep(allowed.index(chroma_mode), 2)
+
+    # ------------------------------------------------------------------
+    # MPM parity note: the decoder derives MPM from picture arrays that, for
+    # PUs inside the same CU, are already filled when it parses PU j>0 (it
+    # writes modes immediately).  Our pic arrays are fully filled, and the
+    # only MPM neighbors (left/above of each PU's corner) are always earlier
+    # in coding order, so states agree.
+    # ------------------------------------------------------------------
+
+    def _enc_tu_tree_root(self, px, py, log2, part_size):
+        cu = type("CU", (), {})()
+        cu.px, cu.py, cu.log2 = px, py, log2
+        cu.pred_mode = MODE_INTRA
+        cu.part_size = part_size
+        cu.tqb = int(self.pic.tqb[py, px])
+        self._min_tu_log2_cu_val = None
+        self.cu = cu
+        self._enc_tu_tree(cu, px, py, log2, 0)
+
+    def _min_tu_log2(self, cu):
+        sps = self.sps
+        max_depth = sps.max_tr_hierarchy_depth_intra
+        intra_split = 1 if cu.part_size == SIZE_NxN else 0
+        if cu.log2 < sps.log2_min_tb + max_depth - 1 + intra_split:
+            return sps.log2_min_tb
+        return min(cu.log2 - (max_depth - 1 + intra_split), sps.log2_max_tb)
+
+    def _enc_tu_tree(self, cu, px, py, log2, tr_depth):
+        pic, e, c = self.pic, self.enc, self.ctx
+        sps = self.sps
+        chroma_ok = pic.num_comps > 1
+        chroma_here = chroma_ok and (log2 > 2 or sps.chroma_format_idc == 3)
+        min_tu = self._min_tu_log2(cu)
+
+        subdiv = int(pic.tr_idx[py, px]) > tr_depth
+        if cu.part_size == SIZE_NxN and tr_depth == 0:
+            pass          # inferred 1
+        elif log2 > sps.log2_max_tb:
+            pass          # inferred 1
+        elif log2 == sps.log2_min_tb:
+            pass          # inferred 0
+        elif log2 == min_tu:
+            pass          # inferred 0
+        else:
+            e.encode_bin(1 if subdiv else 0, c.idx("trans_subdiv", 5 - log2))
+
+        n = 1 << (log2 - 2)
+        if chroma_here:
+            for comp in (1, 2):
+                parent = self._cbf_at(comp, px, py, tr_depth - 1) if tr_depth else 1
+                if parent:
+                    v = self._cbf_at(comp, px, py, tr_depth)
+                    e.encode_bin(v, c.idx("qt_cbf", CBF_CTX_START[1] + tr_depth))
+
+        if subdiv:
+            half = 1 << (log2 - 3)
+            for sub in range(4):
+                self._enc_tu_tree(cu, px + (sub & 1) * half,
+                                  py + (sub >> 1) * half, log2 - 1, tr_depth + 1)
+            return
+
+        cbf_y = self._cbf_at(0, px, py, tr_depth)
+        if cu.pred_mode == MODE_INTRA or tr_depth != 0 or \
+                self._cbf_at(1, px, py, tr_depth) or self._cbf_at(2, px, py, tr_depth):
+            ctx_inc = 1 if tr_depth == 0 else 0
+            e.encode_bin(cbf_y, c.idx("qt_cbf", CBF_CTX_START[0] + ctx_inc))
+
+        cbf_cb = cbf_cr = 0
+        if chroma_ok:
+            if log2 == 2:
+                cbf_cb = self._cbf_at(1, px & ~1, py & ~1, tr_depth - 1)
+                cbf_cr = self._cbf_at(2, px & ~1, py & ~1, tr_depth - 1)
+            else:
+                cbf_cb = self._cbf_at(1, px, py, tr_depth)
+                cbf_cr = self._cbf_at(2, px, py, tr_depth)
+        is_chroma_holder = chroma_here or (
+            chroma_ok and log2 == 2 and (px % 2 == 1) and (py % 2 == 1))
+        if cbf_y or cbf_cb or cbf_cr:
+            if cbf_y:
+                self._enc_residual(cu, px, py, log2, 0)
+            if chroma_ok:
+                if chroma_here:
+                    if cbf_cb:
+                        self._enc_residual(cu, px, py, log2, 1)
+                    if cbf_cr:
+                        self._enc_residual(cu, px, py, log2, 2)
+                elif log2 == 2 and is_chroma_holder:
+                    if cbf_cb:
+                        self._enc_residual(cu, px - 1, py - 1, 3, 1)
+                    if cbf_cr:
+                        self._enc_residual(cu, px - 1, py - 1, 3, 2)
+
+    def _cbf_at(self, comp, px, py, tr_depth):
+        if tr_depth < 0:
+            return 1
+        return (int(self.pic.cbf[comp][py, px]) >> tr_depth) & 1
+
+    # ------------------------------------------------------------------
+
+    def _enc_residual(self, cu, px, py, log2, comp):
+        """codeCoeffNxN dual (TEncSbac.cpp:1172-1529)."""
+        pic, e, c = self.pic, self.enc, self.ctx
+        sps, pps = self.sps, self.pps
+        sx, sy = pic.comp_shift[comp]
+        if comp == 0:
+            w = 1 << log2
+            x0, y0 = px * 4, py * 4
+        else:
+            w = (1 << log2) >> sx
+            x0, y0 = (px * 4) >> sx, (py * 4) >> sy
+        h = w
+        log2w = w.bit_length() - 1
+        chan = 0 if comp == 0 else 1
+
+        coeffs = pic.coeff[comp][y0:y0 + h, x0:x0 + w].astype(np.int64).ravel()
+        be_valid = bool(pps.sign_data_hiding) and not cu.tqb
+
+        if pps.transform_skip_enabled and not cu.tqb and \
+                log2w <= pps.log2_max_transform_skip_block_size:
+            e.encode_bin(int(pic.tskip[comp][py, px]), c.idx("transform_skip", chan))
+
+        scan_type = self._scan_type(cu, px, py, log2, comp)
+        scan = get_scan(w, h, scan_type, grouped=True)
+        scan_cg = get_scan(max(w // 4, 1), max(h // 4, 1), scan_type, grouped=False)
+        wg, hg = w // 4, h // 4
+
+        ts = int(pic.tskip[comp][py, px])
+        single_ctx = bool(sps.transform_skip_context) and (cu.tqb or ts)
+        if single_ctx:
+            first_sig_ctx = SIG_CTX_SET_START[chan][3]
+        elif w == 4:
+            first_sig_ctx = SIG_CTX_SET_START[chan][0]
+        elif w == 8:
+            first_sig_ctx = SIG_CTX_SET_START[chan][1]
+            if scan_type != 0:
+                first_sig_ctx += NON_DIAG_8x8_CTX_OFFSET[chan]
+        else:
+            first_sig_ctx = SIG_CTX_SET_START[chan][2]
+
+        # locate last significant in scan order
+        sig_in_scan = coeffs[scan] != 0
+        assert sig_in_scan.any(), "residual encode called with all-zero block"
+        scan_pos_last = int(np.nonzero(sig_in_scan)[0][-1])
+        blk_pos_last = int(scan[scan_pos_last])
+        last_x = blk_pos_last & (w - 1)
+        last_y = blk_pos_last >> log2w
+        self._enc_last_xy(last_x, last_y, w, h, comp, scan_type)
+
+        sig_cg = np.zeros(wg * hg, dtype=np.int64)
+        for subset in range(scan_pos_last >> 4, -1, -1):
+            cg_blk = int(scan_cg[subset])
+            lo = subset << 4
+            hi = min(scan_pos_last, (subset << 4) + 15)
+            if np.any(coeffs[scan[lo:hi + 1]] != 0):
+                sig_cg[cg_blk] = 1
+        # first and last groups are inferred significant (never coded):
+        # the decoder parses their sig maps even when empty
+        sig_cg[int(scan_cg[scan_pos_last >> 4])] = 1
+        sig_cg[int(scan_cg[0])] = 1
+
+        last_scan_set = scan_pos_last >> 4
+        c1 = 1
+        use_rice_adaptation = bool(sps.persistent_rice_adaptation)
+        align_bypass = bool(sps.cabac_bypass_alignment)
+        extended_precision = bool(sps.extended_precision)
+        rice_stat_idx = self._golomb_rice_stat_index(comp, ts or cu.tqb)
+
+        scan_pos_sig = scan_pos_last
+        for subset in range(last_scan_set, -1, -1):
+            sub_pos = subset << 4
+            go_rice = int(self.golomb_rice_stats[rice_stat_idx] // 2) \
+                if use_rice_adaptation else 0
+            update_rice = use_rice_adaptation
+            num_nonzero = 0
+            last_nz = -1
+            first_nz = 16
+            escape_present = False
+            pos = []
+            vals = []
+
+            if scan_pos_sig == scan_pos_last:
+                last_nz = first_nz = scan_pos_sig
+                pos.append(blk_pos_last)
+                vals.append(int(coeffs[blk_pos_last]))
+                num_nonzero = 1
+                scan_pos_sig -= 1
+
+            cg_blk = int(scan_cg[subset])
+            cg_y, cg_x = cg_blk // wg, cg_blk % wg
+            if subset not in (last_scan_set, 0):
+                ctx_sig = self._sig_cg_ctx(sig_cg, cg_x, cg_y, wg, hg)
+                e.encode_bin(int(sig_cg[cg_blk]),
+                             c.idx("sig_cg", 2 * (1 if chan else 0) + ctx_sig))
+
+            pattern = self._pattern_sig_ctx(sig_cg, cg_x, cg_y, wg, hg)
+            while scan_pos_sig >= sub_pos:
+                blk = int(scan[scan_pos_sig])
+                sig = 1 if coeffs[blk] != 0 else 0
+                if sig_cg[cg_blk]:
+                    if scan_pos_sig > sub_pos or subset == 0 or num_nonzero:
+                        ctx_sig = self._sig_ctx(pattern, scan, scan_pos_sig,
+                                                log2w, log2w, chan,
+                                                first_sig_ctx, single_ctx)
+                        e.encode_bin(sig,
+                                     c.idx("sig", SIG_CTX_CHANNEL_OFFSET[chan] + ctx_sig))
+                    # else inferred 1
+                if sig:
+                    pos.append(blk)
+                    vals.append(int(coeffs[blk]))
+                    num_nonzero += 1
+                    if last_nz == -1:
+                        last_nz = scan_pos_sig
+                    first_nz = scan_pos_sig
+                scan_pos_sig -= 1
+
+            if num_nonzero <= 0:
+                continue
+            sign_hidden = (last_nz - first_nz) >= SBH_THRESHOLD
+            ctx_set = CTX_SET_START[chan] + \
+                (2 if (chan == 0 and subset > 0) else 0) + (1 if c1 == 0 else 0)
+            c1 = 1
+            abs_vals = [abs(v) for v in vals]
+            num_c1 = min(num_nonzero, C1FLAG_NUMBER)
+            first_c2_idx = -1
+            for idx in range(num_c1):
+                b = 1 if abs_vals[idx] > 1 else 0
+                e.encode_bin(b, c.idx("one", 4 * ctx_set + c1))
+                if b:
+                    c1 = 0
+                    if first_c2_idx == -1:
+                        first_c2_idx = idx
+                    else:
+                        escape_present = True
+                elif 0 < c1 < 3:
+                    c1 += 1
+            if c1 == 0 and first_c2_idx != -1:
+                b = 1 if abs_vals[first_c2_idx] > 2 else 0
+                e.encode_bin(b, c.idx("abs", ctx_set))
+                if b:
+                    escape_present = True
+            escape_present = escape_present or (num_nonzero > C1FLAG_NUMBER)
+
+            if escape_present and align_bypass:
+                e.align()
+
+            signs = 0
+            n_signs = num_nonzero - 1 if (sign_hidden and be_valid) else num_nonzero
+            for idx in range(n_signs):
+                signs = (signs << 1) | (1 if vals[idx] < 0 else 0)
+            e.encode_bins_ep(signs, n_signs)
+
+            first_coeff2 = 1
+            if escape_present:
+                for idx in range(num_nonzero):
+                    base_level = (2 + first_coeff2) if idx < C1FLAG_NUMBER else 1
+                    if abs_vals[idx] >= base_level:
+                        level = abs_vals[idx] - base_level
+                        self._enc_coef_remain(level, go_rice, extended_precision, chan)
+                        if abs_vals[idx] > (3 << go_rice):
+                            go_rice = go_rice + 1 if use_rice_adaptation \
+                                else min(go_rice + 1, 4)
+                        if update_rice:
+                            init_rice = int(self.golomb_rice_stats[rice_stat_idx] // 2)
+                            if level >= (3 << init_rice):
+                                self.golomb_rice_stats[rice_stat_idx] += 1
+                            elif 2 * level < (1 << init_rice) and \
+                                    self.golomb_rice_stats[rice_stat_idx] > 0:
+                                self.golomb_rice_stats[rice_stat_idx] -= 1
+                            update_rice = False
+                    if abs_vals[idx] >= 2:
+                        first_coeff2 = 0
+
+    def _enc_last_xy(self, last_x, last_y, w, h, comp, scan_type):
+        e, c = self.enc, self.ctx
+        chan = 0 if comp == 0 else 1
+        if scan_type == SCAN_VER:
+            last_x, last_y = last_y, last_x
+            w, h = h, w
+        cw = w.bit_length() - 3
+        ch = h.bit_length() - 3
+        if chan == 0:
+            off_x = cw * 3 + ((cw + 1) >> 2)
+            off_y = ch * 3 + ((ch + 1) >> 2)
+            shift_x = (cw + 3) >> 2
+            shift_y = (ch + 3) >> 2
+        else:
+            off_x = off_y = 0
+            shift_x, shift_y = cw, ch
+        base = 0 if chan == 0 else 15
+        gx = int(GROUP_IDX[last_x])
+        gy = int(GROUP_IDX[last_y])
+        for i in range(gx):
+            e.encode_bin(1, c.idx("last", base + off_x + (i >> shift_x)))
+        if gx < int(GROUP_IDX[w - 1]):
+            e.encode_bin(0, c.idx("last", base + off_x + (gx >> shift_x)))
+        for i in range(gy):
+            e.encode_bin(1, c.idx("last_y", base + off_y + (i >> shift_y)))
+        if gy < int(GROUP_IDX[h - 1]):
+            e.encode_bin(0, c.idx("last_y", base + off_y + (gy >> shift_y)))
+        if gx > 3:
+            count = (gx - 2) >> 1
+            suffix = last_x - int(MIN_IN_GROUP[gx])
+            for i in range(count - 1, -1, -1):
+                e.encode_bin_ep((suffix >> i) & 1)
+        if gy > 3:
+            count = (gy - 2) >> 1
+            suffix = last_y - int(MIN_IN_GROUP[gy])
+            for i in range(count - 1, -1, -1):
+                e.encode_bin_ep((suffix >> i) & 1)
+
+    def _enc_coef_remain(self, symbol, r_param, use_limited, chan):
+        """xWriteCoefRemainExGolomb dual (TEncSbac.cpp:~1100)."""
+        e = self.enc
+        max_tr_dr = self.sps.max_tr_dynamic_range(chan == 1)
+        code_number = symbol
+        if code_number < (COEF_REMAIN_BIN_REDUCTION << r_param):
+            length = code_number >> r_param
+            e.encode_bins_ep((1 << (length + 1)) - 2, length + 1)
+            e.encode_bins_ep(code_number % (1 << r_param), r_param)
+        elif use_limited:
+            max_prefix_len = 32 - (COEF_REMAIN_BIN_REDUCTION + max_tr_dr)
+            prefix_len = 0
+            code_value = (code_number >> r_param) - COEF_REMAIN_BIN_REDUCTION
+            while prefix_len < max_prefix_len and \
+                    code_value > ((2 << prefix_len) - 2):
+                prefix_len += 1
+            if prefix_len == max_prefix_len:
+                suffix_len = max_tr_dr - r_param
+            else:
+                suffix_len = prefix_len
+            suffix = code_number - (((1 << prefix_len) - 1 + COEF_REMAIN_BIN_REDUCTION) << r_param)
+            total_prefix = COEF_REMAIN_BIN_REDUCTION + prefix_len + 1
+            e.encode_bins_ep((1 << total_prefix) - 2, total_prefix)
+            e.encode_bins_ep(suffix, suffix_len + r_param)
+        else:
+            length = r_param
+            code_number -= COEF_REMAIN_BIN_REDUCTION << r_param
+            while code_number >= (1 << length):
+                code_number -= (1 << length)
+                length += 1
+            prefix_ones = COEF_REMAIN_BIN_REDUCTION + length + 1 - r_param
+            e.encode_bins_ep((1 << prefix_ones) - 2, prefix_ones)
+            e.encode_bins_ep(code_number, length)

@@ -1,0 +1,310 @@
+"""Header writing: VPS/SPS/PPS/slice headers + SEI (spec 7.3.x, dual of
+hm16_2_tpu.headers.parse; reference TEncCavlc.cpp:155-1140, SEIwrite.cpp).
+"""
+
+from __future__ import annotations
+
+from hm16_2_tpu.bitstream.bitio import BitWriter, make_nal
+from hm16_2_tpu.headers.params import (
+    PPS, SPS, VPS, ProfileTierLevel, ShortTermRPS, SliceHeader,
+    B_SLICE, P_SLICE, I_SLICE, is_idr, is_irap,
+    NAL_VPS, NAL_SPS, NAL_PPS, NAL_SEI_SUFFIX)
+
+
+def write_profile_tier(bw: BitWriter, p: ProfileTierLevel):
+    bw.u(p.profile_space, 2)
+    bw.flag(p.tier_flag)
+    bw.u(p.profile_idc, 5)
+    bw.u(p.compat_flags, 32)
+    bw.flag(p.progressive_source)
+    bw.flag(p.interlaced_source)
+    bw.flag(p.non_packed)
+    bw.flag(p.frame_only)
+    if p.profile_idc in (4, 5):
+        bw.flag(p.max_12bit); bw.flag(p.max_10bit); bw.flag(p.max_8bit)
+        bw.flag(p.max_422chroma); bw.flag(p.max_420chroma); bw.flag(p.max_monochrome)
+        bw.flag(p.intra_constraint); bw.flag(p.one_picture_only); bw.flag(p.lower_bit_rate)
+        bw.u(0, 16); bw.u(0, 16); bw.u(0, 3)
+    else:
+        bw.u(0, 16); bw.u(0, 16); bw.u(0, 12)
+
+
+def write_ptl(bw: BitWriter, p: ProfileTierLevel, max_sub_layers_minus1: int = 0):
+    write_profile_tier(bw, p)
+    bw.u(p.level_idc, 8)
+    # no sub-layers
+
+
+def main_profile_ptl(ten_bit: bool = False) -> ProfileTierLevel:
+    p = ProfileTierLevel()
+    p.profile_idc = 2 if ten_bit else 1
+    # compat: Main(1) + Main10(2)  (TEncTop.cpp:460-479)
+    p.compat_flags = (1 << (31 - 1)) | (1 << (31 - 2))
+    p.progressive_source = 0
+    p.frame_only = 0
+    p.level_idc = 0
+    return p
+
+
+def write_vps(v: VPS) -> bytes:
+    bw = BitWriter()
+    bw.u(v.vps_id, 4)
+    bw.u(3, 2)                    # reserved_three_2bits
+    bw.u(0, 6)                    # max_layers_minus1
+    bw.u(v.max_sub_layers - 1, 3)
+    bw.flag(v.temporal_id_nesting)
+    bw.u(0xFFFF, 16)
+    write_ptl(bw, v.ptl)
+    bw.flag(1)                    # sub_layer_ordering_info_present
+    for i in range(v.max_sub_layers):
+        bw.ue(v.max_dec_pic_buffering[i] - 1)
+        bw.ue(v.num_reorder_pics[i])
+        bw.ue(v.max_latency_increase[i])
+    bw.u(0, 6)                    # max_nuh_reserved_zero_layer_id
+    bw.ue(0)                      # max_op_sets_minus1
+    bw.flag(0)                    # timing_info_present
+    bw.flag(0)                    # vps_extension
+    bw.byte_align_with_stop_bit()
+    return make_nal(NAL_VPS, bw.get_bytes())
+
+
+def write_short_term_rps(bw: BitWriter, rps: ShortTermRPS, idx: int):
+    if idx > 0:
+        bw.flag(0)                # inter_ref_pic_set_prediction_flag (explicit)
+    bw.ue(rps.num_negative)
+    bw.ue(rps.num_positive)
+    prev = 0
+    for j in range(rps.num_negative):
+        bw.ue(prev - rps.delta_poc[j] - 1)
+        prev = rps.delta_poc[j]
+        bw.flag(rps.used[j])
+    prev = 0
+    for j in range(rps.num_negative, rps.num_negative + rps.num_positive):
+        bw.ue(rps.delta_poc[j] - prev - 1)
+        prev = rps.delta_poc[j]
+        bw.flag(rps.used[j])
+
+
+def write_sps(s: SPS) -> bytes:
+    bw = BitWriter()
+    bw.u(s.vps_id, 4)
+    bw.u(s.max_sub_layers - 1, 3)
+    bw.flag(s.temporal_id_nesting)
+    write_ptl(bw, s.ptl)
+    bw.ue(s.sps_id)
+    bw.ue(s.chroma_format_idc)
+    if s.chroma_format_idc == 3:
+        bw.flag(s.separate_colour_plane)
+    bw.ue(s.pic_width)
+    bw.ue(s.pic_height)
+    l, r, t, b = s.conformance_window
+    if any((l, r, t, b)):
+        bw.flag(1)
+        wux = 2 if s.chroma_format_idc in (1, 2) else 1
+        wuy = 2 if s.chroma_format_idc == 1 else 1
+        bw.ue(l // wux); bw.ue(r // wux); bw.ue(t // wuy); bw.ue(b // wuy)
+    else:
+        bw.flag(0)
+    bw.ue(s.bit_depth_luma - 8)
+    bw.ue(s.bit_depth_chroma - 8)
+    bw.ue(s.log2_max_poc_lsb - 4)
+    bw.flag(1)                    # sub_layer_ordering_info_present
+    for i in range(s.max_sub_layers):
+        bw.ue(s.max_dec_pic_buffering[i] - 1)
+        bw.ue(s.num_reorder_pics[i])
+        bw.ue(s.max_latency_increase[i])
+    bw.ue(s.log2_min_cb - 3)
+    bw.ue(s.log2_ctb - s.log2_min_cb)
+    bw.ue(s.log2_min_tb - 2)
+    bw.ue(s.log2_max_tb - s.log2_min_tb)
+    bw.ue(s.max_tr_hierarchy_depth_inter - 1)
+    bw.ue(s.max_tr_hierarchy_depth_intra - 1)
+    bw.flag(s.scaling_list_enabled)
+    if s.scaling_list_enabled:
+        bw.flag(0)                # sps_scaling_list_data_present (use defaults)
+    bw.flag(s.amp_enabled)
+    bw.flag(s.sao_enabled)
+    bw.flag(s.pcm_enabled)
+    if s.pcm_enabled:
+        bw.u(s.pcm_bit_depth_luma - 1, 4)
+        bw.u(s.pcm_bit_depth_chroma - 1, 4)
+        bw.ue(s.log2_min_pcm_cb - 3)
+        bw.ue(s.log2_max_pcm_cb - s.log2_min_pcm_cb)
+        bw.flag(s.pcm_loop_filter_disabled)
+    bw.ue(len(s.rps_list))
+    for i, rps in enumerate(s.rps_list):
+        write_short_term_rps(bw, rps, i)
+    bw.flag(s.long_term_ref_pics_present)
+    if s.long_term_ref_pics_present:
+        bw.ue(s.num_long_term_ref_pics)
+        for k in range(s.num_long_term_ref_pics):
+            bw.u(s.lt_ref_pic_poc_lsb[k], s.log2_max_poc_lsb)
+            bw.flag(s.used_by_curr_pic_lt[k])
+    bw.flag(s.temporal_mvp_enabled)
+    bw.flag(s.strong_intra_smoothing)
+    bw.flag(0)                    # vui_parameters_present
+    bw.flag(0)                    # sps_extension_present
+    bw.byte_align_with_stop_bit()
+    return make_nal(NAL_SPS, bw.get_bytes())
+
+
+def write_pps(p: PPS) -> bytes:
+    bw = BitWriter()
+    bw.ue(p.pps_id)
+    bw.ue(p.sps_id)
+    bw.flag(p.dependent_slice_segments_enabled)
+    bw.flag(p.output_flag_present)
+    bw.u(p.num_extra_slice_header_bits, 3)
+    bw.flag(p.sign_data_hiding)
+    bw.flag(p.cabac_init_present)
+    bw.ue(p.num_ref_idx_l0_default - 1)
+    bw.ue(p.num_ref_idx_l1_default - 1)
+    bw.se(p.init_qp - 26)
+    bw.flag(p.constrained_intra_pred)
+    bw.flag(p.transform_skip_enabled)
+    bw.flag(p.cu_qp_delta_enabled)
+    if p.cu_qp_delta_enabled:
+        bw.ue(p.diff_cu_qp_delta_depth)
+    bw.se(p.cb_qp_offset)
+    bw.se(p.cr_qp_offset)
+    bw.flag(p.slice_chroma_qp_offsets_present)
+    bw.flag(p.weighted_pred)
+    bw.flag(p.weighted_bipred)
+    bw.flag(p.transquant_bypass_enabled)
+    bw.flag(p.tiles_enabled)
+    bw.flag(p.entropy_coding_sync)
+    if p.tiles_enabled:
+        bw.ue(p.num_tile_cols - 1)
+        bw.ue(p.num_tile_rows - 1)
+        bw.flag(p.uniform_spacing)
+        if not p.uniform_spacing:
+            for w in p.tile_col_widths:
+                bw.ue(w - 1)
+            for h in p.tile_row_heights:
+                bw.ue(h - 1)
+        if p.num_tile_cols + p.num_tile_rows > 2:
+            bw.flag(p.loop_filter_across_tiles)
+    bw.flag(p.loop_filter_across_slices)
+    bw.flag(p.deblocking_filter_control_present)
+    if p.deblocking_filter_control_present:
+        bw.flag(p.deblocking_filter_override_enabled)
+        bw.flag(p.deblocking_filter_disabled)
+        if not p.deblocking_filter_disabled:
+            bw.se(p.beta_offset_div2)
+            bw.se(p.tc_offset_div2)
+    bw.flag(0)                    # pps_scaling_list_data_present
+    bw.flag(p.lists_modification_present)
+    bw.ue(p.log2_parallel_merge_level - 2)
+    bw.flag(p.slice_header_extension_present)
+    bw.flag(0)                    # pps_extension_present
+    bw.byte_align_with_stop_bit()
+    return make_nal(NAL_PPS, bw.get_bytes())
+
+
+def write_slice_header(bw: BitWriter, sh: SliceHeader, sps: SPS, pps: PPS):
+    """Write the slice segment header up to and incl. byte alignment.
+    The CABAC slice data is appended to the same BitWriter afterwards."""
+    bw.flag(sh.first_slice_in_pic)
+    if is_irap(sh.nal_type):
+        bw.flag(sh.no_output_of_prior_pics)
+    bw.ue(sh.pps_id)
+    if pps.dependent_slice_segments_enabled and not sh.first_slice_in_pic:
+        bw.flag(sh.dependent_slice_segment)
+    if not sh.first_slice_in_pic:
+        num_ctus = sps.pic_width_in_ctbs * sps.pic_height_in_ctbs
+        bits = 0
+        while num_ctus > (1 << bits):
+            bits += 1
+        bw.u(sh.segment_address, bits)
+    if not sh.dependent_slice_segment:
+        for _ in range(pps.num_extra_slice_header_bits):
+            bw.flag(0)
+        bw.ue(sh.slice_type)
+        if pps.output_flag_present:
+            bw.flag(sh.pic_output_flag)
+        if not is_idr(sh.nal_type):
+            bw.u(sh.poc & ((1 << sps.log2_max_poc_lsb) - 1), sps.log2_max_poc_lsb)
+            if sh.rps_idx >= 0:
+                bw.flag(1)
+                nbits = 0
+                while (1 << nbits) < len(sps.rps_list):
+                    nbits += 1
+                if nbits > 0:
+                    bw.u(sh.rps_idx, nbits)
+            else:
+                bw.flag(0)
+                write_short_term_rps(bw, sh.rps, len(sps.rps_list))
+            if sps.long_term_ref_pics_present:
+                raise NotImplementedError
+            if sps.temporal_mvp_enabled:
+                bw.flag(sh.temporal_mvp_enabled)
+        if sps.sao_enabled:
+            bw.flag(sh.sao_luma)
+            if sps.chroma_format_idc != 0:
+                bw.flag(sh.sao_chroma)
+        if sh.slice_type != I_SLICE:
+            _write_inter_slice_fields(bw, sh, sps, pps)
+        bw.se(sh.qp - pps.init_qp)
+        if pps.slice_chroma_qp_offsets_present:
+            bw.se(sh.cb_qp_offset)
+            bw.se(sh.cr_qp_offset)
+        if pps.deblocking_filter_control_present:
+            if pps.deblocking_filter_override_enabled:
+                bw.flag(sh.deblocking_filter_override)
+            if sh.deblocking_filter_override:
+                bw.flag(sh.deblocking_filter_disabled)
+                if not sh.deblocking_filter_disabled:
+                    bw.se(sh.beta_offset_div2)
+                    bw.se(sh.tc_offset_div2)
+        sao_on = sps.sao_enabled and (sh.sao_luma or sh.sao_chroma)
+        dbf_on = not sh.deblocking_filter_disabled
+        if pps.loop_filter_across_slices and (sao_on or dbf_on):
+            bw.flag(sh.loop_filter_across_slices)
+    if pps.tiles_enabled or pps.entropy_coding_sync:
+        bw.ue(len(sh.entry_point_offsets))
+        if sh.entry_point_offsets:
+            offset_len = max(x - 1 for x in sh.entry_point_offsets).bit_length()
+            offset_len = max(offset_len, 1)
+            bw.ue(offset_len - 1)
+            for off in sh.entry_point_offsets:
+                bw.u(off - 1, offset_len)
+    # byte_alignment()
+    bw.u(1, 1)
+    bw.align_zero()
+
+
+def _write_inter_slice_fields(bw, sh, sps, pps):
+    override = (sh.num_ref_idx[0] != pps.num_ref_idx_l0_default) or \
+        (sh.slice_type == B_SLICE and sh.num_ref_idx[1] != pps.num_ref_idx_l1_default)
+    bw.flag(1 if override else 0)
+    if override:
+        bw.ue(sh.num_ref_idx[0] - 1)
+        if sh.slice_type == B_SLICE:
+            bw.ue(sh.num_ref_idx[1] - 1)
+    if pps.lists_modification_present:
+        raise NotImplementedError
+    if sh.slice_type == B_SLICE:
+        bw.flag(sh.mvd_l1_zero)
+    if pps.cabac_init_present:
+        bw.flag(sh.cabac_init_flag)
+    if sh.temporal_mvp_enabled:
+        if sh.slice_type == B_SLICE:
+            bw.flag(sh.collocated_from_l0)
+        if (sh.collocated_from_l0 and sh.num_ref_idx[0] > 1) or \
+                (not sh.collocated_from_l0 and sh.num_ref_idx[1] > 1):
+            bw.ue(sh.collocated_ref_idx)
+    if (pps.weighted_pred and sh.slice_type == P_SLICE) or \
+            (pps.weighted_bipred and sh.slice_type == B_SLICE):
+        raise NotImplementedError
+    bw.ue(5 - sh.max_num_merge_cand)
+
+
+def write_hash_sei(digests: list[bytes], method: int = 0) -> bytes:
+    bw = BitWriter()
+    bw.u(132, 8)                  # decoded_picture_hash
+    payload = bytes([method]) + b"".join(digests)
+    bw.u(len(payload), 8)
+    for b in payload:
+        bw.u(b, 8)
+    bw.byte_align_with_stop_bit()
+    return make_nal(NAL_SEI_SUFFIX, bw.get_bytes())

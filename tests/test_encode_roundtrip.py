@@ -1,0 +1,58 @@
+"""Encoder end-to-end: encode synthetic frames, decode with our own
+bit-exact decoder, verify hash SEI and recon identity; if the reference
+decoder binary is present, verify against it too."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from hm16_2_tpu.decode.top import Decoder
+from hm16_2_tpu.encode.top import Encoder, EncoderConfig
+
+HM_DEC = "/tmp/hmref/bin/TAppDecoderStatic"
+
+
+def _synthetic_planes(w, h, t, rng):
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    y = ((xx * 2 + yy + t * 7) % 256 * 0.6 +
+         0.4 * rng.integers(0, 256, (h, w))).astype(np.int32)
+    u = ((xx // 2 + t) % 256)[::2, ::2].astype(np.int32)
+    v = ((yy // 2 + 2 * t) % 256)[::2, ::2].astype(np.int32)
+    return [np.clip(y, 0, 255), u, v]
+
+
+@pytest.mark.parametrize("size,qp", [((64, 64), 32), ((128, 80), 27)])
+def test_encode_selfdecode(size, qp):
+    w, h = size
+    rng = np.random.default_rng(1)
+    enc = Encoder(EncoderConfig(w, h, qp=qp))
+    stream = b""
+    recons = []
+    for t in range(2):
+        planes = _synthetic_planes(w, h, t, rng)
+        stream += enc.encode_frame(planes, t)
+        recons.append(enc.last_recon)
+
+    dec = Decoder()
+    pics = dec.decode_stream(stream)
+    assert len(pics) == 2
+    for i, p in enumerate(pics):
+        assert p.hash_ok is True
+        for c in range(3):
+            np.testing.assert_array_equal(p.planes[c], recons[i][c])
+
+
+@pytest.mark.skipif(not os.path.exists(HM_DEC), reason="reference decoder absent")
+def test_encode_reference_decode(tmp_path):
+    w, h = 64, 64
+    rng = np.random.default_rng(2)
+    enc = Encoder(EncoderConfig(w, h, qp=32))
+    stream = b"".join(enc.encode_frame(_synthetic_planes(w, h, t, rng), t)
+                      for t in range(2))
+    bs = tmp_path / "t.bin"
+    bs.write_bytes(stream)
+    out = subprocess.run([HM_DEC, "-b", str(bs), "-o", str(tmp_path / "o.yuv")],
+                         capture_output=True, text=True)
+    assert out.stdout.count("(OK)") == 2, out.stdout + out.stderr

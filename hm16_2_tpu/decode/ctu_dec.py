@@ -352,6 +352,8 @@ class SliceDecoder:
         self._mark_parts(pic.qp, px, py, log2, cu.qp)
         self._mark_parts(pic.slice_id, px, py, log2, self.slice_idx)
         self._mark_parts(pic.skip, px, py, log2, 0)
+        # decode-order availability is z-gated; coded can be marked CU-wide
+        self._mark_parts(pic.coded, px, py, log2, True)
 
     # ---- context helpers ----
 
@@ -457,16 +459,195 @@ class SliceDecoder:
     def _parse_pcm(self, cu):
         raise NotImplementedError("PCM decode")
 
-    # ---- inter (stub for AI milestone; filled in inter stage) ----
+    # ------------------------------------------------------------------
+    # Inter CUs (TDecSbac::parsePartSize inter branch, TDecEntropy::
+    # decodePUWise, TDecCu skip path)
+    # ------------------------------------------------------------------
+
+    PU_GEOMETRY = {
+        0: [(0, 0, 4, 4)],                             # 2Nx2N (quarters of 4)
+        1: [(0, 0, 4, 2), (0, 2, 4, 2)],               # 2NxN
+        2: [(0, 0, 2, 4), (2, 0, 2, 4)],               # Nx2N
+        3: [(0, 0, 2, 2), (2, 0, 2, 2), (0, 2, 2, 2), (2, 2, 2, 2)],  # NxN
+        4: [(0, 0, 4, 1), (0, 1, 4, 3)],               # 2NxnU
+        5: [(0, 0, 4, 3), (0, 3, 4, 1)],               # 2NxnD
+        6: [(0, 0, 1, 4), (1, 0, 3, 4)],               # nLx2N
+        7: [(0, 0, 3, 4), (3, 0, 1, 4)],               # nRx2N
+    }
+
+    def pu_rects(self, px, py, log2, part_size):
+        """PU rectangles in luma pixels for a CU."""
+        s = 1 << log2
+        q = s // 4
+        return [(px * 4 + ox * q, py * 4 + oy * q, w * q, h * q)
+                for (ox, oy, w, h) in self.PU_GEOMETRY[part_size]]
 
     def _parse_inter_part_size(self, log2):
-        raise NotImplementedError("inter part size")
-
-    def _parse_inter_pus(self, cu):
-        raise NotImplementedError("inter PU parse")
+        d, c, sps = self.dec, self.ctx, self.sps
+        depth = sps.log2_ctb - log2
+        max_bits = 2
+        at_min = log2 == sps.log2_min_cb
+        if at_min and log2 > 3:
+            max_bits = 3
+        mode = 0
+        for ui in range(max_bits):
+            if d.decode_bin(c.idx("part_size", ui)):
+                break
+            mode += 1
+        amp = sps.amp_enabled and depth < (sps.log2_ctb - sps.log2_min_cb)
+        if amp and mode in (1, 2):
+            if not d.decode_bin(c.idx("part_size", 3)):
+                sub = d.decode_bin_ep()
+                if mode == 1:
+                    mode = 5 if sub else 4      # 2NxnD : 2NxnU
+                else:
+                    mode = 7 if sub else 6      # nRx2N : nLx2N
+        return mode
 
     def _decode_skip_cu(self, cu):
-        raise NotImplementedError("skip CU")
+        pic, d, c = self.pic, self.dec, self.ctx
+        cu.part_size = SIZE_2Nx2N
+        cu.pred_mode = MODE_INTER
+        merge_idx = self._parse_merge_index()
+        self._write_cu_parts(cu)   # neighbors need our slice id for MER checks
+        x, y, s = cu.px * 4, cu.py * 4, 1 << cu.log2
+        cands = self.mvp.merge_candidates(x, y, s, s, 0, SIZE_2Nx2N,
+                                          cu.px, cu.py, merge_idx)
+        inter_dir, m0, m1 = cands[merge_idx]
+        n = 1 << (cu.log2 - 2)
+        pic.skip[cu.py:cu.py + n, cu.px:cu.px + n] = 1
+        pic.merge_flag[cu.py:cu.py + n, cu.px:cu.px + n] = 1
+        self._commit_pu_motion(cu.px, cu.py, n, n, inter_dir, m0, m1)
+        pic.tr_idx[cu.py:cu.py + n, cu.px:cu.px + n] = 0
+        for comp in range(pic.num_comps):
+            pic.cbf[comp][cu.py:cu.py + n, cu.px:cu.px + n] = 0
+
+    def _parse_merge_index(self):
+        d, c = self.dec, self.ctx
+        max_cand = self.sh.max_num_merge_cand
+        idx = 0
+        if max_cand > 1:
+            while idx < max_cand - 1:
+                if idx == 0:
+                    b = d.decode_bin(c.idx("merge_idx"))
+                else:
+                    b = d.decode_bin_ep()
+                if not b:
+                    break
+                idx += 1
+        return idx
+
+    def _commit_pu_motion(self, ppx, ppy, pw_parts, ph_parts, inter_dir, m0, m1):
+        pic = self.pic
+        pic.inter_dir[ppy:ppy + ph_parts, ppx:ppx + pw_parts] = inter_dir
+        for lx, m in ((0, m0), (1, m1)):
+            ref, mv = (m if (inter_dir >> lx) & 1 else (-1, (0, 0)))
+            pic.ref_idx[lx, ppy:ppy + ph_parts, ppx:ppx + pw_parts] = ref
+            pic.mv[lx, ppy:ppy + ph_parts, ppx:ppx + pw_parts, 0] = mv[0]
+            pic.mv[lx, ppy:ppy + ph_parts, ppx:ppx + pw_parts, 1] = mv[1]
+            poc = self.mvp.rc.ref_poc(lx, ref) if ref >= 0 else -(10 ** 9)
+            pic.ref_poc[lx, ppy:ppy + ph_parts, ppx:ppx + pw_parts] = poc
+
+    def _parse_inter_pus(self, cu):
+        pic, d, c = self.pic, self.dec, self.ctx
+        sh = self.sh
+        self._write_cu_parts(cu)
+        rects = self.pu_rects(cu.px, cu.py, cu.log2, cu.part_size)
+        n = 1 << (cu.log2 - 2)
+        pic.merge_flag[cu.py:cu.py + n, cu.px:cu.px + n] = 0
+        shared_list = None
+        plevel_on = self.pps.log2_parallel_merge_level > 2 and \
+            cu.part_size != SIZE_2Nx2N and (1 << cu.log2) <= 8
+        for pu_idx, (x, y, w, h) in enumerate(rects):
+            ppx, ppy = x // 4, y // 4
+            pwp, php = max(w // 4, 1), max(h // 4, 1)
+            merge = d.decode_bin(c.idx("merge_flag"))
+            if merge:
+                merge_idx = self._parse_merge_index()
+                if plevel_on:
+                    if shared_list is None:
+                        shared_list = self.mvp.merge_candidates(
+                            cu.px * 4, cu.py * 4, 1 << cu.log2, 1 << cu.log2,
+                            0, SIZE_2Nx2N, cu.px, cu.py)
+                    cands = shared_list
+                else:
+                    cands = self.mvp.merge_candidates(
+                        x, y, w, h, pu_idx, cu.part_size, cu.px, cu.py,
+                        merge_idx)
+                inter_dir, m0, m1 = cands[merge_idx]
+                pic.merge_flag[ppy:ppy + php, ppx:ppx + pwp] = 1
+            else:
+                inter_dir = self._parse_inter_dir(cu, x, y, w, h)
+                mvs = [(-1, (0, 0)), (-1, (0, 0))]
+                mvds = [(0, 0), (0, 0)]
+                for lx in range(2):
+                    if sh.num_ref_idx[lx] <= 0 or not ((inter_dir >> lx) & 1):
+                        continue
+                    ref_idx = self._parse_ref_idx(lx)
+                    mvds[lx] = self._parse_mvd(lx, inter_dir)
+                    mvp_idx = self.read_unary_max("mvp_idx", 0, 1, 1)
+                    cands = self.mvp.amvp_candidates(x, y, w, h, lx, ref_idx)
+                    mv = (cands[mvp_idx][0] + mvds[lx][0],
+                          cands[mvp_idx][1] + mvds[lx][1])
+                    mvs[lx] = (ref_idx, mv)
+                m0, m1 = mvs
+            # bi-pred restriction for small PUs (8x8 CU, non-2Nx2N)
+            if inter_dir == 3 and (1 << cu.log2) == 8 and (w < 8 or h < 8):
+                inter_dir = 1
+                m1 = (-1, (0, 0))
+            self._commit_pu_motion(ppx, ppy, pwp, php, inter_dir, m0, m1)
+
+    def _parse_inter_dir(self, cu, x, y, w, h):
+        d, c = self.dec, self.ctx
+        if self.sh.slice_type != B_SLICE:
+            return 1
+        ctx_inc = int(self.pic.depth[cu.py, cu.px])
+        sym = 0
+        # first bin skipped only for non-2Nx2N PUs of 8x8 CUs (parseInterDir
+        # checks the CU height, not the PU height)
+        if cu.part_size == SIZE_2Nx2N or (1 << cu.log2) != 8:
+            sym = d.decode_bin(c.idx("inter_dir", ctx_inc))
+        if sym:
+            return 3
+        return 2 if d.decode_bin(c.idx("inter_dir", 4)) else 1
+
+    def _parse_ref_idx(self, lx):
+        d, c = self.dec, self.ctx
+        num_ref = self.sh.num_ref_idx[lx]
+        if num_ref <= 1:
+            return 0
+        if not d.decode_bin(c.idx("ref_pic")):
+            return 0
+        ref = 0
+        for ui in range(num_ref - 2):
+            b = d.decode_bin(c.idx("ref_pic", 1)) if ui == 0 else d.decode_bin_ep()
+            if not b:
+                break
+            ref += 1
+        return ref + 1
+
+    def _parse_mvd(self, lx, inter_dir):
+        d, c = self.dec, self.ctx
+        if self.sh.mvd_l1_zero and lx == 1 and inter_dir == 3:
+            return (0, 0)
+        hor_gr0 = d.decode_bin(c.idx("mvd"))
+        ver_gr0 = d.decode_bin(c.idx("mvd"))
+        hor, ver = hor_gr0, ver_gr0
+        if hor_gr0:
+            hor += d.decode_bin(c.idx("mvd", 1))
+        if ver_gr0:
+            ver += d.decode_bin(c.idx("mvd", 1))
+        if hor_gr0:
+            if hor == 2:
+                hor += self.read_ep_exgolomb(1)
+            if d.decode_bin_ep():
+                hor = -hor
+        if ver_gr0:
+            if ver == 2:
+                ver += self.read_ep_exgolomb(1)
+            if d.decode_bin_ep():
+                ver = -ver
+        return (hor, ver)
 
     # ------------------------------------------------------------------
     # TU tree (TDecEntropy::xDecodeTransform)
@@ -474,9 +655,18 @@ class SliceDecoder:
 
     def _parse_coeffs(self, cu):
         d, c = self.dec, self.ctx
+        pic = self.pic
         if cu.pred_mode != MODE_INTRA:
-            # root cbf for non-merge-skip inter
-            raise NotImplementedError
+            n = 1 << (cu.log2 - 2)
+            merged = bool(pic.merge_flag[cu.py, cu.px])
+            root_cbf = 1
+            if not (cu.part_size == SIZE_2Nx2N and merged):
+                root_cbf = d.decode_bin(c.idx("qt_root_cbf"))
+            if not root_cbf:
+                pic.tr_idx[cu.py:cu.py + n, cu.px:cu.px + n] = 0
+                for comp in range(pic.num_comps):
+                    pic.cbf[comp][cu.py:cu.py + n, cu.px:cu.px + n] = 0
+                return
         self._min_tu_log2_cu = self._quadtree_tu_min_log2(cu)
         n = 1 << (cu.log2 - 2)
         self._cbf_scratch = {comp: np.zeros((6, n, n), dtype=np.uint8)
@@ -926,7 +1116,106 @@ class SliceDecoder:
         if pic.pred_mode[py, px] == MODE_INTRA:
             self._recon_intra_cu(px, py, log2)
         else:
-            raise NotImplementedError("inter recon")
+            self._recon_inter_cu(px, py, log2)
+
+    def _recon_inter_cu(self, px, py, log2):
+        """xReconInter: full-CU motion compensation, then inverse-RQT
+        residual accumulation with one final clip."""
+        from hm16_2_tpu.ops import interp_ref
+        pic, sps = self.pic, self.sps
+        size = 1 << log2
+        part_size = int(pic.part_size[py, px])
+        rects = self.pu_rects(px, py, log2, part_size)
+        preds = []
+        for comp in range(pic.num_comps):
+            sx, sy = pic.comp_shift[comp]
+            preds.append(np.zeros((size >> sy, size >> sx), dtype=np.int64))
+        for (x, y, w, h) in rects:
+            ppx, ppy = x // 4, y // 4
+            inter_dir = int(pic.inter_dir[ppy, ppx])
+            bi = inter_dir == 3
+            # identical-motion check (xCheckIdenticalMotion)
+            if bi and self.sh.slice_type == B_SLICE and not self.pps.weighted_bipred:
+                r0 = int(pic.ref_idx[0, ppy, ppx])
+                r1 = int(pic.ref_idx[1, ppy, ppx])
+                if r0 >= 0 and r1 >= 0 and \
+                        self.mvp.rc.ref_poc(0, r0) == self.mvp.rc.ref_poc(1, r1) and \
+                        (pic.mv[0, ppy, ppx] == pic.mv[1, ppy, ppx]).all():
+                    bi = False
+                    inter_dir = 1
+            partial = []
+            for lx in range(2):
+                if not ((inter_dir >> lx) & 1):
+                    partial.append(None)
+                    continue
+                ref_idx = int(pic.ref_idx[lx, ppy, ppx])
+                ref_pic = self.mvp.rc.ref_lists[lx][ref_idx]
+                mvx = int(pic.mv[lx, ppy, ppx, 0])
+                mvy = int(pic.mv[lx, ppy, ppx, 1])
+                comps = []
+                for comp in range(pic.num_comps):
+                    sx, sy = pic.comp_shift[comp]
+                    blk = interp_ref.mc_block(
+                        ref_pic.rec[comp], x >> sx, y >> sy, w >> sx, h >> sy,
+                        mvx, mvy, 2 + sx, 2 + sy, comp == 0,
+                        self.bit_depth[comp], keep_precision=bi)
+                    comps.append(blk)
+                partial.append(comps)
+            for comp in range(pic.num_comps):
+                sx, sy = pic.comp_shift[comp]
+                ox, oy = (x - px * 4) >> sx, (y - py * 4) >> sy
+                if bi:
+                    blk = interp_ref.bi_average(partial[0][comp], partial[1][comp],
+                                                self.bit_depth[comp])
+                else:
+                    blk = partial[0][comp] if partial[0] is not None else partial[1][comp]
+                preds[comp][oy:oy + (h >> sy), ox:ox + (w >> sx)] = blk
+
+        # residual accumulation over the TU tree
+        for comp in range(pic.num_comps):
+            sx, sy = pic.comp_shift[comp]
+            x0, y0 = (px * 4) >> sx, (py * 4) >> sy
+            resi = np.zeros_like(preds[comp])
+            self._accum_inter_resi(px, py, px, py, log2, 0, comp, resi,
+                                   x0, y0)
+            bd = self.bit_depth[comp]
+            pic.rec[comp][y0:y0 + preds[comp].shape[0],
+                          x0:x0 + preds[comp].shape[1]] = np.clip(
+                preds[comp] + resi, 0, (1 << bd) - 1)
+
+    def _accum_inter_resi(self, cu_px, cu_py, px, py, log2, tr_depth, comp,
+                          resi, base_x, base_y):
+        pic = self.pic
+        if int(pic.tr_idx[py, px]) > tr_depth:
+            if comp > 0 and log2 == 3 and pic.comp_shift[comp][0] == 1:
+                self._add_tu_resi(px, py, log2, tr_depth + 1, comp, resi,
+                                  base_x, base_y, chroma_from_parent=True)
+                return
+            half = 1 << (log2 - 3)
+            for sub in range(4):
+                self._accum_inter_resi(cu_px, cu_py, px + (sub & 1) * half,
+                                       py + (sub >> 1) * half, log2 - 1,
+                                       tr_depth + 1, comp, resi, base_x, base_y)
+            return
+        self._add_tu_resi(px, py, log2, tr_depth, comp, resi, base_x, base_y)
+
+    def _add_tu_resi(self, px, py, log2, tr_depth, comp, resi, base_x, base_y,
+                     chroma_from_parent=False):
+        pic = self.pic
+        sx, sy = pic.comp_shift[comp]
+        if comp == 0:
+            size = 1 << log2
+            x0, y0 = px * 4, py * 4
+        else:
+            size = (1 << log2) >> sx
+            x0, y0 = (px * 4) >> sx, (py * 4) >> sy
+        cbf_depth = tr_depth - (1 if chroma_from_parent else 0)
+        if not ((int(pic.cbf[comp][py, px]) >> cbf_depth) & 1):
+            return
+        levels = pic.coeff[comp][y0:y0 + size, x0:x0 + size]
+        blk = self._inv_transform_block(levels, px, py, comp,
+                                        self.bit_depth[comp])
+        resi[y0 - base_y:y0 - base_y + size, x0 - base_x:x0 - base_x + size] += blk
 
     def _recon_intra_cu(self, cu_px, cu_py, cu_log2):
         # luma TU walk, then chroma TU walk (channel recon is independent)
@@ -989,13 +1278,16 @@ class SliceDecoder:
         unit_h = 4 >> (sy if comp else 0)
         constrained = bool(self.pps.constrained_intra_pred)
 
+        blk_parts = max((1 << log2) >> 2, 1)   # TU span in luma parts
+
         def avail(ax, ay):
             # ax, ay in this component's plane coords (may be -1)
             if ax < 0 or ay < 0:
                 return False
             lx, ly = ax << (sx if comp else 0), ay << (sy if comp else 0)
             npx, npy = lx // 4, ly // 4
-            return pic.part_available(npx, npy, px, py, constrained)
+            return pic.part_available(npx, npy, px, py, constrained,
+                                      blk_parts, blk_parts)
 
         top, left = intra_ref.fill_reference_samples(
             rec, x0, y0, size, unit_w, unit_h, avail, bd)

@@ -90,6 +90,8 @@ class PictureState:
         self.mv = np.zeros((2,) + shp + (2,), dtype=np.int32)      # [list][py][px][xy]
         self.ref_idx = np.full((2,) + shp, -1, dtype=np.int8)
         self.mvp_idx = np.zeros((2,) + shp, dtype=np.int8)
+        # POC of the picture referenced by each part (INT_MIN when none)
+        self.ref_poc = np.full((2,) + shp, -(10 ** 9), dtype=np.int32)
 
         self.tiles = Tiles(sps, pps)
         csx, csy = sps.chroma_shift_x, sps.chroma_shift_y
@@ -142,9 +144,16 @@ class PictureState:
         return int(self.tiles.tile_of_ctu[py // parts, px // parts])
 
     def part_available(self, px: int, py: int, cur_px: int, cur_py: int,
-                       constrained_intra: bool = False) -> bool:
-        """Spec 6.4.1 z-order availability of part (px,py) relative to the
-        block whose top-left part is (cur_px, cur_py)."""
+                       constrained_intra: bool = False,
+                       blk_w: int = 1, blk_h: int = 1) -> bool:
+        """Availability of part (px,py) for a block whose top-left part is
+        (cur_px, cur_py) spanning blk_w x blk_h parts.
+
+        Decode-order is compared against the block's corner part nearest the
+        neighbor (HM anchors neighbor fetches at the PU/TU corner part:
+        getPULeft(LB), getPUAboveRight(RT), ... TComDataCU.cpp:1040-1350);
+        left/above-of-corner are then always earlier in z-order, while
+        below-left/above-right get the exact z-precedence rule."""
         if px < 0 or py < 0 or px >= self.pw or py >= self.ph:
             return False
         # padded region beyond true picture bounds is never available
@@ -156,7 +165,9 @@ class PictureState:
             return False
         if self.tile_of_part(px, py) != self.tile_of_part(cur_px, cur_py):
             return False
-        if self.part_z_global(px, py) >= self.part_z_global(cur_px, cur_py):
+        ax = min(max(px, cur_px), cur_px + blk_w - 1)
+        ay = min(max(py, cur_py), cur_py + blk_h - 1)
+        if self.part_z_global(px, py) >= self.part_z_global(ax, ay):
             return False
         if constrained_intra and self.pred_mode[py, px] != MODE_INTRA:
             return False

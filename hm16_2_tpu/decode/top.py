@@ -16,8 +16,10 @@ from hm16_2_tpu.bitstream.bitio import (
     BitReader, split_annexb, strip_emulation_prevention)
 from hm16_2_tpu.bitstream.cabac import ByteFifo, CabacDecoder
 from hm16_2_tpu.decode.ctu_dec import SliceDecoder
+from hm16_2_tpu.decode.mvpred import MvPredictor, RefCtx
 from hm16_2_tpu.decode.picture import PictureState
 from hm16_2_tpu.decode.loopfilter import apply_loop_filters
+from hm16_2_tpu.decode.refpics import DPB, RefPicture, build_ref_lists
 from hm16_2_tpu.headers import params as P
 from hm16_2_tpu.headers.parse import (
     parse_pps, parse_slice_header, parse_sps, parse_vps)
@@ -94,6 +96,7 @@ class Decoder:
         self.pending_hash: SEIHash | None = None
         self.outputs: list[DecodedPicture] = []
         self.hash_failures = 0
+        self.dpb = DPB()
 
     # ------------------------------------------------------------------
 
@@ -131,6 +134,8 @@ class Decoder:
                                 self.pps_map, self.prev_tid0_poc)
         if sh.first_slice_in_pic:
             self._finish_picture()
+            if P.is_idr(nal_type):
+                self.dpb.clear()
             self.cur_pic = PictureState(sh.sps, sh.pps)
             self.cur_pic.poc = sh.poc
             self.cur_pic.temporal_id = temporal_id
@@ -143,6 +148,9 @@ class Decoder:
 
         slice_idx = len(pic.slices) - 1
         sd = SliceDecoder(pic, sh, slice_idx)
+        ref_lists = build_ref_lists(sh, self.dpb)
+        rc = RefCtx(sh, ref_lists)
+        sd.mvp = MvPredictor(pic, rc, slice_idx)
         data_start = br.pos // 8
 
         if sh.pps.tiles_enabled or sh.pps.entropy_coding_sync:
@@ -189,6 +197,19 @@ class Decoder:
             [pic.sps.bit_depth_chroma] * (pic.num_comps - 1)
         planes = [pic.crop_output(c) for c in range(pic.num_comps)]
         self.outputs.append(DecodedPicture(pic.poc, planes))
+        # retain for reference: coded-size planes (MC border-replicates from
+        # the true picture edge, not the CTU padding)
+        sps = pic.sps
+        ref_planes = []
+        for c in range(pic.num_comps):
+            sx, sy = pic.comp_shift[c]
+            ref_planes.append(pic.rec[c][: sps.pic_height >> sy,
+                                         : sps.pic_width >> sx].copy())
+        self.dpb.add(RefPicture(
+            poc=pic.poc, rec=ref_planes, mv=pic.mv.copy(),
+            ref_idx=pic.ref_idx.copy(), ref_poc=pic.ref_poc.copy(),
+            pred_mode=pic.pred_mode.copy(),
+            is_b_slice=any(s.slice_type == P.B_SLICE for s in pic.slices)))
         self.cur_pic = None
         self._check_hash()
 

@@ -216,11 +216,14 @@ class CtuSearch:
         unit_h = 4 >> (sy if comp else 0)
         constrained = bool(self.pps.constrained_intra_pred)
 
+        blk_parts = max((1 << log2) >> 2, 1)
+
         def avail(ax, ay):
             if ax < 0 or ay < 0:
                 return False
             lx, ly = ax << (sx if comp else 0), ay << (sy if comp else 0)
-            return pic.part_available(lx // 4, ly // 4, px, py, constrained)
+            return pic.part_available(lx // 4, ly // 4, px, py, constrained,
+                                      blk_parts, blk_parts)
 
         return intra_ref.fill_reference_samples(
             pic.rec[comp], x0, y0, size, unit_w, unit_h, avail,

@@ -124,11 +124,16 @@ def parse_scaling_list(br: BitReader) -> ScalingList:
 # ---------------------------------------------------------------------------
 
 def parse_short_term_rps(br: BitReader, sps: SPS, idx: int,
-                         rps_list: list[ShortTermRPS]) -> ShortTermRPS:
+                         rps_list: list[ShortTermRPS],
+                         total_sets: int | None = None) -> ShortTermRPS:
+    """total_sets: num_short_term_ref_pic_sets from the SPS (delta_idx is
+    only coded for the slice-header-signalled set, idx == total_sets)."""
+    if total_sets is None:
+        total_sets = len(rps_list)
     rps = ShortTermRPS()
     inter_pred = br.flag() if idx > 0 else 0
     if inter_pred:
-        delta_idx_minus1 = br.ue() if idx == len(sps.rps_list) else 0
+        delta_idx_minus1 = br.ue() if idx == total_sets else 0
         r_idx = idx - 1 - delta_idx_minus1
         ref = rps_list[r_idx]
         sign = br.flag()
@@ -329,7 +334,7 @@ def parse_sps(br: BitReader) -> SPS:
     num_rps = br.ue()
     s.rps_list = []
     for i in range(num_rps):
-        s.rps_list.append(parse_short_term_rps(br, s, i, s.rps_list))
+        s.rps_list.append(parse_short_term_rps(br, s, i, s.rps_list, num_rps))
     s.long_term_ref_pics_present = br.flag()
     if s.long_term_ref_pics_present:
         s.num_long_term_ref_pics = br.ue()

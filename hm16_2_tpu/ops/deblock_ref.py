@@ -92,14 +92,27 @@ def build_edge_masks(pic: PictureState, direction: int):
                 edge[py, px] = internal
                 marker[py, px] = internal
             else:
-                # PU internal edges (intra NxN; inter part modes via pu_edge)
-                if pic.part_size[py, px] == 3:   # NxN
-                    half = cu_n >> 1
-                    on_pu = (px % cu_n == half) if direction == EDGE_VER \
-                        else (py % cu_n == half)
-                    if on_pu:
-                        edge[py, px] = internal
-                # AMP/rect inter PU edges are added by the inter stage
+                # internal PU edges per partition mode (xSetEdgefilterPU)
+                ps = int(pic.part_size[py, px])
+                q = cu_n >> 2
+                rel = (px % cu_n) if direction == EDGE_VER else (py % cu_n)
+                offs = ()
+                if direction == EDGE_VER:
+                    if ps in (2, 3):          # Nx2N, NxN
+                        offs = (2 * q,)
+                    elif ps == 6:             # nLx2N
+                        offs = (q,)
+                    elif ps == 7:             # nRx2N
+                        offs = (3 * q,)
+                else:
+                    if ps in (1, 3):          # 2NxN, NxN
+                        offs = (2 * q,)
+                    elif ps == 4:             # 2NxnU
+                        offs = (q,)
+                    elif ps == 5:             # 2NxnD
+                        offs = (3 * q,)
+                if rel in offs:
+                    edge[py, px] = internal
     return edge, marker
 
 
@@ -131,13 +144,9 @@ def compute_bs(pic: PictureState, direction: int, edge, marker):
 def _bs_mv(pic: PictureState, px, py, nx, ny):
     """MV-difference boundary strength (inter-inter edges)."""
     def refs(pt_x, pt_y):
-        out = []
-        for lx in range(2):
-            ri = int(pic.ref_idx[lx, pt_y, pt_x])
-            out.append(pic.ref_poc_lookup(lx, ri) if ri >= 0 else None)
-        return out
-    if not hasattr(pic, "ref_poc_lookup"):
-        return 0   # AI picture: no inter parts exist
+        return [int(pic.ref_poc[lx, pt_y, pt_x])
+                if pic.ref_idx[lx, pt_y, pt_x] >= 0 else None
+                for lx in range(2)]
     refp = refs(nx, ny)
     refq = refs(px, py)
     mvp = [pic.mv[lx, ny, nx] if refp[lx] is not None else np.zeros(2, np.int32)

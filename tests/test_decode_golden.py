@@ -15,7 +15,21 @@ STREAMS = [
     ("/tmp/hevc_data/tiny64_ai.bin", "/tmp/hevc_data/tiny64_ai_rec.yuv", 64, 64),
     ("/tmp/hevc_data/bq_ai_q22.bin", "/tmp/hevc_data/bq_ai_q22_rec.yuv", 416, 240),
     ("/tmp/hevc_data/bq_ai_q37.bin", "/tmp/hevc_data/bq_ai_q37_rec.yuv", 416, 240),
+    ("/tmp/hevc_data/tiny64_ldp.bin", "/tmp/hevc_data/tiny64_ldp_rec.yuv", 64, 64),
+    ("/tmp/hevc_data/tiny64_ra.bin", "/tmp/hevc_data/tiny64_ra_rec.yuv", 64, 64),
+    ("/tmp/hevc_data/bq_ldp.bin", "/tmp/hevc_data/bq_ldp_rec.yuv", 416, 240),
+    ("/tmp/hevc_data/bq_ra.bin", "/tmp/hevc_data/bq_ra_rec.yuv", 416, 240),
 ]
+
+
+def test_main10_decode():
+    bs = "/tmp/hevc_data/tiny64_ra10.bin"
+    if not os.path.exists(bs):
+        pytest.skip("golden stream absent")
+    dec = Decoder()
+    pics = dec.decode_stream(open(bs, "rb").read())
+    assert len(pics) == 8
+    assert all(p.hash_ok is True for p in pics)
 
 
 @pytest.mark.parametrize("bs,rec,w,h", STREAMS)

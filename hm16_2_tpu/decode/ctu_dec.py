@@ -771,10 +771,11 @@ class SliceDecoder:
                 self._parse_residual(cu, px, py, log2, 0)
             if chroma_ok:
                 if chroma_here:
-                    if cbf_cb:
-                        self._parse_residual(cu, px, py, log2, 1)
-                    if cbf_cr:
-                        self._parse_residual(cu, px, py, log2, 2)
+                    for comp, cbf_c in ((1, cbf_cb), (2, cbf_cr)):
+                        if cbf_y:
+                            self._parse_ccp(cu, px, py, log2, comp)
+                        if cbf_c:
+                            self._parse_residual(cu, px, py, log2, comp)
                 elif log2 == 2 and is_chroma_holder:
                     bx, by = px - 1, py - 1
                     if cbf_cb:
@@ -794,6 +795,37 @@ class SliceDecoder:
         # store at this depth and propagate down for child lookups
         for dep in range(tr_depth, 6):
             self._cbf_scratch[comp][dep, ry:ry + n, rx:rx + n] = v
+
+    def _parse_ccp(self, cu, px, py, log2, comp):
+        """Cross-component prediction alpha (TDecSbac.cpp:847-896)."""
+        pic, d, c = self.pic, self.dec, self.ctx
+        if not self.pps.cross_component_prediction_enabled:
+            return
+        is_intra = cu.pred_mode == MODE_INTRA
+        if is_intra and int(pic.intra_chroma[py, px]) != DM_CHROMA_IDX:
+            return
+        base = 5 if comp == 2 else 0
+        alpha = 0
+        if d.decode_bin(c.idx("cross_comp", base)):
+            symbol = 0
+            if d.decode_bin(c.idx("cross_comp", base + 1)):
+                symbol = self.read_unary_max("cross_comp", base + 2, 1, 2) + 1
+            sign = d.decode_bin(c.idx("cross_comp", base + 4))
+            alpha = -(1 << symbol) if sign else (1 << symbol)
+        n = 1 << (log2 - 2)
+        pic.ccp_alpha[comp][py:py + n, px:px + n] = alpha
+
+    def _parse_explicit_rdpcm(self, cu, px, py, log2, comp):
+        """parseExplicitRdpcmMode (TDecSbac.cpp:1847-1880)."""
+        pic, d, c = self.pic, self.dec, self.ctx
+        chan = 0 if comp == 0 else 1
+        n = 1 << (log2 - 2)
+        if d.decode_bin(c.idx("rdpcm_flag", chan)):
+            mode = 1 if d.decode_bin(c.idx("rdpcm_dir", chan)) else 0
+            # 0 = horizontal, 1 = vertical (RDPCM_HOR/VER)
+            pic.rdpcm_mode[comp][py:py + n, px:px + n] = mode
+        else:
+            pic.rdpcm_mode[comp][py:py + n, px:px + n] = -1
 
     def _parse_dqp(self, cu):
         d, c = self.dec, self.ctx
@@ -868,6 +900,8 @@ class SliceDecoder:
         be_valid = bool(pps.sign_data_hiding)
         if cu.tqb:
             be_valid = False
+            if cu.pred_mode != MODE_INTRA and sps.explicit_rdpcm:
+                self._parse_explicit_rdpcm(cu, px, py, log2, comp)
 
         # transform skip flag
         if pps.transform_skip_enabled and not cu.tqb and \
@@ -875,6 +909,10 @@ class SliceDecoder:
             ts = d.decode_bin(c.idx("transform_skip", chan))
             n = 1 << (log2 - 2)
             pic.tskip[comp][py:py + n, px:px + n] = ts
+            if ts and cu.pred_mode != MODE_INTRA and sps.explicit_rdpcm:
+                self._parse_explicit_rdpcm(cu, px, py, log2, comp)
+                if pic.rdpcm_mode[comp][py, px] != -1:
+                    be_valid = False
         else:
             ts = 0
 
@@ -1130,6 +1168,8 @@ class SliceDecoder:
         for comp in range(pic.num_comps):
             sx, sy = pic.comp_shift[comp]
             preds.append(np.zeros((size >> sy, size >> sx), dtype=np.int64))
+        wp_active = (self.sh.slice_type == P_SLICE and self.pps.weighted_pred) or \
+            (self.sh.slice_type == B_SLICE and self.pps.weighted_bipred)
         for (x, y, w, h) in rects:
             ppx, ppy = x // 4, y // 4
             inter_dir = int(pic.inter_dir[ppy, ppx])
@@ -1143,12 +1183,15 @@ class SliceDecoder:
                         (pic.mv[0, ppy, ppx] == pic.mv[1, ppy, ppx]).all():
                     bi = False
                     inter_dir = 1
+            keep = bi or wp_active
             partial = []
+            ref_idxs = [-1, -1]
             for lx in range(2):
                 if not ((inter_dir >> lx) & 1):
                     partial.append(None)
                     continue
                 ref_idx = int(pic.ref_idx[lx, ppy, ppx])
+                ref_idxs[lx] = ref_idx
                 ref_pic = self.mvp.rc.ref_lists[lx][ref_idx]
                 mvx = int(pic.mv[lx, ppy, ppx, 0])
                 mvy = int(pic.mv[lx, ppy, ppx, 1])
@@ -1158,13 +1201,15 @@ class SliceDecoder:
                     blk = interp_ref.mc_block(
                         ref_pic.rec[comp], x >> sx, y >> sy, w >> sx, h >> sy,
                         mvx, mvy, 2 + sx, 2 + sy, comp == 0,
-                        self.bit_depth[comp], keep_precision=bi)
+                        self.bit_depth[comp], keep_precision=keep)
                     comps.append(blk)
                 partial.append(comps)
             for comp in range(pic.num_comps):
                 sx, sy = pic.comp_shift[comp]
                 ox, oy = (x - px * 4) >> sx, (y - py * 4) >> sy
-                if bi:
+                if wp_active:
+                    blk = self._weighted_pred(partial, ref_idxs, comp, bi)
+                elif bi:
                     blk = interp_ref.bi_average(partial[0][comp], partial[1][comp],
                                                 self.bit_depth[comp])
                 else:
@@ -1172,16 +1217,50 @@ class SliceDecoder:
                 preds[comp][oy:oy + (h >> sy), ox:ox + (w >> sx)] = blk
 
         # residual accumulation over the TU tree
+        if self.pps.cross_component_prediction_enabled:
+            self._ccp_luma_resi = np.zeros((size, size), dtype=np.int64)
+            self._ccp_origin = (px * 4, py * 4)
         for comp in range(pic.num_comps):
             sx, sy = pic.comp_shift[comp]
             x0, y0 = (px * 4) >> sx, (py * 4) >> sy
             resi = np.zeros_like(preds[comp])
             self._accum_inter_resi(px, py, px, py, log2, 0, comp, resi,
                                    x0, y0)
+            if self.pps.cross_component_prediction_enabled and comp == 0:
+                self._ccp_luma_resi[:, :] = resi
             bd = self.bit_depth[comp]
             pic.rec[comp][y0:y0 + preds[comp].shape[0],
                           x0:x0 + preds[comp].shape[1]] = np.clip(
                 preds[comp] + resi, 0, (1 << bd) - 1)
+
+    def _weighted_pred(self, partial, ref_idxs, comp, bi):
+        """Explicit weighted prediction (TComWeightPrediction.cpp:44-195)."""
+        from hm16_2_tpu.ops.interp_ref import IF_INTERNAL_OFFS, IF_INTERNAL_PREC
+        bd = self.bit_depth[comp]
+        hp = bool(self.sps.high_precision_offsets)
+        off_scale = 1 if hp else (1 << (bd - 8))
+        shift_num = max(2, IF_INTERNAL_PREC - bd)
+        max_val = (1 << bd) - 1
+        sh = self.sh
+        if bi:
+            w0p = sh.pred_weights[(0, ref_idxs[0], comp)]
+            w1p = sh.pred_weights[(1, ref_idxs[1], comp)]
+            denom = w0p.log2_denom
+            shift = denom + 1 + shift_num
+            offset = (w0p.offset + w1p.offset) * off_scale
+            round_ = 1 << (shift - 1) if shift > 0 else 0
+            p0 = partial[0][comp] + IF_INTERNAL_OFFS
+            p1 = partial[1][comp] + IF_INTERNAL_OFFS
+            val = (w0p.weight * p0 + w1p.weight * p1 + round_
+                   + (offset << (shift - 1))) >> shift
+            return np.clip(val, 0, max_val)
+        lx = 0 if partial[0] is not None else 1
+        wp = sh.pred_weights[(lx, ref_idxs[lx], comp)]
+        shift = wp.log2_denom + shift_num
+        round_ = 1 << (shift - 1) if shift > 0 else 0
+        p0 = partial[lx][comp] + IF_INTERNAL_OFFS
+        val = ((wp.weight * p0 + round_) >> shift) + wp.offset * off_scale
+        return np.clip(val, 0, max_val)
 
     def _accum_inter_resi(self, cu_px, cu_py, px, py, log2, tr_depth, comp,
                           resi, base_x, base_y):
@@ -1210,15 +1289,31 @@ class SliceDecoder:
             size = (1 << log2) >> sx
             x0, y0 = (px * 4) >> sx, (py * 4) >> sy
         cbf_depth = tr_depth - (1 if chroma_from_parent else 0)
-        if not ((int(pic.cbf[comp][py, px]) >> cbf_depth) & 1):
-            return
-        levels = pic.coeff[comp][y0:y0 + size, x0:x0 + size]
-        blk = self._inv_transform_block(levels, px, py, comp,
-                                        self.bit_depth[comp])
-        resi[y0 - base_y:y0 - base_y + size, x0 - base_x:x0 - base_x + size] += blk
+        cbf = (int(pic.cbf[comp][py, px]) >> cbf_depth) & 1
+        blk = None
+        if cbf:
+            levels = pic.coeff[comp][y0:y0 + size, x0:x0 + size]
+            blk = self._inv_transform_block(levels, px, py, comp,
+                                            self.bit_depth[comp])
+        if comp > 0 and self.pps.cross_component_prediction_enabled:
+            alpha = int(pic.ccp_alpha[comp][py, px])
+            if alpha:
+                ox, oy = self._ccp_origin
+                lresi = self._ccp_luma_resi[y0 - oy:y0 - oy + size,
+                                            x0 - ox:x0 - ox + size]
+                term = (alpha * lresi) >> 3
+                blk = term if blk is None else blk + term
+        if blk is not None:
+            resi[y0 - base_y:y0 - base_y + size,
+                 x0 - base_x:x0 - base_x + size] += blk
 
     def _recon_intra_cu(self, cu_px, cu_py, cu_log2):
-        # luma TU walk, then chroma TU walk (channel recon is independent)
+        # luma TU walk, then chroma TU walk (channel recon is independent;
+        # 4:4:4 CCP reads the luma residual captured during the luma pass)
+        if self.pps.cross_component_prediction_enabled:
+            s = 1 << cu_log2
+            self._ccp_luma_resi = np.zeros((s, s), dtype=np.int64)
+            self._ccp_origin = (cu_px * 4, cu_py * 4)
         self._recon_tu_tree(cu_px, cu_py, cu_px, cu_py, cu_log2, 0, comp=0)
         if self.pic.num_comps > 1:
             self._recon_tu_tree(cu_px, cu_py, cu_px, cu_py, cu_log2, 0, comp=1)
@@ -1308,6 +1403,17 @@ class SliceDecoder:
             resi = self._inv_transform_block(levels, px, py, comp, bd)
         else:
             resi = np.zeros((size, size), dtype=np.int64)
+        if self.pps.cross_component_prediction_enabled:
+            ox, oy = self._ccp_origin
+            if comp == 0:
+                self._ccp_luma_resi[y0 - oy:y0 - oy + size,
+                                    x0 - ox:x0 - ox + size] = resi
+            else:
+                alpha = int(pic.ccp_alpha[comp][py, px])
+                if alpha:
+                    lresi = self._ccp_luma_resi[y0 - oy:y0 - oy + size,
+                                                x0 - ox:x0 - ox + size]
+                    resi = resi + ((alpha * lresi) >> 3)
         rec[y0:y0 + size, x0:x0 + size] = np.clip(
             pred + resi, 0, (1 << bd) - 1)
 
@@ -1320,14 +1426,43 @@ class SliceDecoder:
             mode = int(CHROMA422_ANGLE_MAP[mode])
         return mode
 
+    def _rdpcm_mode_of(self, px, py, comp):
+        """Effective RDPCM mode (0=hor, 1=ver, -1=off) for a TS/bypass TU."""
+        pic, sps = self.pic, self.sps
+        if pic.pred_mode[py, px] == MODE_INTRA:
+            if not sps.implicit_rdpcm:
+                return -1
+            mode = int(pic.intra_luma[py, px]) if comp == 0 else \
+                self._chroma_final_mode_for_recon(px, py)
+            if mode == HOR_IDX:
+                return 0
+            if mode == VER_IDX:
+                return 1
+            return -1
+        if not sps.explicit_rdpcm:
+            return -1
+        return int(pic.rdpcm_mode[comp][py, px])
+
+    @staticmethod
+    def _apply_rdpcm(resi, mode):
+        if mode == 0:     # horizontal: cumulative sum along x
+            return np.cumsum(resi, axis=1)
+        if mode == 1:
+            return np.cumsum(resi, axis=0)
+        return resi
+
     def _inv_transform_block(self, levels, px, py, comp, bd):
-        """invTransformNxN: dequant + inverse DCT/DST or transform-skip or
-        transquant bypass."""
+        """invTransformNxN: dequant + inverse DCT/DST, transform-skip or
+        transquant bypass, with RExt residual rotation and RDPCM."""
         pic, sps = self.pic, self.sps
         size = levels.shape[0]
         log2_tr = size.bit_length() - 1
+        rotate = bool(sps.transform_skip_rotation) and size == 4
         if pic.tqb[py, px]:
-            return levels.astype(np.int64)
+            r = levels.astype(np.int64)
+            if rotate:
+                r = r[::-1, ::-1].copy()
+            return self._apply_rdpcm(r, self._rdpcm_mode_of(px, py, comp))
         qp = self._tu_qp(px, py, comp)
         max_dr = sps.max_tr_dynamic_range(comp != 0)
         scaling = None
@@ -1336,13 +1471,51 @@ class SliceDecoder:
         deq = transforms_ref.dequant(levels, qp, bd, log2_tr, scaling,
                                      bool(pic.tskip[comp][py, px]), max_dr)
         if pic.tskip[comp][py, px]:
-            return transforms_ref.inverse_transform_skip(deq, bd, max_dr)
+            r = transforms_ref.inverse_transform_skip(
+                deq[::-1, ::-1] if rotate else deq, bd, max_dr)
+            return self._apply_rdpcm(r, self._rdpcm_mode_of(px, py, comp))
         use_dst = (comp == 0 and size == 4 and
                    pic.pred_mode[py, px] == MODE_INTRA)
         return transforms_ref.inverse_transform(deq, bd, use_dst, max_dr)
 
     def _scaling_list_for(self, comp, log2_tr, px, py):
-        raise NotImplementedError("scaling lists")
+        """Per-coefficient scaling matrix for this TU (flat, raster order).
+
+        HM xSetScalingListDec/processScalingListDec: >=16x16 lists are coded
+        as 8x8 + DC and up-sampled by pixel repetition.
+        """
+        size_id = log2_tr - 2
+        is_intra = self.pic.pred_mode[py, px] == MODE_INTRA
+        list_id = (0 if is_intra else 3) + comp
+        key = (size_id, list_id)
+        cache = getattr(self, "_sl_cache", None)
+        if cache is None:
+            cache = self._sl_cache = {}
+        if key in cache:
+            return cache[key]
+        sl = None
+        if self.pps.scaling_list_present:
+            sl = self.pps.scaling_list
+        elif self.sps.scaling_list_present:
+            sl = self.sps.scaling_list
+        from hm16_2_tpu.headers.params import default_scaling_list_coeffs
+        if sl is not None and (size_id, list_id) in sl.lists:
+            coefs = sl.lists[(size_id, list_id)]
+            dc = sl.dc.get((size_id, list_id), 16)
+        else:
+            coefs = default_scaling_list_coeffs(size_id, list_id)
+            dc = 16
+        size = 1 << log2_tr
+        if size_id <= 1:
+            mat = coefs.reshape(size, size).copy()
+        else:
+            ratio = size // 8
+            base = coefs.reshape(8, 8)
+            mat = np.repeat(np.repeat(base, ratio, 0), ratio, 1).copy()
+            mat[0, 0] = dc
+        flat = mat.astype(np.int64).ravel()
+        cache[key] = flat
+        return flat
 
     @staticmethod
     def _sig_cg_ctx(sig_cg, cgx, cgy, wg, hg):

@@ -85,6 +85,9 @@ class PictureState:
         self.cbf = {c: np.zeros(shp, dtype=np.uint8) for c in range(3)}
         self.tr_idx = np.zeros(shp, dtype=np.int8)
         self.tskip = {c: np.zeros(shp, dtype=np.int8) for c in range(3)}
+        # RExt: cross-component prediction alphas, explicit RDPCM modes
+        self.ccp_alpha = {c: np.zeros(shp, dtype=np.int8) for c in (1, 2)}
+        self.rdpcm_mode = {c: np.full(shp, -1, dtype=np.int8) for c in range(3)}
         # inter fields
         self.inter_dir = np.zeros(shp, dtype=np.int8)
         self.mv = np.zeros((2,) + shp + (2,), dtype=np.int32)      # [list][py][px][xy]

@@ -96,8 +96,10 @@ def dequant(qcoeffs: np.ndarray, qp: int, bit_depth: int, log2_tr_size: int,
         dequant_coef_bits = 1 + iquant_shift + 8          # SCALING_LIST_BITS = 8
         target_bd = min(max_tr_dynamic_range + 1, 64 + right_shift - dequant_coef_bits)
         imin, imax = -(1 << (target_bd - 1)), (1 << (target_bd - 1)) - 1
+        # per is accounted for in right_shift (xDeQuant); the dequant matrix
+        # is scalingList * invQuantScale only
         dq = (scaling_list_coeffs.reshape(qcoeffs.shape).astype(np.int64)
-              * int(INV_QUANT_SCALES[rem])) << per
+              * int(INV_QUANT_SCALES[rem]))
         cq = _clip(q, imin, imax)
         if right_shift > 0:
             out = (cq * dq + (1 << (right_shift - 1))) >> right_shift

@@ -923,6 +923,9 @@ class SliceDecoder:
                 be_valid = False
 
         scan_type = self._scan_type(cu, px, py, log2, comp)
+        if self._try_native_residual(cu, px, py, log2, comp, w, x0, y0,
+                                     scan_type, ts, be_valid):
+            return
         scan = get_scan(w, h, scan_type, grouped=True)
         scan_cg = get_scan(max(w // 4, 1), max(h // 4, 1), scan_type, grouped=False)
         wg, hg = w // 4, h // 4
@@ -1078,6 +1081,100 @@ class SliceDecoder:
     def _golomb_rice_stat_index(self, comp, ts_or_tqb):
         # rTu.getGolombRiceStatisticsIndex: 2*isChroma + isTSorBypass
         return 2 * (0 if comp == 0 else 1) + (1 if ts_or_tqb else 0)
+
+    # ------------------------------------------------------------------
+    # native residual path
+    # ------------------------------------------------------------------
+
+    _scan32_cache: dict = {}
+
+    @classmethod
+    def _scan32(cls, w, scan_type):
+        key = (w, scan_type)
+        if key not in cls._scan32_cache:
+            cls._scan32_cache[key] = (
+                np.ascontiguousarray(get_scan(w, w, scan_type, True), np.int32),
+                np.ascontiguousarray(
+                    get_scan(max(w // 4, 1), max(w // 4, 1), scan_type, False),
+                    np.int32))
+        return cls._scan32_cache[key]
+
+    def _res_params(self, cu, log2w, comp, scan_type, ts, be_valid):
+        from hm16_2_tpu.bitstream.cabac import CTX_OFFSET
+        from hm16_2_tpu.native import ResParams
+        sps = self.sps
+        chan = 0 if comp == 0 else 1
+        w = 1 << log2w
+        single = bool(sps.transform_skip_context) and (cu.tqb or ts)
+        if single:
+            first_sig = SIG_CTX_SET_START[chan][3]
+        elif w == 4:
+            first_sig = SIG_CTX_SET_START[chan][0]
+        elif w == 8:
+            first_sig = SIG_CTX_SET_START[chan][1]
+            if scan_type != SCAN_DIAG:
+                first_sig += NON_DIAG_8x8_CTX_OFFSET[chan]
+        else:
+            first_sig = SIG_CTX_SET_START[chan][2]
+        cw = w.bit_length() - 3
+        if chan == 0:
+            off = cw * 3 + ((cw + 1) >> 2)
+            shift = (cw + 3) >> 2
+        else:
+            off = 0
+            shift = cw
+        base = 0 if chan == 0 else 15
+        return ResParams(
+            width=w, chan=chan, scan_type=scan_type,
+            first_sig_ctx=first_sig, single_ctx=1 if single else 0,
+            be_valid=1 if be_valid else 0,
+            use_rice_adaptation=1 if sps.persistent_rice_adaptation else 0,
+            align_bypass=1 if sps.cabac_bypass_alignment else 0,
+            use_limited_prefix=1 if sps.extended_precision else 0,
+            max_tr_dynamic_range=sps.max_tr_dynamic_range(comp != 0),
+            rice_stat_idx=self._golomb_rice_stat_index(comp, bool(ts) or bool(cu.tqb)),
+            ctx_last_x=CTX_OFFSET["last"] + base,
+            ctx_last_y=CTX_OFFSET["last_y"] + base,
+            ctx_sig_cg=CTX_OFFSET["sig_cg"] + 2 * chan,
+            ctx_sig=CTX_OFFSET["sig"] + SIG_CTX_CHANNEL_OFFSET[chan],
+            ctx_one=CTX_OFFSET["one"], ctx_abs=CTX_OFFSET["abs"],
+            ctx_set_start=CTX_SET_START[chan],
+            off_x=off, off_y=off, shift_x=shift, shift_y=shift)
+
+    def _try_native_residual(self, cu, px, py, log2, comp, w, x0, y0,
+                             scan_type, ts, be_valid) -> bool:
+        if self.trace is not None:
+            return False
+        from hm16_2_tpu import native
+        lib = native.get_lib()
+        if lib is None:
+            return False
+        import ctypes
+        d = self.dec
+        st = native.DecState(
+            buf=ctypes.cast(ctypes.c_char_p(d.fifo.data), ctypes.c_void_p),
+            pos=d.fifo.pos, len=len(d.fifo.data), range_=d.range,
+            value=d.value, bits_needed=d.bits_needed)
+        params = self._res_params(cu, w.bit_length() - 1, comp, scan_type,
+                                  ts, be_valid)
+        scan, scan_cg = self._scan32(w, scan_type)
+        coeffs = np.zeros(w * w, dtype=np.int32)
+        ctx = self.ctx.state
+        rc = lib.decode_residual(
+            ctypes.byref(st), ctx.ctypes.data_as(ctypes.c_void_p),
+            ctypes.byref(params),
+            scan.ctypes.data_as(ctypes.c_void_p),
+            scan_cg.ctypes.data_as(ctypes.c_void_p),
+            coeffs.ctypes.data_as(ctypes.c_void_p),
+            self.golomb_rice_stats.ctypes.data_as(ctypes.c_void_p))
+        if rc != 0:
+            return False
+        d.fifo.pos = st.pos
+        d.range = st.range_
+        d.value = st.value
+        d.bits_needed = st.bits_needed
+        self.pic.coeff[comp][y0:y0 + w, x0:x0 + w] = coeffs.reshape(w, w)
+        return True
 
     def _chroma_final_mode(self, cu, px, py):
         mode = int(self.pic.intra_chroma[py, px])

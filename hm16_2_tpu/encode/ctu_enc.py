@@ -245,11 +245,14 @@ class CtuEncoder(SliceDecoder):
             e.encode_bin(int(pic.tskip[comp][py, px]), c.idx("transform_skip", chan))
 
         scan_type = self._scan_type(cu, px, py, log2, comp)
+        ts = int(pic.tskip[comp][py, px])
+        if self._try_native_enc_residual(cu, comp, w, coeffs, scan_type, ts,
+                                         be_valid):
+            return
         scan = get_scan(w, h, scan_type, grouped=True)
         scan_cg = get_scan(max(w // 4, 1), max(h // 4, 1), scan_type, grouped=False)
         wg, hg = w // 4, h // 4
 
-        ts = int(pic.tskip[comp][py, px])
         single_ctx = bool(sps.transform_skip_context) and (cu.tqb or ts)
         if single_ctx:
             first_sig_ctx = SIG_CTX_SET_START[chan][3]
@@ -394,6 +397,43 @@ class CtuEncoder(SliceDecoder):
                             update_rice = False
                     if abs_vals[idx] >= 2:
                         first_coeff2 = 0
+
+    def _try_native_enc_residual(self, cu, comp, w, coeffs, scan_type, ts,
+                                 be_valid) -> bool:
+        from hm16_2_tpu import native
+        lib = native.get_lib()
+        if lib is None:
+            return False
+        import ctypes
+        e = self.enc
+        if e.bw.held_bits:
+            return False   # CABAC data is always byte-aligned in the writer
+        out = np.zeros(4 * w * w + 64, dtype=np.uint8)
+        st = native.EncState(
+            out=out.ctypes.data_as(ctypes.c_void_p), n=0,
+            low=e.low, range_=e.range, bits_left=e.bits_left,
+            num_buffered=e.num_buffered, buffered_byte=e.buffered_byte)
+        params = self._res_params(cu, w.bit_length() - 1, comp, scan_type,
+                                  ts, be_valid)
+        scan, scan_cg = self._scan32(w, scan_type)
+        c32 = np.ascontiguousarray(coeffs, dtype=np.int32)
+        rc = lib.encode_residual(
+            ctypes.byref(st), self.ctx.state.ctypes.data_as(ctypes.c_void_p),
+            ctypes.byref(params),
+            scan.ctypes.data_as(ctypes.c_void_p),
+            scan_cg.ctypes.data_as(ctypes.c_void_p),
+            c32.ctypes.data_as(ctypes.c_void_p),
+            self.golomb_rice_stats.ctypes.data_as(ctypes.c_void_p))
+        if rc != 0:
+            return False
+        if st.n:
+            e.bw.buf.extend(out[:st.n].tobytes())
+        e.low = int(st.low)
+        e.range = int(st.range_)
+        e.bits_left = int(st.bits_left)
+        e.num_buffered = int(st.num_buffered)
+        e.buffered_byte = int(st.buffered_byte)
+        return True
 
     def _enc_last_xy(self, last_x, last_y, w, h, comp, scan_type):
         e, c = self.enc, self.ctx

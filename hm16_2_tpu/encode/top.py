@@ -243,27 +243,23 @@ class CtuSearch:
                                        self.bit_depth[comp], comp == 0)
 
     def _search_luma_mode(self, px, py, log2) -> int:
-        """35-mode SATD sweep (estIntraPredQT analogue, batched-friendly)."""
+        """35-mode SATD sweep via the batched gather-table kernel
+        (estIntraPredQT analogue)."""
+        from hm16_2_tpu.ops import analysis
         pic = self.pic
         size = 1 << log2
         x0, y0 = px * 4, py * 4
         orig = self.orig[0][y0:y0 + size, x0:x0 + size].astype(np.int64)
-        sps = self.sps
         top, left = self._refs_for(px, py, log2, 0)
-        best_mode, best_cost = 0, None
-        for mode in range(35):
-            t, l = top, left
-            if intra_ref.should_filter(mode, size, True, sps.chroma_format_idc,
-                                       bool(sps.intra_smoothing_disabled)):
-                t, l = intra_ref.filter_reference_samples(
-                    top, left, size, self.bit_depth[0],
-                    bool(sps.strong_intra_smoothing))
-            pred = intra_ref.predict_intra(mode, t, l, size, self.bit_depth[0],
-                                           True)
-            cost = satd_block(orig - pred)
-            if best_cost is None or cost < best_cost:
-                best_mode, best_cost = mode, cost
-        return best_mode
+        top_f, left_f = intra_ref.filter_reference_samples(
+            top, left, size, self.bit_depth[0],
+            bool(self.sps.strong_intra_smoothing))
+        buf_u = np.concatenate([left[1:][::-1], top]).astype(np.int64)
+        buf_f = np.concatenate([left_f[1:][::-1], top_f]).astype(np.int64)
+        preds = analysis.predict_all_modes_np(buf_u, buf_f, size, True,
+                                              self.bit_depth[0])
+        costs = analysis.satd_all_np(orig[None] - preds)
+        return int(np.argmin(costs))
 
     def _code_tu(self, px, py, log2, comp, mode) -> int:
         """Forward transform + quant + reconstruct one TU; returns cbf."""

@@ -1,0 +1,91 @@
+"""Native (C++) hot-loop components.
+
+cabac_core.so implements the CABAC residual-coding inner loops (the
+dominant share of entropy bins).  Built on first import with g++ -O3;
+falls back to the pure-Python path when unavailable or when
+HM16_NO_NATIVE=1 is set.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(__file__)
+_SRC = os.path.join(_DIR, "cabac_core.cpp")
+_SO = os.path.join(_DIR, "cabac_core.so")
+
+_lib = None
+
+
+class DecState(ctypes.Structure):
+    _fields_ = [("buf", ctypes.c_void_p),
+                ("pos", ctypes.c_int64),
+                ("len", ctypes.c_int64),
+                ("range_", ctypes.c_int32),
+                ("value", ctypes.c_int64),
+                ("bits_needed", ctypes.c_int32)]
+
+
+class EncState(ctypes.Structure):
+    _fields_ = [("out", ctypes.c_void_p),
+                ("n", ctypes.c_int64),
+                ("low", ctypes.c_uint32),
+                ("range_", ctypes.c_int32),
+                ("bits_left", ctypes.c_int32),
+                ("num_buffered", ctypes.c_int32),
+                ("buffered_byte", ctypes.c_int32)]
+
+
+class ResParams(ctypes.Structure):
+    _fields_ = [(n, ctypes.c_int32) for n in (
+        "width", "chan", "scan_type", "first_sig_ctx", "single_ctx",
+        "be_valid", "use_rice_adaptation", "align_bypass",
+        "use_limited_prefix", "max_tr_dynamic_range", "rice_stat_idx",
+        "ctx_last_x", "ctx_last_y", "ctx_sig_cg", "ctx_sig", "ctx_one",
+        "ctx_abs", "ctx_set_start", "off_x", "off_y", "shift_x", "shift_y")]
+
+
+def _build():
+    subprocess.run(
+        ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+        check=True, capture_output=True)
+
+
+def get_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if os.environ.get("HM16_NO_NATIVE"):
+        return None
+    try:
+        if (not os.path.exists(_SO) or
+                os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            _build()
+        lib = ctypes.CDLL(_SO)
+    except Exception:
+        return None
+    lib.set_tables.argtypes = [ctypes.c_void_p] * 4
+    lib.decode_residual.argtypes = [
+        ctypes.POINTER(DecState), ctypes.c_void_p, ctypes.POINTER(ResParams),
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.decode_residual.restype = ctypes.c_int
+    lib.encode_residual.argtypes = [
+        ctypes.POINTER(EncState), ctypes.c_void_p, ctypes.POINTER(ResParams),
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.encode_residual.restype = ctypes.c_int
+
+    from hm16_2_tpu.common import cabac_data as CD
+    global _tables_keepalive
+    _tables_keepalive = (
+        np.ascontiguousarray(CD.LPS_TABLE, dtype=np.uint8),
+        np.ascontiguousarray(CD.RENORM_TABLE, dtype=np.uint8),
+        np.ascontiguousarray(CD.NEXT_STATE_MPS, dtype=np.uint8),
+        np.ascontiguousarray(CD.NEXT_STATE_LPS, dtype=np.uint8))
+    lib.set_tables(*[t.ctypes.data_as(ctypes.c_void_p)
+                     for t in _tables_keepalive])
+    _lib = lib
+    return lib

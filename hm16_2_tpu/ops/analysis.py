@@ -267,6 +267,58 @@ def batched_quant(coeffs, qp: jnp.ndarray, bit_depth: int, log2_tr: int,
     return (jnp.sign(c) * jnp.clip(level, 0, 32767)).astype(jnp.int32)
 
 
+def predict_all_modes_np(buf_u, buf_f, s: int, is_luma: bool = True,
+                         bit_depth: int = 8):
+    """Numpy twin of predict_all_modes for a single block (encoder search
+    fast path on host).  buf_u/buf_f: (4s+1,) unfiltered/filtered refs."""
+    t = angular_tables(s, is_luma)
+    corner = 2 * s
+    sel = np.where(t["plane"][:, None, None] == 1,
+                   buf_f[t["g0"]], buf_u[t["g0"]])
+    sel1 = np.where(t["plane"][:, None, None] == 1,
+                    buf_f[t["g1"]], buf_u[t["g1"]])
+    ang = (t["w0"] * sel + t["w1"] * sel1 + 16) >> 5
+    top = buf_u[corner + 1: corner + 1 + s]
+    left = buf_u[corner - s: corner][::-1]
+    shift = s.bit_length() - 1
+    if is_luma and s <= 16:
+        maxv = (1 << bit_depth) - 1
+        cv = buf_u[corner]
+        ang[24, :, 0] = np.clip(top[0] + ((left - cv) >> 1), 0, maxv)
+        ang[8, 0, :] = np.clip(left[0] + ((top - cv) >> 1), 0, maxv)
+    # planar
+    pl_plane = 1 if should_filter(PLANAR_IDX, s, is_luma) else 0
+    fp = buf_f if pl_plane else buf_u
+    topf = fp[corner + 1: corner + 1 + s]
+    leftf = fp[corner - s: corner][::-1]
+    tr = int(fp[corner + s + 1])
+    bl = int(fp[corner - s - 1])
+    xs = np.arange(s)
+    hor = (s - 1 - xs)[None, :] * leftf[:, None] + (xs + 1)[None, :] * tr
+    ver = (s - 1 - xs)[:, None] * topf[None, :] + (xs + 1)[:, None] * bl
+    planar = (hor + ver + s) >> (shift + 1)
+    # DC
+    dcval = (int(top.sum()) + int(left.sum()) + s) >> (shift + 1)
+    dc = np.full((s, s), dcval, dtype=np.int64)
+    if is_luma and s <= 16:
+        dc[0, :] = (top + 3 * dcval + 2) >> 2
+        dc[:, 0] = (left + 3 * dcval + 2) >> 2
+        dc[0, 0] = (top[0] + left[0] + 2 * dcval + 2) >> 2
+    return np.concatenate([planar[None], dc[None], ang], axis=0)
+
+
+def satd_all_np(diffs):
+    """SATD over (M, s, s) via batched Hadamard matmuls (numpy)."""
+    m, s, _ = diffs.shape
+    t = 8 if s % 8 == 0 else 4
+    h = _hadamard(t).astype(np.int64)
+    d = diffs.reshape(m, s // t, t, s // t, t).swapaxes(2, 3)
+    had = np.einsum("ij,mabjk,kl->mabil", h, d, h)
+    sums = np.abs(had).sum(axis=(3, 4))
+    norm = (sums + 2) >> 2 if t == 8 else (sums + 1) >> 1
+    return norm.sum(axis=(1, 2))
+
+
 def pack_ref_buffers(tops_u, lefts_u, tops_f, lefts_f):
     """Build (N, 2, 4s+1) ref buffers from top/left arrays (numpy)."""
     n = tops_u.shape[0]

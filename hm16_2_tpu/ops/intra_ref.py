@@ -145,14 +145,13 @@ def filter_reference_samples(top: np.ndarray, left: np.ndarray, tu_size: int,
         strong = bilinear_left and bilinear_above
     if strong:
         shift = (s.bit_length() - 1) + 1   # log2(2s)
-        for i in range(1, 2 * s):
-            left_f[i] = ((2 * s - i) * top_left + i * bottom_left + s) >> shift
-            top_f[i] = ((2 * s - i) * top_left + i * top_right + s) >> shift
+        i = np.arange(1, 2 * s)
+        left_f[1:2 * s] = ((2 * s - i) * top_left + i * bottom_left + s) >> shift
+        top_f[1:2 * s] = ((2 * s - i) * top_left + i * top_right + s) >> shift
         # ends unfiltered; top-left stays
     else:
-        for i in range(1, 2 * s):
-            left_f[i] = (left[i + 1] + 2 * left[i] + left[i - 1] + 2) >> 2
-            top_f[i] = (top[i + 1] + 2 * top[i] + top[i - 1] + 2) >> 2
+        left_f[1:2 * s] = (left[2:] + 2 * left[1:2 * s] + left[:2 * s - 1] + 2) >> 2
+        top_f[1:2 * s] = (top[2:] + 2 * top[1:2 * s] + top[:2 * s - 1] + 2) >> 2
         corner = (left[1] + 2 * top[0] + top[1] + 2) >> 2
         top_f[0] = corner
         left_f[0] = corner

@@ -95,6 +95,8 @@ class PictureState:
         self.mvp_idx = np.zeros((2,) + shp, dtype=np.int8)
         # POC of the picture referenced by each part (INT_MIN when none)
         self.ref_poc = np.full((2,) + shp, -(10 ** 9), dtype=np.int32)
+        # encode-side: signalled MV differences (decoder ignores)
+        self.mvd = np.zeros((2,) + shp + (2,), dtype=np.int32)
 
         self.tiles = Tiles(sps, pps)
         csx, csy = sps.chroma_shift_x, sps.chroma_shift_y

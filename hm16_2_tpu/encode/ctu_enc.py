@@ -65,7 +65,16 @@ class CtuEncoder(SliceDecoder):
         if pps.transquant_bypass_enabled:
             e.encode_bin(int(pic.tqb[py, px]), c.idx("cu_transquant_bypass"))
         if self.sh.slice_type != I_SLICE:
-            raise NotImplementedError("inter CU encode")
+            skip = int(pic.skip[py, px])
+            e.encode_bin(skip, c.idx("skip_flag", self._ctx_skip(px, py)))
+            if skip:
+                self._enc_merge_index(int(pic.mvp_idx[0, py, px]))
+                return
+            is_intra = pic.pred_mode[py, px] == 1
+            e.encode_bin(1 if is_intra else 0, c.idx("pred_mode"))
+            if not is_intra:
+                self._enc_inter_cu(px, py, log2)
+                return
         # pred mode implicit intra on I slices
         part_size = int(pic.part_size[py, px])
         if log2 == sps.log2_min_cb:
@@ -77,6 +86,104 @@ class CtuEncoder(SliceDecoder):
         self._enc_tu_tree_root(px, py, log2, part_size)
 
     # ------------------------------------------------------------------
+    # inter CU syntax (2Nx2N only in the round-1 encoder)
+    # ------------------------------------------------------------------
+
+    def _enc_merge_index(self, merge_idx):
+        e, c = self.enc, self.ctx
+        max_cand = self.sh.max_num_merge_cand
+        if max_cand <= 1:
+            return
+        for i in range(min(merge_idx + 1, max_cand - 1)):
+            b = 1 if i < merge_idx else 0
+            if i == 0:
+                e.encode_bin(b, c.idx("merge_idx"))
+            else:
+                e.encode_bin_ep(b)
+
+    def _enc_inter_cu(self, px, py, log2):
+        pic, e, c = self.pic, self.enc, self.ctx
+        sh = self.sh
+        part_size = int(pic.part_size[py, px])
+        assert part_size == 0, "round-1 inter encoder emits 2Nx2N only"
+        # part size: 2Nx2N = first bin 1
+        e.encode_bin(1, c.idx("part_size", 0))
+        merged = int(pic.merge_flag[py, px])
+        e.encode_bin(merged, c.idx("merge_flag"))
+        if merged:
+            self._enc_merge_index(int(pic.mvp_idx[0, py, px]))
+        else:
+            # inter dir implicit (P); B would need inter_dir bins here
+            for lx in range(2 if sh.slice_type == 0 else 1):
+                if sh.num_ref_idx[lx] <= 0:
+                    continue
+                if not ((int(pic.inter_dir[py, px]) >> lx) & 1):
+                    continue
+                self._enc_ref_idx(lx, int(pic.ref_idx[lx, py, px]))
+                self._enc_mvd((int(pic.mvd[lx, py, px, 0]),
+                               int(pic.mvd[lx, py, px, 1])))
+                mvp_idx = int(pic.mvp_idx[lx, py, px])
+                e.encode_bin(mvp_idx, c.idx("mvp_idx"))
+        # root cbf
+        cbfs = [self._cbf_at(comp, px, py, 0) for comp in range(pic.num_comps)]
+        root = 1 if any(cbfs) else 0
+        if not (part_size == 0 and merged):
+            e.encode_bin(root, c.idx("qt_root_cbf"))
+        if root:
+            cu = type("CU", (), {})()
+            cu.px, cu.py, cu.log2 = px, py, log2
+            cu.pred_mode = 0
+            cu.part_size = part_size
+            cu.tqb = int(self.pic.tqb[py, px])
+            self.cu = cu
+            self._enc_tu_tree(cu, px, py, log2, 0)
+
+    def _enc_ref_idx(self, lx, ref):
+        e, c = self.enc, self.ctx
+        num_ref = self.sh.num_ref_idx[lx]
+        if num_ref <= 1:
+            return
+        e.encode_bin(1 if ref > 0 else 0, c.idx("ref_pic"))
+        if ref > 0:
+            # (ref-1) ones then a zero, truncated at num_ref-2 bins
+            for ui in range(num_ref - 2):
+                b = 1 if ui < ref - 1 else 0
+                if ui == 0:
+                    e.encode_bin(b, c.idx("ref_pic", 1))
+                else:
+                    e.encode_bin_ep(b)
+                if not b:
+                    break
+
+    def _enc_mvd(self, mvd):
+        e, c = self.enc, self.ctx
+        hor, ver = mvd
+        ah, av = abs(hor), abs(ver)
+        e.encode_bin(1 if ah > 0 else 0, c.idx("mvd"))
+        e.encode_bin(1 if av > 0 else 0, c.idx("mvd"))
+        if ah > 0:
+            e.encode_bin(1 if ah > 1 else 0, c.idx("mvd", 1))
+        if av > 0:
+            e.encode_bin(1 if av > 1 else 0, c.idx("mvd", 1))
+        if ah > 0:
+            if ah > 1:
+                self._enc_ep_exgolomb(ah - 2, 1)
+            e.encode_bin_ep(1 if hor < 0 else 0)
+        if av > 0:
+            if av > 1:
+                self._enc_ep_exgolomb(av - 2, 1)
+            e.encode_bin_ep(1 if ver < 0 else 0)
+
+    def _enc_ep_exgolomb(self, symbol, count):
+        """xWriteEpExGolomb dual."""
+        e = self.enc
+        while symbol >= (1 << count):
+            e.encode_bin_ep(1)
+            symbol -= 1 << count
+            count += 1
+        e.encode_bin_ep(0)
+        if count:
+            e.encode_bins_ep(symbol, count)
 
     def _enc_intra_dirs(self, px, py, log2, part_size):
         pic, e, c = self.pic, self.enc, self.ctx
@@ -144,8 +251,10 @@ class CtuEncoder(SliceDecoder):
 
     def _min_tu_log2(self, cu):
         sps = self.sps
-        max_depth = sps.max_tr_hierarchy_depth_intra
-        intra_split = 1 if cu.part_size == SIZE_NxN else 0
+        max_depth = sps.max_tr_hierarchy_depth_intra \
+            if cu.pred_mode == MODE_INTRA else sps.max_tr_hierarchy_depth_inter
+        intra_split = 1 if (cu.part_size == SIZE_NxN and
+                            cu.pred_mode == MODE_INTRA) else 0
         if cu.log2 < sps.log2_min_tb + max_depth - 1 + intra_split:
             return sps.log2_min_tb
         return min(cu.log2 - (max_depth - 1 + intra_split), sps.log2_max_tb)

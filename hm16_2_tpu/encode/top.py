@@ -19,13 +19,17 @@ import numpy as np
 from hm16_2_tpu.bitstream.bitio import BitWriter, make_nal, write_annexb
 from hm16_2_tpu.bitstream.cabac import CabacEncoder, ContextSet
 from hm16_2_tpu.decode.loopfilter import apply_loop_filters
-from hm16_2_tpu.decode.picture import MODE_INTRA, PictureState, SIZE_2Nx2N, SIZE_NxN
+from hm16_2_tpu.decode.mvpred import MvPredictor, RefCtx
+from hm16_2_tpu.decode.picture import (
+    MODE_INTER, MODE_INTRA, PictureState, SIZE_2Nx2N, SIZE_NxN)
+from hm16_2_tpu.decode.refpics import DPB, RefPicture, build_ref_lists
 from hm16_2_tpu.decode.top import picture_md5
 from hm16_2_tpu.encode.ctu_enc import CtuEncoder
 from hm16_2_tpu.headers import write as W
 from hm16_2_tpu.headers.params import (
-    I_SLICE, NAL_IDR_W_RADL, PPS, SPS, SliceHeader, VPS)
-from hm16_2_tpu.ops import intra_ref, transforms_ref
+    I_SLICE, P_SLICE, NAL_IDR_W_RADL, NAL_TRAIL_R, PPS, SPS, ShortTermRPS,
+    SliceHeader, VPS)
+from hm16_2_tpu.ops import interp_ref, intra_ref, transforms_ref
 from hm16_2_tpu.ops.intra_ref import DM_CHROMA_IDX
 from hm16_2_tpu.ops.satd import satd_block
 
@@ -61,12 +65,15 @@ def build_sps_pps(cfg: EncoderConfig):
     sps.max_tr_hierarchy_depth_intra = 3
     sps.amp_enabled = 1
     sps.sao_enabled = 1 if cfg.sao else 0
-    sps.temporal_mvp_enabled = 0
+    sps.temporal_mvp_enabled = 0      # round-1 encoder: spatial MVP only
     sps.strong_intra_smoothing = 1
     sps.max_dec_pic_buffering = [5]
     sps.num_reorder_pics = [0]
     sps.max_latency_increase = [0]
     sps.rps_list = []
+    if cfg.intra_period != 1:
+        sps.rps_list = [ShortTermRPS(num_negative=1, num_positive=0,
+                                     delta_poc=[-1], used=[1])]
 
     pps = PPS()
     pps.init_qp = 26
@@ -85,13 +92,26 @@ class Encoder:
         self.vps = VPS(ptl=self.sps.ptl)
         self.frames_coded = 0
         self.bits_per_frame = []
+        self.dpb = DPB()
 
     def encode_frame(self, planes: list[np.ndarray], poc: int) -> bytes:
-        """Encode one frame (AI: always IDR), return the access unit bytes."""
+        """Encode one frame (IDR at intra-period boundaries, else LD-P)."""
         cfg, sps, pps = self.cfg, self.sps, self.pps
+        is_idr = cfg.intra_period == 1 or \
+            (cfg.intra_period > 0 and poc % cfg.intra_period == 0) or \
+            self.frames_coded == 0
         sh = SliceHeader()
-        sh.nal_type = NAL_IDR_W_RADL
-        sh.slice_type = I_SLICE
+        if is_idr:
+            sh.nal_type = NAL_IDR_W_RADL
+            sh.slice_type = I_SLICE
+            self.dpb.clear()
+        else:
+            sh.nal_type = NAL_TRAIL_R
+            sh.slice_type = P_SLICE
+            sh.rps_idx = 0
+            sh.rps = sps.rps_list[0]
+            sh.num_ref_idx = [1, 0]
+            sh.max_num_merge_cand = 5
         sh.poc = poc
         sh.qp = cfg.qp
         sh.sps, sh.pps = sps, pps
@@ -102,6 +122,10 @@ class Encoder:
         pic.slices.append(sh)
 
         search = CtuSearch(pic, sh, planes)
+        if not is_idr:
+            ref_lists = build_ref_lists(sh, self.dpb)
+            rc = RefCtx(sh, ref_lists)
+            search.mvp = MvPredictor(pic, rc, 0)
         enc = CtuEncoder(pic, sh, 0)
         bw = BitWriter()
         W.write_slice_header(bw, sh, sps, pps)
@@ -109,7 +133,7 @@ class Encoder:
         cab = CabacEncoder(bw, ctx)
         enc.attach(cab)
         # slice contexts init (TEncSbac resetEntropy semantics)
-        ctx.reset(I_SLICE, sh.qp)
+        ctx.reset(sh.slice_type, sh.qp)
 
         n_ctus = pic.w_ctbs * pic.h_ctbs
         for ts in range(n_ctus):
@@ -136,6 +160,16 @@ class Encoder:
         nals += [slice_nal, sei_nal]
         self.frames_coded += 1
         self.last_recon = recon
+        # retain reference picture (coded-size planes, motion for deblock/BS)
+        ref_planes = []
+        for c in range(pic.num_comps):
+            sx, sy = pic.comp_shift[c]
+            ref_planes.append(pic.rec[c][: sps.pic_height >> sy,
+                                         : sps.pic_width >> sx].copy())
+        self.dpb.add(RefPicture(poc=poc, rec=ref_planes, mv=pic.mv.copy(),
+                                ref_idx=pic.ref_idx.copy(),
+                                ref_poc=pic.ref_poc.copy(),
+                                pred_mode=pic.pred_mode.copy()))
         au = write_annexb(nals)
         self.bits_per_frame.append(len(au) * 8)
         return au
@@ -192,6 +226,11 @@ class CtuSearch:
         pic.coded[py:py + n, px:px + n] = True
         pic.tr_idx[py:py + n, px:px + n] = 0
 
+        if self.sh.slice_type == P_SLICE:
+            if self._try_inter_cu(px, py, log2):
+                return
+            pic.pred_mode[py:py + n, px:px + n] = MODE_INTRA
+
         best_mode = self._search_luma_mode(px, py, log2)
         pic.intra_luma[py:py + n, px:px + n] = best_mode
         pic.intra_chroma[py:py + n, px:px + n] = DM_CHROMA_IDX
@@ -205,6 +244,169 @@ class CtuSearch:
             cbf_cr = self._code_tu(px, py, log2, 2, chroma_mode)
             pic.cbf[1][py:py + n, px:px + n] = cbf_cb
             pic.cbf[2][py:py + n, px:px + n] = cbf_cr
+
+    # ------------------------------------------------------------------
+    # inter search (P slices, 2Nx2N merge/AMVP, integer-pel ME)
+    # ------------------------------------------------------------------
+
+    def _try_inter_cu(self, px, py, log2) -> bool:
+        """Evaluate inter 2Nx2N; commit and return True when chosen."""
+        pic, sh = self.pic, self.sh
+        size = 1 << log2
+        x0, y0 = px * 4, py * 4
+        n = size // 4
+        orig = self.orig[0][y0:y0 + size, x0:x0 + size].astype(np.int64)
+        ref = self.mvp.rc.ref_lists[0][0]
+        lam = int(np.sqrt(0.85 * 2.0 ** ((self.sh.qp - 12) / 3.0)) + 0.5)
+
+        # merge candidates
+        cands = self.mvp.merge_candidates(x0, y0, size, size, 0, SIZE_2Nx2N,
+                                          px, py)
+        best = None    # (cost, kind, payload)
+        for m_idx, (inter_dir, m0, m1) in enumerate(cands[:sh.max_num_merge_cand]):
+            if not (inter_dir & 1):
+                continue
+            r_idx, mv = m0
+            if r_idx < 0 or r_idx >= len(self.mvp.rc.ref_lists[0]):
+                continue
+            mref = self.mvp.rc.ref_lists[0][r_idx]
+            pred = interp_ref.mc_block(mref.rec[0], x0, y0, size, size,
+                                       mv[0], mv[1], 2, 2, True,
+                                       self.bit_depth[0], False)
+            cost = satd_block(orig - pred) + lam * (m_idx + 1)
+            if best is None or cost < best[0]:
+                best = (cost, "merge", (m_idx, r_idx, mv))
+
+        # integer-pel full search around the AMVP predictor, then
+        # half/quarter-pel refinement (TEncSearch::xPatternSearchFracDIF)
+        amvp = self.mvp.amvp_candidates(x0, y0, size, size, 0, 0)
+        mv_int, _ = self._int_me(orig, ref.rec[0], x0, y0, size,
+                                 (amvp[0][0] >> 2, amvp[0][1] >> 2))
+        mv_q, sad = self._subpel_refine(orig, ref.rec[0], x0, y0, size, mv_int)
+        mvd_bits = []
+        for k in range(2):
+            d = (mv_q[0] - amvp[k][0], mv_q[1] - amvp[k][1])
+            mvd_bits.append((abs(d[0]).bit_length() + abs(d[1]).bit_length()
+                             + 4, k, d))
+        mvd_bits.sort()
+        bits_k, mvp_idx, mvd = mvd_bits[0]
+        me_cost = sad + lam * (bits_k + 2)
+        if best is None or me_cost < best[0]:
+            best = (me_cost, "amvp", (mvp_idx, mvd, mv_q))
+
+        # compare against a cheap intra estimate
+        intra_mode = self._search_luma_mode(px, py, log2)
+        ipred = self._predict(px, py, log2, 0, intra_mode)
+        intra_cost = satd_block(orig - ipred) + lam * 24
+        if intra_cost <= best[0]:
+            return False
+
+        # ---- commit the inter decision ----
+        kind, payload = best[1], best[2]
+        if kind == "merge":
+            ref = self.mvp.rc.ref_lists[0][payload[1]]
+        pic.pred_mode[py:py + n, px:px + n] = MODE_INTER
+        pic.part_size[py:py + n, px:px + n] = SIZE_2Nx2N
+        if kind == "merge":
+            m_idx, r_idx, mv = payload
+            pic.merge_flag[py:py + n, px:px + n] = 1
+            pic.mvp_idx[0, py:py + n, px:px + n] = m_idx
+        else:
+            mvp_idx, mvd, mv = payload
+            r_idx = 0
+            pic.merge_flag[py:py + n, px:px + n] = 0
+            pic.mvp_idx[0, py:py + n, px:px + n] = mvp_idx
+            pic.mvd[0, py:py + n, px:px + n, 0] = mvd[0]
+            pic.mvd[0, py:py + n, px:px + n, 1] = mvd[1]
+        pic.inter_dir[py:py + n, px:px + n] = 1
+        pic.ref_idx[0, py:py + n, px:px + n] = r_idx
+        pic.mv[0, py:py + n, px:px + n, 0] = mv[0]
+        pic.mv[0, py:py + n, px:px + n, 1] = mv[1]
+        pic.ref_poc[0, py:py + n, px:px + n] = self.mvp.rc.ref_poc(0, r_idx)
+        pic.ref_idx[1, py:py + n, px:px + n] = -1
+
+        # residual per component
+        cbfs = []
+        for comp in range(pic.num_comps):
+            sx, sy = pic.comp_shift[comp]
+            cx0, cy0 = x0 >> sx, y0 >> sy
+            cs = size >> sx
+            co = self.orig[comp][cy0:cy0 + cs, cx0:cx0 + cs].astype(np.int64)
+            cpred = interp_ref.mc_block(ref.rec[comp], cx0, cy0, cs, cs,
+                                        mv[0], mv[1], 2 + sx, 2 + sy,
+                                        comp == 0, self.bit_depth[comp], False)
+            resi = co - cpred
+            log2_tr = cs.bit_length() - 1
+            fwd = transforms_ref.forward_transform(resi, self.bit_depth[comp],
+                                                   False)
+            qp = self._tu_qp(px, py, comp)
+            levels = transforms_ref.quant(fwd, qp, self.bit_depth[comp],
+                                          log2_tr, is_intra=False)
+            cbf = 1 if np.any(levels) else 0
+            cbfs.append(cbf)
+            pic.coeff[comp][cy0:cy0 + cs, cx0:cx0 + cs] = levels
+            if cbf:
+                deq = transforms_ref.dequant(levels, qp, self.bit_depth[comp],
+                                             log2_tr)
+                rec_resi = transforms_ref.inverse_transform(
+                    deq, self.bit_depth[comp], False)
+            else:
+                rec_resi = 0
+            pic.rec[comp][cy0:cy0 + cs, cx0:cx0 + cs] = np.clip(
+                cpred + rec_resi, 0, (1 << self.bit_depth[comp]) - 1)
+            pic.cbf[comp][py:py + n, px:px + n] = cbf
+
+        if kind == "merge" and not any(cbfs):
+            pic.skip[py:py + n, px:px + n] = 1
+        else:
+            pic.skip[py:py + n, px:px + n] = 0
+        return True
+
+    def _subpel_refine(self, orig, ref_plane, x0, y0, size, mv_int):
+        """Half- then quarter-pel diamond refinement, SATD metric."""
+        best_mv = (mv_int[0] * 4, mv_int[1] * 4)
+        best = None
+        seen = {}
+
+        def cost(mv):
+            if mv not in seen:
+                pred = interp_ref.mc_block(ref_plane, x0, y0, size, size,
+                                           mv[0], mv[1], 2, 2, True,
+                                           self.bit_depth[0], False)
+                seen[mv] = satd_block(orig - pred)
+            return seen[mv]
+
+        best = cost(best_mv)
+        for step in (2, 1):
+            center = best_mv
+            for dy in (-step, 0, step):
+                for dx in (-step, 0, step):
+                    if dx == 0 and dy == 0:
+                        continue
+                    mv = (center[0] + dx, center[1] + dy)
+                    c = cost(mv)
+                    if c < best:
+                        best, best_mv = c, mv
+        return best_mv, best
+
+    def _int_me(self, orig, ref_plane, x0, y0, size, center, rng=8):
+        """Integer full search +-rng around center (clamped); returns
+        (mv_int, sad)."""
+        ph, pw = ref_plane.shape
+        cx = int(np.clip(center[0], -x0, pw - size - x0))
+        cy = int(np.clip(center[1], -y0, ph - size - y0))
+        best = None
+        lo_x = max(-x0, cx - rng)
+        hi_x = min(pw - size - x0, cx + rng)
+        lo_y = max(-y0, cy - rng)
+        hi_y = min(ph - size - y0, cy + rng)
+        win = ref_plane[y0 + lo_y: y0 + hi_y + size,
+                        x0 + lo_x: x0 + hi_x + size].astype(np.int64)
+        from numpy.lib.stride_tricks import sliding_window_view
+        views = sliding_window_view(win, (size, size))
+        diffs = np.abs(views - orig[None, None]).sum(axis=(2, 3))
+        iy, ix = np.unravel_index(np.argmin(diffs), diffs.shape)
+        return (lo_x + int(ix), lo_y + int(iy)), int(diffs[iy, ix])
 
     def _refs_for(self, px, py, log2, comp):
         pic, sps = self.pic, self.sps

@@ -56,3 +56,46 @@ def test_encode_reference_decode(tmp_path):
     out = subprocess.run([HM_DEC, "-b", str(bs), "-o", str(tmp_path / "o.yuv")],
                          capture_output=True, text=True)
     assert out.stdout.count("(OK)") == 2, out.stdout + out.stderr
+
+
+def _moving_planes(w, h, t, base):
+    y = base[t * 2:t * 2 + h, t * 3:t * 3 + w]
+    u = np.full((h // 2, w // 2), 100 + t, np.int32)
+    v = np.full((h // 2, w // 2), 140 - t, np.int32)
+    return [y, u, v]
+
+
+def test_encode_p_slices_selfdecode():
+    w, h, n = 64, 64, 4
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, (h * 2, w * 2)).astype(np.int32)
+    base = (base + np.roll(base, 1, 0) + np.roll(base, 1, 1)) // 3
+    enc = Encoder(EncoderConfig(w, h, qp=32, intra_period=8))
+    stream = b""
+    recons = []
+    for t in range(n):
+        stream += enc.encode_frame(_moving_planes(w, h, t, base), t)
+        recons.append(enc.last_recon)
+    dec = Decoder()
+    pics = dec.decode_stream(stream)
+    assert len(pics) == n
+    for i, p in enumerate(pics):
+        assert p.hash_ok is True
+        for c in range(3):
+            np.testing.assert_array_equal(p.planes[c], recons[i][c])
+
+
+@pytest.mark.skipif(not os.path.exists(HM_DEC), reason="reference decoder absent")
+def test_encode_p_slices_reference_decode(tmp_path):
+    w, h, n = 64, 64, 4
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 256, (h * 2, w * 2)).astype(np.int32)
+    base = (base + np.roll(base, 1, 0) + np.roll(base, 1, 1)) // 3
+    enc = Encoder(EncoderConfig(w, h, qp=30, intra_period=8))
+    stream = b"".join(enc.encode_frame(_moving_planes(w, h, t, base), t)
+                      for t in range(n))
+    bs = tmp_path / "p.bin"
+    bs.write_bytes(stream)
+    out = subprocess.run([HM_DEC, "-b", str(bs), "-o", str(tmp_path / "o.yuv")],
+                         capture_output=True, text=True)
+    assert out.stdout.count("(OK)") == n, out.stdout + out.stderr

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from hm16_2_tpu.bitstream.cabac import CabacEncoder
+from hm16_2_tpu.bitstream.cabac import CabacCounter, CabacEncoder
 from hm16_2_tpu.common.tables import (
     GROUP_IDX, MIN_IN_GROUP, SCAN_VER, get_scan)
 from hm16_2_tpu.decode.ctu_dec import (
@@ -515,13 +515,21 @@ class CtuEncoder(SliceDecoder):
             return False
         import ctypes
         e = self.enc
-        if e.bw.held_bits:
-            return False   # CABAC data is always byte-aligned in the writer
-        out = np.zeros(4 * w * w + 64, dtype=np.uint8)
-        st = native.EncState(
-            out=out.ctypes.data_as(ctypes.c_void_p), n=0,
-            low=e.low, range_=e.range, bits_left=e.bits_left,
-            num_buffered=e.num_buffered, buffered_byte=e.buffered_byte)
+        counting = isinstance(e, CabacCounter)
+        if counting:
+            out = np.zeros(1, dtype=np.uint8)
+            st = native.EncState(
+                out=out.ctypes.data_as(ctypes.c_void_p), n=0,
+                low=0, range_=510, bits_left=23, num_buffered=0,
+                buffered_byte=0xFF, counting=1, frac_bits=0)
+        else:
+            if e.bw.held_bits:
+                return False   # CABAC data is always byte-aligned in the writer
+            out = np.zeros(4 * w * w + 64, dtype=np.uint8)
+            st = native.EncState(
+                out=out.ctypes.data_as(ctypes.c_void_p), n=0,
+                low=e.low, range_=e.range, bits_left=e.bits_left,
+                num_buffered=e.num_buffered, buffered_byte=e.buffered_byte)
         params = self._res_params(cu, w.bit_length() - 1, comp, scan_type,
                                   ts, be_valid)
         scan, scan_cg = self._scan32(w, scan_type)
@@ -535,6 +543,9 @@ class CtuEncoder(SliceDecoder):
             self.golomb_rice_stats.ctypes.data_as(ctypes.c_void_p))
         if rc != 0:
             return False
+        if counting:
+            e.frac_bits += int(st.frac_bits)
+            return True
         if st.n:
             e.bw.buf.extend(out[:st.n].tobytes())
         e.low = int(st.low)

@@ -17,7 +17,7 @@ from __future__ import annotations
 import numpy as np
 
 from hm16_2_tpu.bitstream.bitio import BitWriter, make_nal, write_annexb
-from hm16_2_tpu.bitstream.cabac import CabacEncoder, ContextSet
+from hm16_2_tpu.bitstream.cabac import CabacCounter, CabacEncoder, ContextSet
 from hm16_2_tpu.decode.loopfilter import apply_loop_filters
 from hm16_2_tpu.decode.mvpred import MvPredictor, RefCtx
 from hm16_2_tpu.decode.picture import (
@@ -36,7 +36,7 @@ from hm16_2_tpu.ops.satd import satd_block
 
 class EncoderConfig:
     def __init__(self, width, height, qp=32, bit_depth=8, chroma_format=1,
-                 intra_period=1, deblock=True, sao=False):
+                 intra_period=1, deblock=True, sao=False, rdo=True):
         self.width, self.height = width, height
         self.qp = qp
         self.bit_depth = bit_depth
@@ -44,6 +44,7 @@ class EncoderConfig:
         self.intra_period = intra_period
         self.deblock = deblock
         self.sao = sao
+        self.rdo = rdo
         self.log2_ctb = 6
         self.log2_min_cb = 3
         self.log2_min_tb = 2
@@ -121,7 +122,7 @@ class Encoder:
         pic.poc = poc
         pic.slices.append(sh)
 
-        search = CtuSearch(pic, sh, planes)
+        search = CtuSearch(pic, sh, planes, rdo=cfg.rdo)
         if not is_idr:
             ref_lists = build_ref_lists(sh, self.dpb)
             rc = RefCtx(sh, ref_lists)
@@ -178,7 +179,8 @@ class Encoder:
 class CtuSearch:
     """Per-CTU mode decision + reconstruction (fills picture arrays)."""
 
-    def __init__(self, pic: PictureState, sh: SliceHeader, orig_planes):
+    def __init__(self, pic: PictureState, sh: SliceHeader, orig_planes,
+                 rdo: bool = True):
         self.pic = pic
         self.sh = sh
         self.sps, self.pps = sh.sps, sh.pps
@@ -186,11 +188,152 @@ class CtuSearch:
         self.cu_log2 = 4
         self.bit_depth = [self.sps.bit_depth_luma, self.sps.bit_depth_chroma,
                           self.sps.bit_depth_chroma]
+        self.rdo = rdo
+        if rdo:
+            # HM lambda model (TEncSlice::setUpLambda simplified): SSE-domain
+            # lambda; chroma distortion weighted by the luma/chroma QP gap.
+            qp = sh.qp
+            alpha = 0.57 if sh.slice_type == I_SLICE else 0.68
+            self.lam = alpha * 2.0 ** ((qp - 12) / 3.0)
+            if pic.num_comps > 1:
+                from hm16_2_tpu.common.tables import CHROMA_QP_SCALE
+                base = int(np.clip(qp + self.pps.cb_qp_offset, 0, 57))
+                cqp = int(CHROMA_QP_SCALE[self.sps.chroma_format_idc][base])
+            else:
+                cqp = qp
+            self.chroma_weight = 2.0 ** ((qp - cqp) / 3.0)
+            self.cenc = CtuEncoder(pic, sh, 0)
+            self.rd_ctx = ContextSet()
+            self.rd_ctx.reset(sh.slice_type, min(max(sh.qp, 0), 51))
 
     def decide_ctu(self, cx, cy):
         pic = self.pic
         parts = pic.ctb // 4
-        self._decide_rec(cx * parts, cy * parts, pic.log2_ctb)
+        if self.rdo:
+            self._compress(cx * parts, cy * parts, pic.log2_ctb)
+        else:
+            self._decide_rec(cx * parts, cy * parts, pic.log2_ctb)
+
+    # ------------------------------------------------------------------
+    # RD-optimized quadtree decision (TEncCu::xCompressCU analogue).
+    #
+    # Candidate CUs are trial-committed into the picture arrays, their rate
+    # measured by replaying the exact CABAC syntax through a fractional-bit
+    # counter seeded with the running context state (HM's FAST_BIT_EST /
+    # RD-coder-state lattice, TEncTop m_pppcRDSbacCoder), and SSE distortion
+    # taken on the reconstruction.  The loser's region state is rolled back.
+    # ------------------------------------------------------------------
+
+    _PART_FIELDS = ("depth", "part_size", "pred_mode", "skip", "merge_flag",
+                    "tqb", "ipcm", "intra_luma", "intra_chroma", "qp",
+                    "slice_id", "coded", "tr_idx", "inter_dir")
+
+    def _snapshot(self, px, py, log2):
+        pic = self.pic
+        n = 1 << (log2 - 2)
+        sl = np.s_[py:py + n, px:px + n]
+        d = {
+            "simple": {f: getattr(pic, f)[sl].copy()
+                       for f in self._PART_FIELDS},
+            "cbf": {c: pic.cbf[c][sl].copy() for c in range(3)},
+            "tskip": {c: pic.tskip[c][sl].copy() for c in range(3)},
+            "lead": {f: getattr(pic, f)[:, py:py + n, px:px + n].copy()
+                     for f in ("ref_idx", "mvp_idx", "ref_poc", "mv", "mvd")},
+        }
+        x0, y0, size = px * 4, py * 4, 1 << log2
+        planes = []
+        for c in range(pic.num_comps):
+            sx, sy = pic.comp_shift[c]
+            rs = np.s_[y0 >> sy:(y0 + size) >> sy, x0 >> sx:(x0 + size) >> sx]
+            planes.append((pic.rec[c][rs].copy(), pic.coeff[c][rs].copy()))
+        d["planes"] = planes
+        d["pos"] = (px, py, log2)
+        return d
+
+    def _restore(self, d):
+        pic = self.pic
+        px, py, log2 = d["pos"]
+        n = 1 << (log2 - 2)
+        sl = np.s_[py:py + n, px:px + n]
+        for f, v in d["simple"].items():
+            getattr(pic, f)[sl] = v
+        for c in range(3):
+            pic.cbf[c][sl] = d["cbf"][c]
+            pic.tskip[c][sl] = d["tskip"][c]
+        for f, v in d["lead"].items():
+            getattr(pic, f)[:, py:py + n, px:px + n] = v
+        x0, y0, size = px * 4, py * 4, 1 << log2
+        for c in range(pic.num_comps):
+            sx, sy = pic.comp_shift[c]
+            rs = np.s_[y0 >> sy:(y0 + size) >> sy, x0 >> sx:(x0 + size) >> sx]
+            pic.rec[c][rs] = d["planes"][c][0]
+            pic.coeff[c][rs] = d["planes"][c][1]
+
+    def _sse_region(self, px, py, log2):
+        pic = self.pic
+        x0, y0, size = px * 4, py * 4, 1 << log2
+        tot = 0.0
+        for c in range(pic.num_comps):
+            sx, sy = pic.comp_shift[c]
+            rs = np.s_[y0 >> sy:min((y0 + size) >> sy, self.orig[c].shape[0]),
+                       x0 >> sx:min((x0 + size) >> sx, self.orig[c].shape[1])]
+            diff = (self.orig[c][rs] - pic.rec[c][rs]).astype(np.float64)
+            w = 1.0 if c == 0 else self.chroma_weight
+            tot += w * float(np.dot(diff.ravel(), diff.ravel()))
+        return tot
+
+    def _count_cu_bits(self, px, py, log2, ctx):
+        """Fractional bits to code this (committed) CU given ctx state."""
+        ctr = CabacCounter(ctx)
+        self.cenc.attach(ctr)
+        self.cenc._enc_cu(px, py, log2, self.pic.log2_ctb - log2)
+        return ctr.frac_bits / 32768.0
+
+    def _compress(self, px, py, log2):
+        """Recursive split-vs-leaf RD decision; leaves winner committed and
+        self.rd_ctx holding the post-CU context state.  Returns RD cost."""
+        pic, sps = self.pic, self.sps
+        size = 1 << log2
+        x0, y0 = px * 4, py * 4
+        inside = (x0 + size <= pic.w) and (y0 + size <= pic.h)
+        cost_ns = np.inf
+        ns_snap = ctx_ns = None
+        pre_ctx = self.rd_ctx.copy()
+        pre_snap = self._snapshot(px, py, log2)
+        if inside:
+            if self._encode_cu(px, py, log2):
+                ctx_ns = pre_ctx.copy()
+                bits = self._count_cu_bits(px, py, log2, ctx_ns)
+                cost_ns = self._sse_region(px, py, log2) + self.lam * bits
+                if log2 == sps.log2_min_cb:
+                    self.rd_ctx = ctx_ns
+                    return cost_ns
+                ns_snap = self._snapshot(px, py, log2)
+            self._restore(pre_snap)
+
+        # split candidate
+        self.rd_ctx = pre_ctx.copy()
+        bits_split = 0.0
+        if inside and log2 > sps.log2_min_cb:
+            ctr = CabacCounter(self.rd_ctx)
+            self.cenc.attach(ctr)
+            ctr.encode_bin(1, self.rd_ctx.idx(
+                "split_flag",
+                self.cenc._ctx_split(px, py, pic.log2_ctb - log2)))
+            bits_split = ctr.frac_bits / 32768.0
+        cost_sp = self.lam * bits_split
+        half = 1 << (log2 - 3)
+        for sub in range(4):
+            sx_ = px + (sub & 1) * half
+            sy_ = py + (sub >> 1) * half
+            if sx_ * 4 < pic.w and sy_ * 4 < pic.h:
+                cost_sp += self._compress(sx_, sy_, log2 - 1)
+
+        if cost_ns <= cost_sp:
+            self._restore(ns_snap)
+            self.rd_ctx = ctx_ns
+            return cost_ns
+        return cost_sp
 
     def _decide_rec(self, px, py, log2):
         pic = self.pic
@@ -228,8 +371,11 @@ class CtuSearch:
 
         if self.sh.slice_type == P_SLICE:
             if self._try_inter_cu(px, py, log2):
-                return
+                return True
             pic.pred_mode[py:py + n, px:px + n] = MODE_INTRA
+
+        if log2 > sps.log2_max_tb:
+            return False   # intra CU above max TB needs RQT split (unsupported)
 
         best_mode = self._search_luma_mode(px, py, log2)
         pic.intra_luma[py:py + n, px:px + n] = best_mode
@@ -244,6 +390,7 @@ class CtuSearch:
             cbf_cr = self._code_tu(px, py, log2, 2, chroma_mode)
             pic.cbf[1][py:py + n, px:px + n] = cbf_cb
             pic.cbf[2][py:py + n, px:px + n] = cbf_cr
+        return True
 
     # ------------------------------------------------------------------
     # inter search (P slices, 2Nx2N merge/AMVP, integer-pel ME)
@@ -294,17 +441,75 @@ class CtuSearch:
         if best is None or me_cost < best[0]:
             best = (me_cost, "amvp", (mvp_idx, mvd, mv_q))
 
-        # compare against a cheap intra estimate
-        intra_mode = self._search_luma_mode(px, py, log2)
-        ipred = self._predict(px, py, log2, 0, intra_mode)
-        intra_cost = satd_block(orig - ipred) + lam * 24
-        if intra_cost <= best[0]:
-            return False
+        # compare against a cheap intra estimate (skipped for CUs larger
+        # than the max TB: no intra alternative exists there)
+        if log2 <= self.sps.log2_max_tb:
+            intra_mode = self._search_luma_mode(px, py, log2)
+            ipred = self._predict(px, py, log2, 0, intra_mode)
+            intra_cost = satd_block(orig - ipred) + lam * 24
+            if intra_cost <= best[0]:
+                return False
 
-        # ---- commit the inter decision ----
         kind, payload = best[1], best[2]
         if kind == "merge":
-            ref = self.mvp.rc.ref_lists[0][payload[1]]
+            _, r_idx, mv = payload
+            ref = self.mvp.rc.ref_lists[0][r_idx]
+        else:
+            _, _, mv = payload
+            r_idx = 0
+
+        # residual per component, computed before any state commit so the
+        # candidate can be rejected (e.g. nonzero cbf at CU > max TB)
+        results = []
+        for comp in range(pic.num_comps):
+            sx, sy = pic.comp_shift[comp]
+            cx0, cy0 = x0 >> sx, y0 >> sy
+            cs = size >> sx
+            co = self.orig[comp][cy0:cy0 + cs, cx0:cx0 + cs].astype(np.int64)
+            cpred = interp_ref.mc_block(ref.rec[comp], cx0, cy0, cs, cs,
+                                        mv[0], mv[1], 2 + sx, 2 + sy,
+                                        comp == 0, self.bit_depth[comp], False)
+            resi = co - cpred
+            qp = self._tu_qp(px, py, comp)
+            max_tb = 1 << self.sps.log2_max_tb
+            if cs > max_tb:
+                # CU above max TB: usable only when every sub-TB quantizes
+                # to zero (skip / root-cbf-0); test per 32x32 tile
+                levels = np.zeros_like(resi, dtype=np.int64)
+                cbf = 0
+                for ty in range(0, cs, max_tb):
+                    for tx in range(0, cs, max_tb):
+                        fwd = transforms_ref.forward_transform(
+                            resi[ty:ty + max_tb, tx:tx + max_tb],
+                            self.bit_depth[comp], False)
+                        sub = transforms_ref.quant(
+                            fwd, qp, self.bit_depth[comp],
+                            self.sps.log2_max_tb, is_intra=False)
+                        if np.any(sub):
+                            cbf = 1
+                if cbf:
+                    return False   # would need an RQT split; force CU split
+            else:
+                log2_tr = cs.bit_length() - 1
+                fwd = transforms_ref.forward_transform(
+                    resi, self.bit_depth[comp], False)
+                levels = transforms_ref.quant(fwd, qp, self.bit_depth[comp],
+                                              log2_tr, is_intra=False)
+                cbf = 1 if np.any(levels) else 0
+            if cbf:
+                deq = transforms_ref.dequant(levels, qp, self.bit_depth[comp],
+                                             log2_tr)
+                rec_resi = transforms_ref.inverse_transform(
+                    deq, self.bit_depth[comp], False)
+            else:
+                rec_resi = 0
+            rec = np.clip(cpred + rec_resi, 0,
+                          (1 << self.bit_depth[comp]) - 1)
+            results.append((cbf, levels, rec, cx0, cy0, cs))
+        if log2 > self.sps.log2_max_tb and any(r[0] for r in results):
+            return False   # TU would exceed max TB size; force CU split
+
+        # ---- commit the inter decision ----
         pic.pred_mode[py:py + n, px:px + n] = MODE_INTER
         pic.part_size[py:py + n, px:px + n] = SIZE_2Nx2N
         if kind == "merge":
@@ -324,39 +529,12 @@ class CtuSearch:
         pic.mv[0, py:py + n, px:px + n, 1] = mv[1]
         pic.ref_poc[0, py:py + n, px:px + n] = self.mvp.rc.ref_poc(0, r_idx)
         pic.ref_idx[1, py:py + n, px:px + n] = -1
-
-        # residual per component
-        cbfs = []
-        for comp in range(pic.num_comps):
-            sx, sy = pic.comp_shift[comp]
-            cx0, cy0 = x0 >> sx, y0 >> sy
-            cs = size >> sx
-            co = self.orig[comp][cy0:cy0 + cs, cx0:cx0 + cs].astype(np.int64)
-            cpred = interp_ref.mc_block(ref.rec[comp], cx0, cy0, cs, cs,
-                                        mv[0], mv[1], 2 + sx, 2 + sy,
-                                        comp == 0, self.bit_depth[comp], False)
-            resi = co - cpred
-            log2_tr = cs.bit_length() - 1
-            fwd = transforms_ref.forward_transform(resi, self.bit_depth[comp],
-                                                   False)
-            qp = self._tu_qp(px, py, comp)
-            levels = transforms_ref.quant(fwd, qp, self.bit_depth[comp],
-                                          log2_tr, is_intra=False)
-            cbf = 1 if np.any(levels) else 0
-            cbfs.append(cbf)
+        for comp, (cbf, levels, rec, cx0, cy0, cs) in enumerate(results):
             pic.coeff[comp][cy0:cy0 + cs, cx0:cx0 + cs] = levels
-            if cbf:
-                deq = transforms_ref.dequant(levels, qp, self.bit_depth[comp],
-                                             log2_tr)
-                rec_resi = transforms_ref.inverse_transform(
-                    deq, self.bit_depth[comp], False)
-            else:
-                rec_resi = 0
-            pic.rec[comp][cy0:cy0 + cs, cx0:cx0 + cs] = np.clip(
-                cpred + rec_resi, 0, (1 << self.bit_depth[comp]) - 1)
+            pic.rec[comp][cy0:cy0 + cs, cx0:cx0 + cs] = rec
             pic.cbf[comp][py:py + n, px:px + n] = cbf
 
-        if kind == "merge" and not any(cbfs):
+        if kind == "merge" and not any(r[0] for r in results):
             pic.skip[py:py + n, px:px + n] = 1
         else:
             pic.skip[py:py + n, px:px + n] = 0

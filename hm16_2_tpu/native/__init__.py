@@ -37,7 +37,10 @@ class EncState(ctypes.Structure):
                 ("range_", ctypes.c_int32),
                 ("bits_left", ctypes.c_int32),
                 ("num_buffered", ctypes.c_int32),
-                ("buffered_byte", ctypes.c_int32)]
+                ("buffered_byte", ctypes.c_int32),
+                ("counting", ctypes.c_int32),
+                ("_pad", ctypes.c_int32),
+                ("frac_bits", ctypes.c_int64)]
 
 
 class ResParams(ctypes.Structure):
@@ -78,14 +81,19 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     lib.encode_residual.restype = ctypes.c_int
 
+    lib.set_entropy_table.argtypes = [ctypes.c_void_p]
+
     from hm16_2_tpu.common import cabac_data as CD
     global _tables_keepalive
     _tables_keepalive = (
         np.ascontiguousarray(CD.LPS_TABLE, dtype=np.uint8),
         np.ascontiguousarray(CD.RENORM_TABLE, dtype=np.uint8),
         np.ascontiguousarray(CD.NEXT_STATE_MPS, dtype=np.uint8),
-        np.ascontiguousarray(CD.NEXT_STATE_LPS, dtype=np.uint8))
+        np.ascontiguousarray(CD.NEXT_STATE_LPS, dtype=np.uint8),
+        np.ascontiguousarray(CD.ENTROPY_BITS, dtype=np.int64))
     lib.set_tables(*[t.ctypes.data_as(ctypes.c_void_p)
-                     for t in _tables_keepalive])
+                     for t in _tables_keepalive[:4]])
+    lib.set_entropy_table(
+        _tables_keepalive[4].ctypes.data_as(ctypes.c_void_p))
     _lib = lib
     return lib

@@ -45,6 +45,9 @@ struct EncState {
   int32_t bits_left;
   int32_t num_buffered;
   int32_t buffered_byte;
+  int32_t counting;     // 1 = bit-estimation mode (TEncBinCABACCounter)
+  int32_t _pad;
+  int64_t frac_bits;    // accumulated 15-bit fractional bits when counting
 };
 
 static inline int read_byte(DecState *s) {
@@ -166,8 +169,19 @@ static inline void enc_test_write(EncState *s) {
   if (s->bits_left < 12) enc_write_out(s);
 }
 
+static const int64_t *g_entropy_bits = 0;
+
+extern "C" void set_entropy_table(const void *eb) {
+  g_entropy_bits = (const int64_t *)eb;
+}
+
 static inline void enc_bin(EncState *s, uint8_t *ctx, int idx, int binv) {
   int st = ctx[idx];
+  if (s->counting) {
+    s->frac_bits += g_entropy_bits[st ^ binv];
+    ctx[idx] = (binv == (st & 1)) ? g_next_mps[st] : g_next_lps[st];
+    return;
+  }
   int lps = g_lps[(st >> 1) * 4 + ((s->range_ >> 6) & 3)];
   s->range_ -= lps;
   if (binv != (st & 1)) {
@@ -187,6 +201,7 @@ static inline void enc_bin(EncState *s, uint8_t *ctx, int idx, int binv) {
 }
 
 static void enc_aligned_bins_ep(EncState *s, int64_t value, int num) {
+  if (s->counting) { s->frac_bits += 32768LL * num; return; }
   int remaining = num;
   while (remaining > 0) {
     int to_code = remaining < 8 ? remaining : 8;
@@ -201,6 +216,7 @@ static void enc_aligned_bins_ep(EncState *s, int64_t value, int num) {
 
 static void enc_bins_ep(EncState *s, int64_t value, int num) {
   if (num == 0) return;
+  if (s->counting) { s->frac_bits += 32768LL * num; return; }
   if (s->range_ == 256) { enc_aligned_bins_ep(s, value, num); return; }
   while (num > 8) {
     num -= 8;
@@ -216,6 +232,7 @@ static void enc_bins_ep(EncState *s, int64_t value, int num) {
 }
 
 static inline void enc_ep1(EncState *s, int binv) {
+  if (s->counting) { s->frac_bits += 32768; return; }
   if (s->range_ == 256) { enc_aligned_bins_ep(s, binv, 1); return; }
   s->low <<= 1;
   if (binv) s->low += s->range_;

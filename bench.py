@@ -32,6 +32,7 @@ def bench_end_to_end(frames=2, w=416, h=240):
     rng = np.random.default_rng(7)
     enc = Encoder(EncoderConfig(w, h, qp=32))
     planes = [synthetic_planes(w, h, t, rng) for t in range(frames)]
+    enc.encode_frame(planes[0], 1000)     # warmup: jit-compile analysis path
     t0 = time.time()
     n = 0
     for t, p in enumerate(planes):

@@ -598,12 +598,29 @@ class CtuSearch:
 
         blk_parts = max((1 << log2) >> 2, 1)
 
-        def avail(ax, ay):
-            if ax < 0 or ay < 0:
-                return False
-            lx, ly = ax << (sx if comp else 0), ay << (sy if comp else 0)
-            return pic.part_available(lx // 4, ly // 4, px, py, constrained,
-                                      blk_parts, blk_parts)
+        # fast path: single slice/tile, unconstrained intra — a neighbor
+        # part outside the current block is available iff committed
+        # (coded flags are maintained in z-order by the search)
+        fast = (not constrained and
+                len(pic.tiles.col_bounds) == 2 and
+                len(pic.tiles.row_bounds) == 2)
+
+        if fast:
+            def avail(ax, ay):
+                if ax < 0 or ay < 0:
+                    return False
+                ppx = (ax << (sx if comp else 0)) >> 2
+                ppy = (ay << (sy if comp else 0)) >> 2
+                if ppx * 4 >= pic.w or ppy * 4 >= pic.h:
+                    return False
+                return bool(pic.coded[ppy, ppx])
+        else:
+            def avail(ax, ay):
+                if ax < 0 or ay < 0:
+                    return False
+                lx, ly = ax << (sx if comp else 0), ay << (sy if comp else 0)
+                return pic.part_available(lx // 4, ly // 4, px, py,
+                                          constrained, blk_parts, blk_parts)
 
         return intra_ref.fill_reference_samples(
             pic.rec[comp], x0, y0, size, unit_w, unit_h, avail,
@@ -622,9 +639,98 @@ class CtuSearch:
         return intra_ref.predict_intra(mode, top, left, size,
                                        self.bit_depth[comp], comp == 0)
 
+    def _premodes(self, log2):
+        """Frame-level batched 35-mode SATD analysis for all aligned blocks
+        of one size, using original-pixel references (TPU batch path: the
+        whole frame's blocks go through the jitted predict+SATD kernel at
+        once instead of one 35-mode sweep per CU)."""
+        cache = getattr(self, "_premode_cache", None)
+        if cache is None:
+            cache = self._premode_cache = {}
+        if log2 in cache:
+            return cache[log2]
+        from hm16_2_tpu.ops import analysis
+        import jax
+        import jax.numpy as jnp
+        pic = self.pic
+        s = 1 << log2
+        yo = self.orig[0]
+        hh, ww = yo.shape
+        nby, nbx = hh // s, ww // s
+        if nby == 0 or nbx == 0:
+            cache[log2] = np.zeros((0, 0), dtype=np.int32)
+            return cache[log2]
+        x0s = (np.arange(nbx) * s)[None, :].repeat(nby, 0).ravel()
+        y0s = (np.arange(nby) * s)[:, None].repeat(nbx, 1).ravel()
+        rng = np.arange(-1, 2 * s)
+        tops = yo[np.clip(y0s - 1, 0, None)[:, None],
+                  np.clip(x0s[:, None] + rng[None, :], 0, ww - 1)]
+        lrng = np.concatenate([[-1], np.arange(0, 2 * s)])
+        lefts = yo[np.clip(y0s[:, None] + lrng[None, :], 0, hh - 1),
+                   np.clip(x0s - 1, 0, None)[:, None]]
+        lefts[:, 0] = tops[:, 0]        # shared corner sample
+        n = len(x0s)
+        buf_u = np.zeros((n, 4 * s + 1), dtype=np.int32)
+        buf_u[:, 2 * s] = tops[:, 0]
+        buf_u[:, 2 * s + 1:] = tops[:, 1:]
+        buf_u[:, :2 * s] = lefts[:, 1:][:, ::-1]
+        # [1 2 1] smoothing along the L-shaped buffer (ends unfiltered)
+        buf_f = buf_u.copy()
+        buf_f[:, 1:-1] = (buf_u[:, 2:] + 2 * buf_u[:, 1:-1]
+                          + buf_u[:, :-2] + 2) >> 2
+        bd = self.bit_depth[0]
+        if s == 32 and self.sps.strong_intra_smoothing:
+            thr = 1 << (bd - 5)
+            c0, cs_, c2s = buf_u[:, 2 * s], buf_u[:, 3 * s], buf_u[:, 4 * s]
+            l0, ls_, l2s = buf_u[:, 2 * s], buf_u[:, s], buf_u[:, 0]
+            strong = (np.abs(c0 + c2s - 2 * cs_) < thr) & \
+                     (np.abs(l0 + l2s - 2 * ls_) < thr)
+            i = np.arange(1, 2 * s)
+            top_bl = ((2 * s - i)[None, :] * c0[:, None]
+                      + i[None, :] * c2s[:, None] + s) >> (log2 + 1)
+            left_bl = ((2 * s - i)[None, :] * l0[:, None]
+                       + i[None, :] * l2s[:, None] + s) >> (log2 + 1)
+            sb = buf_u.copy()
+            sb[:, 2 * s + 1: 4 * s] = top_bl
+            sb[:, 1: 2 * s] = left_bl[:, ::-1]
+            buf_f = np.where(strong[:, None], sb, buf_f)
+        bufs = np.stack([buf_u, buf_f], axis=1)
+        blocks = yo[:nby * s, :nbx * s].reshape(nby, s, nbx, s) \
+            .swapaxes(1, 2).reshape(n, s, s)
+        # frame-sized batches this small dispatch faster on the host CPU
+        # backend; HM16_ANALYSIS_TPU=1 keeps them on the accelerator
+        import os
+        if os.environ.get("HM16_ANALYSIS_TPU"):
+            dev = jax.devices()[0]
+        else:
+            try:
+                dev = jax.devices("cpu")[0]
+            except Exception:
+                dev = jax.devices()[0]
+        with jax.default_device(dev):
+            preds = analysis.predict_all_modes(jnp.asarray(bufs), s, True, bd)
+            diffs = preds.astype(jnp.int32) - \
+                jnp.asarray(blocks, jnp.int32)[:, None]
+            costs = analysis.batched_satd(diffs)
+            best = np.asarray(jnp.argmin(costs, axis=-1), dtype=np.int32)
+        cache[log2] = best.reshape(nby, nbx)
+        return cache[log2]
+
     def _search_luma_mode(self, px, py, log2) -> int:
         """35-mode SATD sweep via the batched gather-table kernel
         (estIntraPredQT analogue)."""
+        pic = self.pic
+        size = 1 << log2
+        x0, y0 = px * 4, py * 4
+        if x0 % size == 0 and y0 % size == 0:
+            pm = self._premodes(log2)
+            by, bx = y0 // size, x0 // size
+            if by < pm.shape[0] and bx < pm.shape[1]:
+                return int(pm[by, bx])
+        return self._search_luma_mode_recon(px, py, log2)
+
+    def _search_luma_mode_recon(self, px, py, log2) -> int:
+        """Per-CU sweep with reconstructed references (fallback)."""
         from hm16_2_tpu.ops import analysis
         pic = self.pic
         size = 1 << log2
@@ -649,13 +755,19 @@ class CtuSearch:
         x0 = (px * 4) >> (sx if comp else 0)
         y0 = (py * 4) >> (sy if comp else 0)
         bd = self.bit_depth[comp]
-        orig = self.orig[comp][y0:y0 + size, x0:x0 + size].astype(np.int64)
         pred = self._predict(px, py, log2, comp, mode)
-        resi = orig - pred
         log2_tr = size.bit_length() - 1
         use_dst = (comp == 0 and size == 4)
-        fwd = transforms_ref.forward_transform(resi, bd, use_dst)
         qp = self._tu_qp(px, py, comp)
+
+        cbf = self._native_code_tu(comp, x0, y0, size, log2_tr, bd, qp,
+                                   use_dst, True, pred)
+        if cbf >= 0:
+            return cbf
+
+        orig = self.orig[comp][y0:y0 + size, x0:x0 + size].astype(np.int64)
+        resi = orig - pred
+        fwd = transforms_ref.forward_transform(resi, bd, use_dst)
         levels = transforms_ref.quant(fwd, qp, bd, log2_tr, is_intra=True)
         cbf = 1 if np.any(levels) else 0
         pic.coeff[comp][y0:y0 + size, x0:x0 + size] = levels
@@ -667,6 +779,38 @@ class CtuSearch:
         pic.rec[comp][y0:y0 + size, x0:x0 + size] = np.clip(
             pred + rec_resi, 0, (1 << bd) - 1)
         return cbf
+
+    def _native_code_tu(self, comp, x0, y0, size, log2_tr, bd, qp, use_dst,
+                        is_intra, pred) -> int:
+        """Fused C++ transform/quant/recon; returns cbf or -1 (unavailable).
+        Writes levels and reconstruction directly into the picture planes."""
+        from hm16_2_tpu import native
+        lib = native.get_dsp()
+        if lib is None:
+            return -1
+        import ctypes
+        pic = self.pic
+        orig = self.orig[comp]
+        if orig.dtype != np.int32 or not orig.flags.c_contiguous:
+            orig = np.ascontiguousarray(orig, dtype=np.int32)
+            self.orig[comp] = orig
+        pred32 = np.ascontiguousarray(pred, dtype=np.int32)
+        coeff = pic.coeff[comp]
+        rec = pic.rec[comp]
+        i32 = ctypes.c_int32
+        optr = orig.ctypes.data_as(ctypes.c_void_p).value + \
+            4 * (y0 * orig.shape[1] + x0)
+        cptr = coeff.ctypes.data_as(ctypes.c_void_p).value + \
+            4 * (y0 * coeff.shape[1] + x0)
+        rptr = rec.ctypes.data_as(ctypes.c_void_p).value + \
+            4 * (y0 * rec.shape[1] + x0)
+        return lib.code_tu(
+            ctypes.c_void_p(optr), orig.shape[1],
+            pred32.ctypes.data_as(ctypes.c_void_p), size,
+            size, log2_tr, bd, qp, 1 if use_dst else 0,
+            1 if is_intra else 0,
+            ctypes.c_void_p(cptr), coeff.shape[1],
+            ctypes.c_void_p(rptr), rec.shape[1])
 
     def _tu_qp(self, px, py, comp):
         sps, pps, sh = self.sps, self.pps, self.sh

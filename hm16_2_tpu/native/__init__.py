@@ -97,3 +97,48 @@ def get_lib():
         _tables_keepalive[4].ctypes.data_as(ctypes.c_void_p))
     _lib = lib
     return lib
+
+
+_SRC_DSP = os.path.join(_DIR, "dsp_core.cpp")
+_SO_DSP = os.path.join(_DIR, "dsp_core.so")
+_dsp = None
+_dsp_failed = False
+
+
+def get_dsp():
+    """ctypes handle to the fused TU-coding DSP core (or None)."""
+    global _dsp, _dsp_failed
+    if _dsp is not None or _dsp_failed:
+        return _dsp
+    if os.environ.get("HM16_NO_NATIVE"):
+        _dsp_failed = True
+        return None
+    try:
+        if (not os.path.exists(_SO_DSP) or
+                os.path.getmtime(_SO_DSP) < os.path.getmtime(_SRC_DSP)):
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-o", _SO_DSP, _SRC_DSP],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(_SO_DSP)
+    except Exception:
+        _dsp_failed = True
+        return None
+    lib.set_dsp_tables.argtypes = [ctypes.c_void_p] * 7
+    lib.code_tu.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_int64]
+    lib.code_tu.restype = ctypes.c_int
+
+    from hm16_2_tpu.common.tables import (
+        DCT, DST4, INV_QUANT_SCALES, QUANT_SCALES)
+    global _dsp_tables_keepalive
+    _dsp_tables_keepalive = tuple(
+        np.ascontiguousarray(a, dtype=np.int32)
+        for a in (DCT[4], DCT[8], DCT[16], DCT[32], DST4,
+                  QUANT_SCALES, INV_QUANT_SCALES))
+    lib.set_dsp_tables(*[t.ctypes.data_as(ctypes.c_void_p)
+                         for t in _dsp_tables_keepalive])
+    _dsp = lib
+    return lib

@@ -22,6 +22,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from hm16_2_tpu._jaxcache import ensure_cache
+
+ensure_cache()
+
 from hm16_2_tpu.common.tables import ANG_TABLE, INV_ANG_TABLE, DCT, DST4, QUANT_SCALES
 from hm16_2_tpu.ops.intra_ref import (
     DC_IDX, HOR_IDX, PLANAR_IDX, VER_IDX, should_filter)

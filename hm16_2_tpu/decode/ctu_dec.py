@@ -1256,6 +1256,32 @@ class SliceDecoder:
     def _recon_inter_cu(self, px, py, log2):
         """xReconInter: full-CU motion compensation, then inverse-RQT
         residual accumulation with one final clip."""
+        pic = self.pic
+        size = 1 << log2
+        preds = self.inter_pred_cu(px, py, log2)
+
+        # residual accumulation over the TU tree
+        if self.pps.cross_component_prediction_enabled:
+            self._ccp_luma_resi = np.zeros((size, size), dtype=np.int64)
+            self._ccp_origin = (px * 4, py * 4)
+        for comp in range(pic.num_comps):
+            sx, sy = pic.comp_shift[comp]
+            x0, y0 = (px * 4) >> sx, (py * 4) >> sy
+            resi = np.zeros_like(preds[comp])
+            self._accum_inter_resi(px, py, px, py, log2, 0, comp, resi,
+                                   x0, y0)
+            if self.pps.cross_component_prediction_enabled and comp == 0:
+                self._ccp_luma_resi[:, :] = resi
+            bd = self.bit_depth[comp]
+            pic.rec[comp][y0:y0 + preds[comp].shape[0],
+                          x0:x0 + preds[comp].shape[1]] = np.clip(
+                preds[comp] + resi, 0, (1 << bd) - 1)
+
+    def inter_pred_cu(self, px, py, log2):
+        """Motion-compensated prediction planes for a whole inter CU
+        (per-PU MC incl. weighted prediction, bi averaging, and the
+        identical-motion collapse) from the committed picture arrays.
+        Shared by decode reconstruction and the encoder search."""
         from hm16_2_tpu.ops import interp_ref
         pic, sps = self.pic, self.sps
         size = 1 << log2
@@ -1312,23 +1338,7 @@ class SliceDecoder:
                 else:
                     blk = partial[0][comp] if partial[0] is not None else partial[1][comp]
                 preds[comp][oy:oy + (h >> sy), ox:ox + (w >> sx)] = blk
-
-        # residual accumulation over the TU tree
-        if self.pps.cross_component_prediction_enabled:
-            self._ccp_luma_resi = np.zeros((size, size), dtype=np.int64)
-            self._ccp_origin = (px * 4, py * 4)
-        for comp in range(pic.num_comps):
-            sx, sy = pic.comp_shift[comp]
-            x0, y0 = (px * 4) >> sx, (py * 4) >> sy
-            resi = np.zeros_like(preds[comp])
-            self._accum_inter_resi(px, py, px, py, log2, 0, comp, resi,
-                                   x0, y0)
-            if self.pps.cross_component_prediction_enabled and comp == 0:
-                self._ccp_luma_resi[:, :] = resi
-            bd = self.bit_depth[comp]
-            pic.rec[comp][y0:y0 + preds[comp].shape[0],
-                          x0:x0 + preds[comp].shape[1]] = np.clip(
-                preds[comp] + resi, 0, (1 << bd) - 1)
+        return preds
 
     def _weighted_pred(self, partial, ref_idxs, comp, bi):
         """Explicit weighted prediction (TComWeightPrediction.cpp:44-195)."""

@@ -113,15 +113,24 @@ class CtuEncoder(SliceDecoder):
         if merged:
             self._enc_merge_index(int(pic.mvp_idx[0, py, px]))
         else:
-            # inter dir implicit (P); B would need inter_dir bins here
+            inter_dir = int(pic.inter_dir[py, px])
+            if sh.slice_type == 0:         # B: code inter_pred_idc
+                ctx_inc = int(pic.depth[py, px])
+                if part_size == SIZE_2Nx2N or (1 << log2) != 8:
+                    e.encode_bin(1 if inter_dir == 3 else 0,
+                                 c.idx("inter_dir", ctx_inc))
+                if inter_dir != 3:
+                    e.encode_bin(1 if inter_dir == 2 else 0,
+                                 c.idx("inter_dir", 4))
             for lx in range(2 if sh.slice_type == 0 else 1):
                 if sh.num_ref_idx[lx] <= 0:
                     continue
-                if not ((int(pic.inter_dir[py, px]) >> lx) & 1):
+                if not ((inter_dir >> lx) & 1):
                     continue
                 self._enc_ref_idx(lx, int(pic.ref_idx[lx, py, px]))
-                self._enc_mvd((int(pic.mvd[lx, py, px, 0]),
-                               int(pic.mvd[lx, py, px, 1])))
+                if not (sh.mvd_l1_zero and lx == 1 and inter_dir == 3):
+                    self._enc_mvd((int(pic.mvd[lx, py, px, 0]),
+                                   int(pic.mvd[lx, py, px, 1])))
                 mvp_idx = int(pic.mvp_idx[lx, py, px])
                 e.encode_bin(mvp_idx, c.idx("mvp_idx"))
         # root cbf

@@ -27,8 +27,8 @@ from hm16_2_tpu.decode.top import picture_md5
 from hm16_2_tpu.encode.ctu_enc import CtuEncoder
 from hm16_2_tpu.headers import write as W
 from hm16_2_tpu.headers.params import (
-    I_SLICE, P_SLICE, NAL_IDR_W_RADL, NAL_TRAIL_R, PPS, SPS, ShortTermRPS,
-    SliceHeader, VPS)
+    B_SLICE, I_SLICE, P_SLICE, NAL_IDR_W_RADL, NAL_TRAIL_R, PPS, SPS,
+    ShortTermRPS, SliceHeader, VPS)
 from hm16_2_tpu.ops import interp_ref, intra_ref, transforms_ref
 from hm16_2_tpu.ops.intra_ref import DM_CHROMA_IDX
 from hm16_2_tpu.ops.satd import satd_block
@@ -36,7 +36,8 @@ from hm16_2_tpu.ops.satd import satd_block
 
 class EncoderConfig:
     def __init__(self, width, height, qp=32, bit_depth=8, chroma_format=1,
-                 intra_period=1, deblock=True, sao=False, rdo=True):
+                 intra_period=1, deblock=True, sao=False, rdo=True,
+                 gop="ld"):
         self.width, self.height = width, height
         self.qp = qp
         self.bit_depth = bit_depth
@@ -45,11 +46,27 @@ class EncoderConfig:
         self.deblock = deblock
         self.sao = sao
         self.rdo = rdo
+        self.gop = gop               # "ld" (IPPP) or "ra8" (hierarchical B)
         self.log2_ctb = 6
         self.log2_min_cb = 3
         self.log2_min_tb = 2
         self.log2_max_tb = 5
         self.fixed_cu_log2 = 4       # 16x16 CUs (round-1 fixed partitioning)
+
+
+# Random-access GOP-8 hierarchical-B structure (coding order within one GOP;
+# mirrors the JCT-VC common-test-condition table in
+# cfg/encoder_randomaccess_main.cfg:24-32 of the reference).
+RA8_GOP = [
+    dict(poc=8, qpoff=1, qpfac=0.442,  refs=(-8, -16)),
+    dict(poc=4, qpoff=2, qpfac=0.3536, refs=(-4, 4)),
+    dict(poc=2, qpoff=3, qpfac=0.3536, refs=(-2, 2, 6)),
+    dict(poc=1, qpoff=4, qpfac=0.68,   refs=(-1, 1, 3, 7)),
+    dict(poc=3, qpoff=4, qpfac=0.68,   refs=(-1, -3, 1, 5)),
+    dict(poc=6, qpoff=3, qpfac=0.3536, refs=(-2, -6, 2)),
+    dict(poc=5, qpoff=4, qpfac=0.68,   refs=(-1, -5, 1, 3)),
+    dict(poc=7, qpoff=4, qpfac=0.68,   refs=(-1, -7, 1)),
+]
 
 
 def build_sps_pps(cfg: EncoderConfig):
@@ -68,8 +85,8 @@ def build_sps_pps(cfg: EncoderConfig):
     sps.sao_enabled = 1 if cfg.sao else 0
     sps.temporal_mvp_enabled = 0      # round-1 encoder: spatial MVP only
     sps.strong_intra_smoothing = 1
-    sps.max_dec_pic_buffering = [5]
-    sps.num_reorder_pics = [0]
+    sps.max_dec_pic_buffering = [9 if cfg.gop == "ra8" else 5]
+    sps.num_reorder_pics = [7 if cfg.gop == "ra8" else 0]
     sps.max_latency_increase = [0]
     sps.rps_list = []
     if cfg.intra_period != 1:
@@ -94,10 +111,13 @@ class Encoder:
         self.frames_coded = 0
         self.bits_per_frame = []
         self.dpb = DPB()
+        self._reorder = {}
+        self._next_coded = 0
+        self._gop_start = 0
 
     def encode_frame(self, planes: list[np.ndarray], poc: int) -> bytes:
         """Encode one frame (IDR at intra-period boundaries, else LD-P)."""
-        cfg, sps, pps = self.cfg, self.sps, self.pps
+        cfg, sps = self.cfg, self.sps
         is_idr = cfg.intra_period == 1 or \
             (cfg.intra_period > 0 and poc % cfg.intra_period == 0) or \
             self.frames_coded == 0
@@ -105,7 +125,6 @@ class Encoder:
         if is_idr:
             sh.nal_type = NAL_IDR_W_RADL
             sh.slice_type = I_SLICE
-            self.dpb.clear()
         else:
             sh.nal_type = NAL_TRAIL_R
             sh.slice_type = P_SLICE
@@ -113,8 +132,85 @@ class Encoder:
             sh.rps = sps.rps_list[0]
             sh.num_ref_idx = [1, 0]
             sh.max_num_merge_cand = 5
-        sh.poc = poc
         sh.qp = cfg.qp
+        return self._encode_one(planes, poc, sh)
+
+    # ---- random-access (hierarchical-B) push API ----
+
+    def push_frame(self, planes: list[np.ndarray], poc: int) -> list[bytes]:
+        """Buffer a display-order frame; returns any AUs that became
+        codable, in coding (bitstream) order."""
+        if self.cfg.gop != "ra8":
+            return [self.encode_frame(planes, poc)]
+        self._reorder[poc] = planes
+        return self._drain(False)
+
+    def flush(self) -> list[bytes]:
+        if self.cfg.gop != "ra8":
+            return []
+        return self._drain(True)
+
+    def _drain(self, final: bool) -> list[bytes]:
+        aus = []
+        buf = self._reorder
+        while True:
+            if self._next_coded == 0:
+                if 0 not in buf:
+                    break
+                sh = SliceHeader()
+                sh.nal_type = NAL_IDR_W_RADL
+                sh.slice_type = I_SLICE
+                sh.qp = self.cfg.qp
+                aus.append(self._encode_one(buf.pop(0), 0, sh))
+                self._next_coded = 1
+                self._gop_start = 0
+                continue
+            gop_pocs = [self._gop_start + s["poc"] for s in RA8_GOP]
+            if all(p in buf for p in gop_pocs):
+                for slot in RA8_GOP:
+                    p = self._gop_start + slot["poc"]
+                    aus.append(self._encode_ra_picture(buf.pop(p), p, slot))
+                self._gop_start += 8
+                self._next_coded = self._gop_start + 1
+                continue
+            if final and buf:
+                # tail: code remaining frames in display order, low-delay B
+                for p in sorted(buf):
+                    slot = dict(poc=0, qpoff=4, qpfac=0.68, refs=(-1,))
+                    aus.append(self._encode_ra_picture(buf.pop(p), p, slot))
+                continue
+            break
+        return aus
+
+    def _encode_ra_picture(self, planes, poc, slot) -> bytes:
+        sh = SliceHeader()
+        sh.nal_type = NAL_TRAIL_R
+        sh.slice_type = B_SLICE
+        sh.qp = int(np.clip(self.cfg.qp + slot["qpoff"], 0, 51))
+        neg = sorted([d for d in slot["refs"] if d < 0 and
+                      self.dpb.get(poc + d) is not None], reverse=True)
+        pos = sorted([d for d in slot["refs"] if d > 0 and
+                      self.dpb.get(poc + d) is not None])
+        sh.rps_idx = -1
+        sh.rps = ShortTermRPS(num_negative=len(neg), num_positive=len(pos),
+                              delta_poc=neg + pos,
+                              used=[1] * (len(neg) + len(pos)))
+        total = len(neg) + len(pos)
+        sh.num_ref_idx = [min(2, total), min(2, total)]
+        sh.max_num_merge_cand = 5
+        return self._encode_one(planes, poc, sh, qp_factor=slot["qpfac"])
+
+    def _encode_one(self, planes, poc, sh, qp_factor=None) -> bytes:
+        cfg, sps, pps = self.cfg, self.sps, self.pps
+        is_idr = sh.slice_type == I_SLICE
+        if is_idr:
+            self.dpb.clear()
+        elif sh.rps is not None:
+            # DPB marking: the decoder drops pictures absent from the RPS
+            keep = {poc + d for d in sh.rps.delta_poc}
+            for p in [p for p in self.dpb.pics if p not in keep]:
+                del self.dpb.pics[p]
+        sh.poc = poc
         sh.sps, sh.pps = sps, pps
         sh.deblocking_filter_disabled = pps.deblocking_filter_disabled
 
@@ -122,11 +218,12 @@ class Encoder:
         pic.poc = poc
         pic.slices.append(sh)
 
-        search = CtuSearch(pic, sh, planes, rdo=cfg.rdo)
+        search = CtuSearch(pic, sh, planes, rdo=cfg.rdo, qp_factor=qp_factor)
         if not is_idr:
             ref_lists = build_ref_lists(sh, self.dpb)
             rc = RefCtx(sh, ref_lists)
             search.mvp = MvPredictor(pic, rc, 0)
+            search.cenc.mvp = search.mvp
         enc = CtuEncoder(pic, sh, 0)
         bw = BitWriter()
         W.write_slice_header(bw, sh, sps, pps)
@@ -180,7 +277,7 @@ class CtuSearch:
     """Per-CTU mode decision + reconstruction (fills picture arrays)."""
 
     def __init__(self, pic: PictureState, sh: SliceHeader, orig_planes,
-                 rdo: bool = True):
+                 rdo: bool = True, qp_factor: float | None = None):
         self.pic = pic
         self.sh = sh
         self.sps, self.pps = sh.sps, sh.pps
@@ -189,11 +286,13 @@ class CtuSearch:
         self.bit_depth = [self.sps.bit_depth_luma, self.sps.bit_depth_chroma,
                           self.sps.bit_depth_chroma]
         self.rdo = rdo
+        self.cenc = CtuEncoder(pic, sh, 0)
         if rdo:
             # HM lambda model (TEncSlice::setUpLambda simplified): SSE-domain
             # lambda; chroma distortion weighted by the luma/chroma QP gap.
             qp = sh.qp
-            alpha = 0.57 if sh.slice_type == I_SLICE else 0.68
+            alpha = qp_factor if qp_factor is not None else \
+                (0.57 if sh.slice_type == I_SLICE else 0.68)
             self.lam = alpha * 2.0 ** ((qp - 12) / 3.0)
             if pic.num_comps > 1:
                 from hm16_2_tpu.common.tables import CHROMA_QP_SCALE
@@ -202,7 +301,6 @@ class CtuSearch:
             else:
                 cqp = qp
             self.chroma_weight = 2.0 ** ((qp - cqp) / 3.0)
-            self.cenc = CtuEncoder(pic, sh, 0)
             self.rd_ctx = ContextSet()
             self.rd_ctx.reset(sh.slice_type, min(max(sh.qp, 0), 51))
 
@@ -369,7 +467,7 @@ class CtuSearch:
         pic.coded[py:py + n, px:px + n] = True
         pic.tr_idx[py:py + n, px:px + n] = 0
 
-        if self.sh.slice_type == P_SLICE:
+        if self.sh.slice_type != I_SLICE:
             if self._try_inter_cu(px, py, log2):
                 return True
             pic.pred_mode[py:py + n, px:px + n] = MODE_INTRA
@@ -397,148 +495,186 @@ class CtuSearch:
     # ------------------------------------------------------------------
 
     def _try_inter_cu(self, px, py, log2) -> bool:
-        """Evaluate inter 2Nx2N; commit and return True when chosen."""
+        """Evaluate inter 2Nx2N (merge / per-list AMVP ME / bi-pred);
+        commit and return True when chosen over the intra estimate.
+        Reference: TEncSearch::predInterSearch (TEncSearch.cpp:3075),
+        xMergeEstimation (:2987)."""
         pic, sh = self.pic, self.sh
+        rc = self.mvp.rc
+        is_b = sh.slice_type == B_SLICE
         size = 1 << log2
         x0, y0 = px * 4, py * 4
         n = size // 4
         orig = self.orig[0][y0:y0 + size, x0:x0 + size].astype(np.int64)
-        ref = self.mvp.rc.ref_lists[0][0]
-        lam = int(np.sqrt(0.85 * 2.0 ** ((self.sh.qp - 12) / 3.0)) + 0.5)
+        lam = int(np.sqrt(0.85 * 2.0 ** ((sh.qp - 12) / 3.0)) + 0.5)
 
-        # merge candidates
+        best = None    # (cost, kind, payload)
         cands = self.mvp.merge_candidates(x0, y0, size, size, 0, SIZE_2Nx2N,
                                           px, py)
-        best = None    # (cost, kind, payload)
-        for m_idx, (inter_dir, m0, m1) in enumerate(cands[:sh.max_num_merge_cand]):
-            if not (inter_dir & 1):
+        for m_idx, cand in enumerate(cands[:sh.max_num_merge_cand]):
+            pred = self._mc_luma_cand(x0, y0, size, cand)
+            if pred is None:
                 continue
-            r_idx, mv = m0
-            if r_idx < 0 or r_idx >= len(self.mvp.rc.ref_lists[0]):
-                continue
-            mref = self.mvp.rc.ref_lists[0][r_idx]
-            pred = interp_ref.mc_block(mref.rec[0], x0, y0, size, size,
-                                       mv[0], mv[1], 2, 2, True,
-                                       self.bit_depth[0], False)
             cost = satd_block(orig - pred) + lam * (m_idx + 1)
             if best is None or cost < best[0]:
-                best = (cost, "merge", (m_idx, r_idx, mv))
+                best = (cost, "merge", (m_idx, cand))
 
-        # integer-pel full search around the AMVP predictor, then
-        # half/quarter-pel refinement (TEncSearch::xPatternSearchFracDIF)
-        amvp = self.mvp.amvp_candidates(x0, y0, size, size, 0, 0)
-        mv_int, _ = self._int_me(orig, ref.rec[0], x0, y0, size,
-                                 (amvp[0][0] >> 2, amvp[0][1] >> 2))
-        mv_q, sad = self._subpel_refine(orig, ref.rec[0], x0, y0, size, mv_int)
-        mvd_bits = []
-        for k in range(2):
-            d = (mv_q[0] - amvp[k][0], mv_q[1] - amvp[k][1])
-            mvd_bits.append((abs(d[0]).bit_length() + abs(d[1]).bit_length()
-                             + 4, k, d))
-        mvd_bits.sort()
-        bits_k, mvp_idx, mvd = mvd_bits[0]
-        me_cost = sad + lam * (bits_k + 2)
-        if best is None or me_cost < best[0]:
-            best = (me_cost, "amvp", (mvp_idx, mvd, mv_q))
+        # per-list motion estimation: integer full search around the AMVP
+        # predictor, then half/quarter-pel refinement
+        # (TEncSearch::xPatternSearchFracDIF)
+        uni = {}
+        for lx in ((0, 1) if is_b else (0,)):
+            if sh.num_ref_idx[lx] <= 0 or not rc.ref_lists[lx]:
+                continue
+            ref = rc.ref_lists[lx][0]
+            amvp = self.mvp.amvp_candidates(x0, y0, size, size, lx, 0)
+            mv_int, _ = self._int_me(orig, ref.rec[0], x0, y0, size,
+                                     (amvp[0][0] >> 2, amvp[0][1] >> 2))
+            mv_q, satd_c = self._subpel_refine(orig, ref.rec[0], x0, y0,
+                                               size, mv_int)
+            mvd_bits = []
+            for k in range(2):
+                d = (mv_q[0] - amvp[k][0], mv_q[1] - amvp[k][1])
+                mvd_bits.append((abs(d[0]).bit_length()
+                                 + abs(d[1]).bit_length() + 4, k, d))
+            mvd_bits.sort()
+            bits_k, mvp_idx, mvd = mvd_bits[0]
+            uni[lx] = (mv_q, mvd, mvp_idx, bits_k)
+            cost = satd_c + lam * (bits_k + 2 + (2 if is_b else 0))
+            if best is None or cost < best[0]:
+                best = (cost, "uni", (lx, mv_q, mvd, mvp_idx))
+        if is_b and 0 in uni and 1 in uni:
+            bd = self.bit_depth[0]
+            p0 = interp_ref.mc_block(rc.ref_lists[0][0].rec[0], x0, y0, size,
+                                     size, uni[0][0][0], uni[0][0][1], 2, 2,
+                                     True, bd, True)
+            p1 = interp_ref.mc_block(rc.ref_lists[1][0].rec[0], x0, y0, size,
+                                     size, uni[1][0][0], uni[1][0][1], 2, 2,
+                                     True, bd, True)
+            bpred = interp_ref.bi_average(p0, p1, bd)
+            cost = satd_block(orig - bpred) + lam * (uni[0][3] + uni[1][3] + 6)
+            if best is None or cost < best[0]:
+                best = (cost, "bi", None)
+        if best is None:
+            return False
 
         # compare against a cheap intra estimate (skipped for CUs larger
         # than the max TB: no intra alternative exists there)
         if log2 <= self.sps.log2_max_tb:
             intra_mode = self._search_luma_mode(px, py, log2)
             ipred = self._predict(px, py, log2, 0, intra_mode)
-            intra_cost = satd_block(orig - ipred) + lam * 24
-            if intra_cost <= best[0]:
+            if satd_block(orig - ipred) + lam * 24 <= best[0]:
                 return False
 
+        # ---- commit motion fields ----
         kind, payload = best[1], best[2]
+        sl = np.s_[py:py + n, px:px + n]
+        pic.pred_mode[sl] = MODE_INTER
+        pic.part_size[sl] = SIZE_2Nx2N
+        pic.merge_flag[sl] = 0
+        for lx in range(2):
+            pic.ref_idx[lx][sl] = -1
+            pic.mv[lx][sl] = 0
+            pic.mvd[lx][sl] = 0
+            pic.ref_poc[lx][sl] = -(10 ** 9)
         if kind == "merge":
-            _, r_idx, mv = payload
-            ref = self.mvp.rc.ref_lists[0][r_idx]
+            m_idx, (inter_dir, m0, m1) = payload
+            pic.merge_flag[sl] = 1
+            pic.mvp_idx[0][sl] = m_idx
+            for lx, m in ((0, m0), (1, m1)):
+                if not ((inter_dir >> lx) & 1):
+                    continue
+                r_idx, mv = m
+                pic.ref_idx[lx][sl] = r_idx
+                pic.mv[lx][sl] = mv
+                pic.ref_poc[lx][sl] = rc.ref_poc(lx, r_idx)
         else:
-            _, _, mv = payload
-            r_idx = 0
+            parts = ({payload[0]: payload[1:]} if kind == "uni"
+                     else {0: uni[0][:3], 1: uni[1][:3]})
+            inter_dir = sum(1 << lx for lx in parts)
+            for lx, (mv_q, mvd, mvp_idx) in parts.items():
+                pic.ref_idx[lx][sl] = 0
+                pic.mv[lx][sl] = mv_q
+                pic.mvd[lx][sl] = mvd
+                pic.mvp_idx[lx][sl] = mvp_idx
+                pic.ref_poc[lx][sl] = rc.ref_poc(lx, 0)
+        pic.inter_dir[sl] = inter_dir
 
-        # residual per component, computed before any state commit so the
-        # candidate can be rejected (e.g. nonzero cbf at CU > max TB)
-        results = []
+        # exact prediction through the shared decoder MC path (incl.
+        # bi averaging and identical-motion collapse)
+        preds = self.cenc.inter_pred_cu(px, py, log2)
+
+        # residual per component (TU == CU; CUs above the max TB size are
+        # only usable with an all-zero residual: skip / root-cbf-0)
+        any_cbf = 0
+        max_tb = 1 << self.sps.log2_max_tb
         for comp in range(pic.num_comps):
             sx, sy = pic.comp_shift[comp]
             cx0, cy0 = x0 >> sx, y0 >> sy
             cs = size >> sx
-            co = self.orig[comp][cy0:cy0 + cs, cx0:cx0 + cs].astype(np.int64)
-            cpred = interp_ref.mc_block(ref.rec[comp], cx0, cy0, cs, cs,
-                                        mv[0], mv[1], 2 + sx, 2 + sy,
-                                        comp == 0, self.bit_depth[comp], False)
-            resi = co - cpred
             qp = self._tu_qp(px, py, comp)
-            max_tb = 1 << self.sps.log2_max_tb
+            bd = self.bit_depth[comp]
+            cpred = preds[comp]
             if cs > max_tb:
-                # CU above max TB: usable only when every sub-TB quantizes
-                # to zero (skip / root-cbf-0); test per 32x32 tile
-                levels = np.zeros_like(resi, dtype=np.int64)
-                cbf = 0
+                co = self.orig[comp][cy0:cy0 + cs,
+                                     cx0:cx0 + cs].astype(np.int64)
+                resi = co - cpred
                 for ty in range(0, cs, max_tb):
                     for tx in range(0, cs, max_tb):
                         fwd = transforms_ref.forward_transform(
-                            resi[ty:ty + max_tb, tx:tx + max_tb],
-                            self.bit_depth[comp], False)
-                        sub = transforms_ref.quant(
-                            fwd, qp, self.bit_depth[comp],
-                            self.sps.log2_max_tb, is_intra=False)
-                        if np.any(sub):
-                            cbf = 1
-                if cbf:
-                    return False   # would need an RQT split; force CU split
+                            resi[ty:ty + max_tb, tx:tx + max_tb], bd, False)
+                        if np.any(transforms_ref.quant(
+                                fwd, qp, bd, self.sps.log2_max_tb,
+                                is_intra=False)):
+                            return False    # caller rolls the commit back
+                pic.coeff[comp][cy0:cy0 + cs, cx0:cx0 + cs] = 0
+                pic.rec[comp][cy0:cy0 + cs, cx0:cx0 + cs] = np.clip(
+                    cpred, 0, (1 << bd) - 1)
+                cbf = 0
             else:
                 log2_tr = cs.bit_length() - 1
-                fwd = transforms_ref.forward_transform(
-                    resi, self.bit_depth[comp], False)
-                levels = transforms_ref.quant(fwd, qp, self.bit_depth[comp],
-                                              log2_tr, is_intra=False)
-                cbf = 1 if np.any(levels) else 0
-            if cbf:
-                deq = transforms_ref.dequant(levels, qp, self.bit_depth[comp],
-                                             log2_tr)
-                rec_resi = transforms_ref.inverse_transform(
-                    deq, self.bit_depth[comp], False)
-            else:
-                rec_resi = 0
-            rec = np.clip(cpred + rec_resi, 0,
-                          (1 << self.bit_depth[comp]) - 1)
-            results.append((cbf, levels, rec, cx0, cy0, cs))
-        if log2 > self.sps.log2_max_tb and any(r[0] for r in results):
-            return False   # TU would exceed max TB size; force CU split
+                cbf = self._native_code_tu(comp, cx0, cy0, cs, log2_tr, bd,
+                                           qp, False, False, cpred)
+                if cbf < 0:
+                    co = self.orig[comp][cy0:cy0 + cs,
+                                         cx0:cx0 + cs].astype(np.int64)
+                    fwd = transforms_ref.forward_transform(co - cpred, bd,
+                                                           False)
+                    levels = transforms_ref.quant(fwd, qp, bd, log2_tr,
+                                                  is_intra=False)
+                    cbf = 1 if np.any(levels) else 0
+                    pic.coeff[comp][cy0:cy0 + cs, cx0:cx0 + cs] = levels
+                    rec_resi = 0
+                    if cbf:
+                        deq = transforms_ref.dequant(levels, qp, bd, log2_tr)
+                        rec_resi = transforms_ref.inverse_transform(deq, bd,
+                                                                    False)
+                    pic.rec[comp][cy0:cy0 + cs, cx0:cx0 + cs] = np.clip(
+                        cpred + rec_resi, 0, (1 << bd) - 1)
+            pic.cbf[comp][sl] = cbf
+            any_cbf |= cbf
 
-        # ---- commit the inter decision ----
-        pic.pred_mode[py:py + n, px:px + n] = MODE_INTER
-        pic.part_size[py:py + n, px:px + n] = SIZE_2Nx2N
-        if kind == "merge":
-            m_idx, r_idx, mv = payload
-            pic.merge_flag[py:py + n, px:px + n] = 1
-            pic.mvp_idx[0, py:py + n, px:px + n] = m_idx
-        else:
-            mvp_idx, mvd, mv = payload
-            r_idx = 0
-            pic.merge_flag[py:py + n, px:px + n] = 0
-            pic.mvp_idx[0, py:py + n, px:px + n] = mvp_idx
-            pic.mvd[0, py:py + n, px:px + n, 0] = mvd[0]
-            pic.mvd[0, py:py + n, px:px + n, 1] = mvd[1]
-        pic.inter_dir[py:py + n, px:px + n] = 1
-        pic.ref_idx[0, py:py + n, px:px + n] = r_idx
-        pic.mv[0, py:py + n, px:px + n, 0] = mv[0]
-        pic.mv[0, py:py + n, px:px + n, 1] = mv[1]
-        pic.ref_poc[0, py:py + n, px:px + n] = self.mvp.rc.ref_poc(0, r_idx)
-        pic.ref_idx[1, py:py + n, px:px + n] = -1
-        for comp, (cbf, levels, rec, cx0, cy0, cs) in enumerate(results):
-            pic.coeff[comp][cy0:cy0 + cs, cx0:cx0 + cs] = levels
-            pic.rec[comp][cy0:cy0 + cs, cx0:cx0 + cs] = rec
-            pic.cbf[comp][py:py + n, px:px + n] = cbf
-
-        if kind == "merge" and not any(r[0] for r in results):
-            pic.skip[py:py + n, px:px + n] = 1
-        else:
-            pic.skip[py:py + n, px:px + n] = 0
+        pic.skip[sl] = 1 if (kind == "merge" and not any_cbf) else 0
         return True
+
+    def _mc_luma_cand(self, x0, y0, size, cand):
+        """Approximate luma prediction for one merge candidate (ranking)."""
+        inter_dir, m0, m1 = cand
+        rc = self.mvp.rc
+        bd = self.bit_depth[0]
+        outs = [None, None]
+        for lx, m in ((0, m0), (1, m1)):
+            if not ((inter_dir >> lx) & 1):
+                continue
+            r_idx, mv = m
+            if r_idx < 0 or r_idx >= len(rc.ref_lists[lx]):
+                return None
+            outs[lx] = interp_ref.mc_block(
+                rc.ref_lists[lx][r_idx].rec[0], x0, y0, size, size,
+                mv[0], mv[1], 2, 2, True, bd, inter_dir == 3)
+        if inter_dir == 3:
+            return interp_ref.bi_average(outs[0], outs[1], bd)
+        return outs[0] if outs[0] is not None else outs[1]
 
     def _subpel_refine(self, orig, ref_plane, x0, y0, size, mv_int):
         """Half- then quarter-pel diamond refinement, SATD metric."""

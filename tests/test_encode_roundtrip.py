@@ -99,3 +99,28 @@ def test_encode_p_slices_reference_decode(tmp_path):
     out = subprocess.run([HM_DEC, "-b", str(bs), "-o", str(tmp_path / "o.yuv")],
                          capture_output=True, text=True)
     assert out.stdout.count("(OK)") == n, out.stdout + out.stderr
+
+
+def test_encode_ra_gop8_selfdecode(tmp_path):
+    w, h, n = 64, 64, 9           # IDR + one full hierarchical GOP
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (h * 2, w * 2)).astype(np.int32)
+    base = (base + np.roll(base, 1, 0) + np.roll(base, 1, 1)) // 3
+    enc = Encoder(EncoderConfig(w, h, qp=32, gop="ra8"))
+    aus = []
+    for t in range(n):
+        aus += enc.push_frame(_moving_planes(w, h, t, base), t)
+    aus += enc.flush()
+    assert len(aus) == n
+    stream = b"".join(aus)
+    dec = Decoder()
+    pics = dec.decode_stream(stream)
+    assert sorted(p.poc for p in pics) == list(range(n))
+    assert all(p.hash_ok for p in pics)
+    if os.path.exists(HM_DEC):
+        bs = tmp_path / "ra.bin"
+        bs.write_bytes(stream)
+        out = subprocess.run([HM_DEC, "-b", str(bs),
+                              "-o", str(tmp_path / "o.yuv")],
+                             capture_output=True, text=True)
+        assert out.stdout.count("(OK)") == n, out.stdout + out.stderr

@@ -19,6 +19,7 @@ class RefPicture:
     ref_idx: np.ndarray | None = None
     ref_poc: np.ndarray | None = None   # (2, ph, pw) POC referenced per part
     pred_mode: np.ndarray | None = None
+    depth: np.ndarray | None = None     # (ph, pw) CU depth (encoder SBD/RRSP)
     is_long_term: bool = False
     is_b_slice: bool = False
 

@@ -37,7 +37,7 @@ from hm16_2_tpu.ops.satd import satd_block
 class EncoderConfig:
     def __init__(self, width, height, qp=32, bit_depth=8, chroma_format=1,
                  intra_period=1, deblock=True, sao=False, rdo=True,
-                 gop="ld"):
+                 gop="ld", sbd=True):
         self.width, self.height = width, height
         self.qp = qp
         self.bit_depth = bit_depth
@@ -47,6 +47,7 @@ class EncoderConfig:
         self.sao = sao
         self.rdo = rdo
         self.gop = gop               # "ld" (IPPP) or "ra8" (hierarchical B)
+        self.sbd = sbd               # fork's similarity-based fast CU depths
         self.log2_ctb = 6
         self.log2_min_cb = 3
         self.log2_min_tb = 2
@@ -218,7 +219,8 @@ class Encoder:
         pic.poc = poc
         pic.slices.append(sh)
 
-        search = CtuSearch(pic, sh, planes, rdo=cfg.rdo, qp_factor=qp_factor)
+        search = CtuSearch(pic, sh, planes, rdo=cfg.rdo, qp_factor=qp_factor,
+                           sbd=cfg.sbd)
         if not is_idr:
             ref_lists = build_ref_lists(sh, self.dpb)
             rc = RefCtx(sh, ref_lists)
@@ -267,7 +269,8 @@ class Encoder:
         self.dpb.add(RefPicture(poc=poc, rec=ref_planes, mv=pic.mv.copy(),
                                 ref_idx=pic.ref_idx.copy(),
                                 ref_poc=pic.ref_poc.copy(),
-                                pred_mode=pic.pred_mode.copy()))
+                                pred_mode=pic.pred_mode.copy(),
+                                depth=pic.depth.copy()))
         au = write_annexb(nals)
         self.bits_per_frame.append(len(au) * 8)
         return au
@@ -277,7 +280,8 @@ class CtuSearch:
     """Per-CTU mode decision + reconstruction (fills picture arrays)."""
 
     def __init__(self, pic: PictureState, sh: SliceHeader, orig_planes,
-                 rdo: bool = True, qp_factor: float | None = None):
+                 rdo: bool = True, qp_factor: float | None = None,
+                 sbd: bool = False):
         self.pic = pic
         self.sh = sh
         self.sps, self.pps = sh.sps, sh.pps
@@ -286,6 +290,8 @@ class CtuSearch:
         self.bit_depth = [self.sps.bit_depth_luma, self.sps.bit_depth_chroma,
                           self.sps.bit_depth_chroma]
         self.rdo = rdo
+        self.sbd = sbd
+        self._allowed_depths = None
         self.cenc = CtuEncoder(pic, sh, 0)
         if rdo:
             # HM lambda model (TEncSlice::setUpLambda simplified): SSE-domain
@@ -307,10 +313,82 @@ class CtuSearch:
     def decide_ctu(self, cx, cy):
         pic = self.pic
         parts = pic.ctb // 4
+        self._allowed_depths = None
+        if self.sbd and self.sh.slice_type != I_SLICE and self.rdo:
+            self._allowed_depths = self._sbd_allowed(cx, cy)
         if self.rdo:
             self._compress(cx * parts, cy * parts, pic.log2_ctb)
         else:
             self._decide_rec(cx * parts, cy * parts, pic.log2_ctb)
+
+    # ------------------------------------------------------------------
+    # SBD: similarity-based depth-range selection (the fork's encoder-only
+    # fast CU partitioning, TEncCu.cpp:1903-2670).  Neighbor-CTU border
+    # strips and the colocated CTU vote on which quadtree depths are worth
+    # evaluating; the dense per-part depth arrays make the "adopted depth"
+    # sampling a handful of numpy unique() calls instead of the reference's
+    # hard-coded Z-order index tables (getAdoptedDepthsLeft :1903-1962).
+    # ------------------------------------------------------------------
+
+    def _sbd_allowed(self, cx, cy):
+        """Allowed CU depth set for this CTU, or None for unrestricted
+        (group-alpha empty / low similarity / boundary escape)."""
+        pic = self.pic
+        parts = pic.ctb // 4
+        x0, y0 = cx * parts, cy * parts
+        # boundary CTUs keep the full range (fork escape :928-933)
+        if (x0 + parts) * 4 > pic.w or (y0 + parts) * 4 > pic.h:
+            return None
+        R = 4                         # border strip width in parts (DER=16)
+        alpha, beta = set(), set()
+
+        def sample(dst, arr, px0, py0, w, h):
+            if px0 < 0 or py0 < 0 or px0 * 4 >= pic.w or py0 * 4 >= pic.h:
+                return
+            d = arr[py0:py0 + h, px0:px0 + w]
+            dst.update(int(v) for v in np.unique(d) if v >= 0)
+
+        # group alpha: left / above / above-left strips + colocated CTU
+        # (buildGroupAlpha :2327)
+        if cx > 0:
+            sample(alpha, pic.depth, x0 - R, y0, R, parts)
+        if cy > 0:
+            sample(alpha, pic.depth, x0, y0 - R, parts, R)
+        if cx > 0 and cy > 0:
+            sample(alpha, pic.depth, x0 - R, y0 - R, R, R)
+        col = None
+        mvp = getattr(self, "mvp", None)
+        if mvp is not None and mvp.rc.ref_lists[0]:
+            col = mvp.rc.ref_lists[0][0].depth
+        if col is not None:
+            sample(alpha, col, x0, y0, parts, parts)
+            # group beta: colocated's ring strips (buildGroupBeta :2375)
+            sample(beta, col, x0 - R, y0, R, parts)
+            sample(beta, col, x0, y0 - R, parts, R)
+            sample(beta, col, x0 + parts, y0, R, parts)
+            sample(beta, col, x0, y0 + parts, parts, R)
+        if cy > 0:
+            sample(beta, pic.depth, x0 + parts, y0 - R, R, R)
+        if not alpha:
+            return None
+
+        max_d = pic.log2_ctb - self.sps.log2_min_cb
+        sim = len(alpha)              # getSimLevel :2415
+        if sim == 1:                  # performHighSim :2462
+            d = next(iter(alpha))
+            allowed = {d}
+            if beta and not beta.issubset(alpha):
+                allowed |= {max(0, d - 1), min(max_d, d + 1)}
+        elif sim == 2:                # performMediumHighSim :2506
+            allowed = set(alpha)
+            extra = beta - alpha
+            if extra:
+                allowed |= {min(max_d, max(alpha) + 1)}
+        elif sim == 3:                # performMediumLowSim :2557
+            allowed = set(alpha) | (beta & set(range(max_d + 1)))
+        else:                         # performLowSim :2614 — all depths
+            return None
+        return allowed
 
     # ------------------------------------------------------------------
     # RD-optimized quadtree decision (TEncCu::xCompressCU analogue).
@@ -394,11 +472,15 @@ class CtuSearch:
         size = 1 << log2
         x0, y0 = px * 4, py * 4
         inside = (x0 + size <= pic.w) and (y0 + size <= pic.h)
+        depth = pic.log2_ctb - log2
+        allowed = self._allowed_depths
+        deeper_ok = allowed is None or any(d > depth for d in allowed)
+        leaf_ok = allowed is None or depth in allowed or not deeper_ok
         cost_ns = np.inf
         ns_snap = ctx_ns = None
         pre_ctx = self.rd_ctx.copy()
         pre_snap = self._snapshot(px, py, log2)
-        if inside:
+        if inside and leaf_ok:
             if self._encode_cu(px, py, log2):
                 ctx_ns = pre_ctx.copy()
                 bits = self._count_cu_bits(px, py, log2, ctx_ns)
@@ -409,7 +491,12 @@ class CtuSearch:
                 ns_snap = self._snapshot(px, py, log2)
             self._restore(pre_snap)
 
-        # split candidate
+        # split candidate (pruned when SBD allows no deeper depth,
+        # bSBDSplit gate TEncCu.cpp:916-935)
+        if not deeper_ok and np.isfinite(cost_ns):
+            self._restore(ns_snap)
+            self.rd_ctx = ctx_ns
+            return cost_ns
         self.rd_ctx = pre_ctx.copy()
         bits_split = 0.0
         if inside and log2 > sps.log2_min_cb:

@@ -35,6 +35,59 @@ class CtuEncoder(SliceDecoder):
 
     # ------------------------------------------------------------------
 
+    def enc_sao(self, ctu_rs: int, left_avail: bool, above_avail: bool):
+        """SAO parameter syntax, dual of parse_sao (TEncSbac.cpp:1530-1716)."""
+        pic, e, c = self.pic, self.enc, self.ctx
+        sao_enabled = [self.sh.sao_luma, self.sh.sao_chroma,
+                       self.sh.sao_chroma]
+        merge = int(getattr(pic, "sao_merge", np.zeros(1))[ctu_rs]) \
+            if hasattr(pic, "sao_merge") else 0
+        if left_avail:
+            e.encode_bin(1 if merge == 1 else 0, c.idx("sao_merge"))
+        if above_avail and merge != 1:
+            e.encode_bin(1 if merge == 2 else 0, c.idx("sao_merge"))
+        if merge:
+            return
+        for comp in range(pic.num_comps):
+            if not sao_enabled[comp]:
+                continue
+            mode = int(pic.sao_mode[ctu_rs, comp])
+            t = int(pic.sao_type[ctu_rs, comp])
+            if comp <= 1:
+                if mode == 0:
+                    e.encode_bin(0, c.idx("sao_type"))
+                    continue
+                e.encode_bin(1, c.idx("sao_type"))
+                e.encode_bin_ep(0 if t == 4 else 1)
+            elif mode == 0:
+                continue
+            bd = self.bit_depth[comp]
+            max_offset = (1 << (min(bd, 10) - 5)) - 1
+            offs4 = [int(v) for v in pic.sao_offsets[ctu_rs, comp]]
+            if t == 4:                 # BO: magnitudes, then signs, then band
+                for o in offs4:
+                    self._enc_sao_max_uvlc(abs(o), max_offset)
+                for o in offs4:
+                    if o:
+                        e.encode_bin_ep(1 if o < 0 else 0)
+                e.encode_bins_ep(int(pic.sao_band[ctu_rs, comp]), 5)
+            else:                      # EO: cat 1/2 positive, 3/4 negated
+                for m in (offs4[0], offs4[1], -offs4[2], -offs4[3]):
+                    self._enc_sao_max_uvlc(m, max_offset)
+                if comp <= 1:
+                    e.encode_bins_ep(t, 2)
+
+    def _enc_sao_max_uvlc(self, v, max_symbol):
+        e = self.enc
+        if max_symbol == 0:
+            return
+        e.encode_bin_ep(1 if v > 0 else 0)
+        if v > 0:
+            for _ in range(v - 1):
+                e.encode_bin_ep(1)
+            if v < max_symbol:
+                e.encode_bin_ep(0)
+
     def encode_ctu(self, ctu_x: int, ctu_y: int, last_in_slice: bool):
         pic = self.pic
         parts = pic.ctb // 4

@@ -36,7 +36,7 @@ from hm16_2_tpu.ops.satd import satd_block
 
 class EncoderConfig:
     def __init__(self, width, height, qp=32, bit_depth=8, chroma_format=1,
-                 intra_period=1, deblock=True, sao=False, rdo=True,
+                 intra_period=1, deblock=True, sao=True, rdo=True,
                  gop="ld", sbd=True):
         self.width, self.height = width, height
         self.qp = qp
@@ -226,28 +226,49 @@ class Encoder:
             rc = RefCtx(sh, ref_lists)
             search.mvp = MvPredictor(pic, rc, 0)
             search.cenc.mvp = search.mvp
+        # pass 1: mode decisions + reconstruction (TEncSlice::compressSlice)
+        n_ctus = pic.w_ctbs * pic.h_ctbs
+        for ts in range(n_ctus):
+            rs = int(pic.tiles.ctu_ts_to_rs[ts])
+            cx, cy = rs % pic.w_ctbs, rs // pic.w_ctbs
+            search.decide_ctu(cx, cy)
+
+        # deblock, then SAO parameter estimation on the deblocked recon
+        use_sao = bool(sps.sao_enabled)
+        if not sh.deblocking_filter_disabled:
+            from hm16_2_tpu.ops.deblock_ref import deblock_picture
+            deblock_picture(pic)
+        if use_sao:
+            from hm16_2_tpu.encode.sao_enc import estimate_sao
+            lam = getattr(search, "lam", None)
+            if lam is None:
+                lam = 0.68 * 2.0 ** ((sh.qp - 12) / 3.0)
+            sh.sao_luma = 1
+            sh.sao_chroma = 1
+            estimate_sao(pic, search.orig, lam)
+
+        # pass 2: final bitstream (TEncSlice::encodeSlice)
         enc = CtuEncoder(pic, sh, 0)
         bw = BitWriter()
         W.write_slice_header(bw, sh, sps, pps)
         ctx = ContextSet()
         cab = CabacEncoder(bw, ctx)
         enc.attach(cab)
-        # slice contexts init (TEncSbac resetEntropy semantics)
         ctx.reset(sh.slice_type, sh.qp)
-
-        n_ctus = pic.w_ctbs * pic.h_ctbs
         for ts in range(n_ctus):
             rs = int(pic.tiles.ctu_ts_to_rs[ts])
             cx, cy = rs % pic.w_ctbs, rs // pic.w_ctbs
-            search.decide_ctu(cx, cy)
+            if use_sao:
+                enc.enc_sao(rs, cx > 0, cy > 0)
             enc.encode_ctu(cx, cy, last_in_slice=(ts == n_ctus - 1))
         cab.finish()
         bw.u(1, 1)              # stop bit after final terminate
         bw.align_zero()
         slice_nal = make_nal(sh.nal_type, bw.get_bytes())
 
-        # in-loop filters on recon (must mirror the decoder exactly)
-        apply_loop_filters(pic)
+        if use_sao:
+            from hm16_2_tpu.ops.sao_ref import sao_picture
+            sao_picture(pic)
 
         bds = [sps.bit_depth_luma] + [sps.bit_depth_chroma] * (pic.num_comps - 1)
         recon = [pic.crop_output(c) for c in range(pic.num_comps)]

@@ -85,6 +85,23 @@ def _sao_ctu_comp(pic, src, ctu_rs, cx, cy, comp, avail):
     # EO
     offsets5 = np.array([offs4[0], offs4[1], 0, offs4[2], offs4[3]],
                         dtype=np.int64)
+    y0, x0, h, w, proc, edge_type, cur = _eo_classify(
+        pic, s, cx, cy, comp, type_idx, avail)
+    out = np.clip(cur + offsets5[edge_type], 0, max_val)
+    blk = r[y0:y0 + h, x0:x0 + w]
+    blk[proc] = out[proc]
+
+
+def _eo_classify(pic, s, cx, cy, comp, type_idx, avail):
+    """Edge-offset classification for one CTU component: returns region
+    origin/size, the processable-pixel mask (CTU/picture-boundary rules)
+    and the per-pixel edge type (0..4).  Shared by the decode-side apply
+    and the encoder's statistics collection."""
+    sx, sy = pic.comp_shift[comp]
+    x0 = (cx * pic.ctb) >> sx
+    y0 = (cy * pic.ctb) >> sy
+    w = min(pic.ctb >> sx, (pic.w >> sx) - x0)
+    h = min(pic.ctb >> sy, (pic.h >> sy) - y0)
     (d1y, d1x), (d2y, d2x) = _EO_NEIGHBORS[type_idx]
     plane_h, plane_w = s.shape
     # processable region limits based on neighbor availability
@@ -138,6 +155,4 @@ def _sao_ctu_comp(pic, src, ctu_rs, cx, cy, comp, avail):
     v1 = s[np.clip(n1y, 0, plane_h - 1), np.clip(n1x, 0, plane_w - 1)].astype(np.int64)
     v2 = s[np.clip(n2y, 0, plane_h - 1), np.clip(n2x, 0, plane_w - 1)].astype(np.int64)
     edge_type = np.sign(cur - v1) + np.sign(cur - v2) + 2
-    out = np.clip(cur + offsets5[edge_type], 0, max_val)
-    blk = r[y0:y0 + h, x0:x0 + w]
-    blk[proc] = out[proc]
+    return y0, x0, h, w, proc, edge_type, cur

@@ -13,8 +13,15 @@ def ensure_cache():
     _done = True
     try:
         import jax
-        d = os.environ.get("HM16_JAX_CACHE",
-                           os.path.expanduser("~/.cache/hm16_jax"))
+        d = os.environ.get("HM16_JAX_CACHE")
+        if d is None:
+            # key by platform config: entries AOT-compiled for one backend
+            # (or machine-feature set) stall or miss on another
+            key = (os.environ.get("JAX_PLATFORMS", "default")
+                   + "-" + os.environ.get("XLA_FLAGS", "")).replace("/", "_")
+            key = "".join(ch if ch.isalnum() or ch in "-_." else "_"
+                          for ch in key)[:80]
+            d = os.path.join(os.path.expanduser("~/.cache/hm16_jax"), key)
         os.makedirs(d, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", d)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -20,6 +20,9 @@ class RefPicture:
     ref_poc: np.ndarray | None = None   # (2, ph, pw) POC referenced per part
     pred_mode: np.ndarray | None = None
     depth: np.ndarray | None = None     # (ph, pw) CU depth (encoder SBD/RRSP)
+    col_depth: np.ndarray | None = None  # depth plane of THIS picture's own
+    #                                      colocated ref (RRSP "grandfather")
+    is_intra: bool = False               # coded as an I slice (RRSP escapes)
     is_long_term: bool = False
     is_b_slice: bool = False
 

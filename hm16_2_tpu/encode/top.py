@@ -37,7 +37,8 @@ from hm16_2_tpu.ops.satd import satd_block
 class EncoderConfig:
     def __init__(self, width, height, qp=32, bit_depth=8, chroma_format=1,
                  intra_period=1, deblock=True, sao=True, rdo=True,
-                 gop="ld", sbd=True):
+                 gop="ld", sbd=True, rrsp=False,
+                 target_bps=None, frame_rate=30, total_frames=0):
         self.width, self.height = width, height
         self.qp = qp
         self.bit_depth = bit_depth
@@ -48,6 +49,10 @@ class EncoderConfig:
         self.rdo = rdo
         self.gop = gop               # "ld" (IPPP) or "ra8" (hierarchical B)
         self.sbd = sbd               # fork's similarity-based fast CU depths
+        self.rrsp = rrsp             # fork's reduced-region partitioning
+        self.target_bps = target_bps  # R-lambda rate control when set
+        self.frame_rate = frame_rate
+        self.total_frames = total_frames
         self.log2_ctb = 6
         self.log2_min_cb = 3
         self.log2_min_tb = 2
@@ -115,6 +120,14 @@ class Encoder:
         self._reorder = {}
         self._next_coded = 0
         self._gop_start = 0
+        self.rc = None
+        if cfg.target_bps:
+            from hm16_2_tpu.encode.ratectrl import RateCtrl
+            assert cfg.total_frames > 0, \
+                "rate control needs the frame count for budget allocation"
+            self.rc = RateCtrl(cfg.target_bps, cfg.frame_rate,
+                               cfg.total_frames, cfg.width, cfg.height,
+                               gop_kind="ra8" if cfg.gop == "ra8" else "ld1")
 
     def encode_frame(self, planes: list[np.ndarray], poc: int) -> bytes:
         """Encode one frame (IDR at intra-period boundaries, else LD-P)."""
@@ -134,7 +147,20 @@ class Encoder:
             sh.num_ref_idx = [1, 0]
             sh.max_num_merge_cand = 5
         sh.qp = cfg.qp
-        return self._encode_one(planes, poc, sh)
+        rc_lam = self._rc_begin(planes, sh, 0)
+        return self._encode_one(planes, poc, sh, rc_lam=rc_lam)
+
+    def _rc_begin(self, planes, sh, gop_id):
+        """Picture-level rate control (TEncGOP.cpp:1068-1119): target bits
+        -> lambda -> slice QP; returns the SSE-domain lambda or None."""
+        if self.rc is None:
+            return None
+        from hm16_2_tpu.encode.ratectrl import frame_intra_cost
+        is_i = sh.slice_type == I_SLICE
+        cost = frame_intra_cost(np.asarray(planes[0])) if is_i else None
+        qp, lam = self.rc.begin_picture(gop_id, is_i, cost)
+        sh.qp = qp
+        return lam
 
     # ---- random-access (hierarchical-B) push API ----
 
@@ -162,15 +188,22 @@ class Encoder:
                 sh.nal_type = NAL_IDR_W_RADL
                 sh.slice_type = I_SLICE
                 sh.qp = self.cfg.qp
-                aus.append(self._encode_one(buf.pop(0), 0, sh))
+                if self.rc is not None:
+                    self.rc.begin_gop(1)
+                pl0 = buf.pop(0)
+                rc_lam = self._rc_begin(pl0, sh, 0)
+                aus.append(self._encode_one(pl0, 0, sh, rc_lam=rc_lam))
                 self._next_coded = 1
                 self._gop_start = 0
                 continue
             gop_pocs = [self._gop_start + s["poc"] for s in RA8_GOP]
             if all(p in buf for p in gop_pocs):
-                for slot in RA8_GOP:
+                if self.rc is not None:
+                    self.rc.begin_gop(8)
+                for gop_id, slot in enumerate(RA8_GOP):
                     p = self._gop_start + slot["poc"]
-                    aus.append(self._encode_ra_picture(buf.pop(p), p, slot))
+                    aus.append(self._encode_ra_picture(buf.pop(p), p, slot,
+                                                       gop_id))
                 self._gop_start += 8
                 self._next_coded = self._gop_start + 1
                 continue
@@ -183,7 +216,7 @@ class Encoder:
             break
         return aus
 
-    def _encode_ra_picture(self, planes, poc, slot) -> bytes:
+    def _encode_ra_picture(self, planes, poc, slot, gop_id=0) -> bytes:
         sh = SliceHeader()
         sh.nal_type = NAL_TRAIL_R
         sh.slice_type = B_SLICE
@@ -199,9 +232,12 @@ class Encoder:
         total = len(neg) + len(pos)
         sh.num_ref_idx = [min(2, total), min(2, total)]
         sh.max_num_merge_cand = 5
-        return self._encode_one(planes, poc, sh, qp_factor=slot["qpfac"])
+        rc_lam = self._rc_begin(planes, sh, gop_id)
+        return self._encode_one(planes, poc, sh, qp_factor=slot["qpfac"],
+                                rc_lam=rc_lam)
 
-    def _encode_one(self, planes, poc, sh, qp_factor=None) -> bytes:
+    def _encode_one(self, planes, poc, sh, qp_factor=None,
+                    rc_lam=None) -> bytes:
         cfg, sps, pps = self.cfg, self.sps, self.pps
         is_idr = sh.slice_type == I_SLICE
         if is_idr:
@@ -220,7 +256,7 @@ class Encoder:
         pic.slices.append(sh)
 
         search = CtuSearch(pic, sh, planes, rdo=cfg.rdo, qp_factor=qp_factor,
-                           sbd=cfg.sbd)
+                           sbd=cfg.sbd, rrsp=cfg.rrsp, lam_override=rc_lam)
         if not is_idr:
             ref_lists = build_ref_lists(sh, self.dpb)
             rc = RefCtx(sh, ref_lists)
@@ -287,13 +323,23 @@ class Encoder:
             sx, sy = pic.comp_shift[c]
             ref_planes.append(pic.rec[c][: sps.pic_height >> sy,
                                          : sps.pic_width >> sx].copy())
+        # RRSP depth history: keep the colocated reference's depth plane
+        # ("grandfather" view for pictures that will reference this one)
+        col_depth = None
+        if not is_idr and getattr(search, "mvp", None) is not None and \
+                search.mvp.rc.ref_lists[0]:
+            col_depth = search.mvp.rc.ref_lists[0][0].depth
         self.dpb.add(RefPicture(poc=poc, rec=ref_planes, mv=pic.mv.copy(),
                                 ref_idx=pic.ref_idx.copy(),
                                 ref_poc=pic.ref_poc.copy(),
                                 pred_mode=pic.pred_mode.copy(),
-                                depth=pic.depth.copy()))
+                                depth=pic.depth.copy(),
+                                col_depth=col_depth,
+                                is_intra=is_idr))
         au = write_annexb(nals)
         self.bits_per_frame.append(len(au) * 8)
+        if self.rc is not None:
+            self.rc.update_after_picture(len(au) * 8)
         return au
 
 
@@ -302,7 +348,8 @@ class CtuSearch:
 
     def __init__(self, pic: PictureState, sh: SliceHeader, orig_planes,
                  rdo: bool = True, qp_factor: float | None = None,
-                 sbd: bool = False):
+                 sbd: bool = False, rrsp: bool = False,
+                 lam_override: float | None = None):
         self.pic = pic
         self.sh = sh
         self.sps, self.pps = sh.sps, sh.pps
@@ -312,7 +359,11 @@ class CtuSearch:
                           self.sps.bit_depth_chroma]
         self.rdo = rdo
         self.sbd = sbd
+        self.rrsp = rrsp
         self._allowed_depths = None
+        self._rrsp_obj = None        # built lazily (needs ref lists)
+        self._rrsp_ctu = None        # (check64, only_depth0) for current CTU
+        self._rrsp_mask = None       # bool[3] quadrant reduced-depth mask
         self.cenc = CtuEncoder(pic, sh, 0)
         if rdo:
             # HM lambda model (TEncSlice::setUpLambda simplified): SSE-domain
@@ -321,6 +372,8 @@ class CtuSearch:
             alpha = qp_factor if qp_factor is not None else \
                 (0.57 if sh.slice_type == I_SLICE else 0.68)
             self.lam = alpha * 2.0 ** ((qp - 12) / 3.0)
+            if lam_override is not None:
+                self.lam = lam_override     # rate-control lambda (resetQP)
             if pic.num_comps > 1:
                 from hm16_2_tpu.common.tables import CHROMA_QP_SCALE
                 base = int(np.clip(qp + self.pps.cb_qp_offset, 0, 57))
@@ -337,6 +390,18 @@ class CtuSearch:
         self._allowed_depths = None
         if self.sbd and self.sh.slice_type != I_SLICE and self.rdo:
             self._allowed_depths = self._sbd_allowed(cx, cy)
+        self._rrsp_ctu = None
+        self._rrsp_mask = None
+        if self.rrsp and self.sh.slice_type != I_SLICE and self.rdo:
+            mvp = getattr(self, "mvp", None)
+            if mvp is not None and mvp.rc.ref_lists[0]:
+                if self._rrsp_obj is None:
+                    from hm16_2_tpu.encode.rrsp import RRSP
+                    self._rrsp_obj = RRSP(pic.depth,
+                                          mvp.rc.ref_lists[0][0],
+                                          self.sh.qp, pic.w, pic.h)
+                self._rrsp_ctu = self._rrsp_obj.ctu_state(cx * pic.ctb,
+                                                          cy * pic.ctb)
         if self.rdo:
             self._compress(cx * parts, cy * parts, pic.log2_ctb)
         else:
@@ -497,6 +562,23 @@ class CtuSearch:
         allowed = self._allowed_depths
         deeper_ok = allowed is None or any(d > depth for d in allowed)
         leaf_ok = allowed is None or depth in allowed or not deeper_ok
+        # RRSP gates: 64x64 voting at depth 0 (bRRSP/bOnlyDepth0,
+        # TEncCu.cpp:483-536,598,940-951) and per-quadrant reduced-depth
+        # masks below (:953-971) with boundary escapes
+        if self._rrsp_ctu is not None:
+            if depth == 0:
+                check64, only0 = self._rrsp_ctu
+                leaf_ok = leaf_ok and check64
+                if only0 and inside:
+                    deeper_ok = False
+            elif self._rrsp_mask is not None:
+                mask = self._rrsp_mask
+                r_split = depth < 3 and bool(mask[depth:3].any())
+                if not r_split and not inside and depth < 3:
+                    mask[depth] = True          # boundary escape :944-967
+                    r_split = True
+                leaf_ok = leaf_ok and (bool(mask[depth - 1]) or not r_split)
+                deeper_ok = deeper_ok and r_split
         cost_ns = np.inf
         ns_snap = ctx_ns = None
         pre_ctx = self.rd_ctx.copy()
@@ -533,6 +615,11 @@ class CtuSearch:
             sx_ = px + (sub & 1) * half
             sy_ = py + (sub >> 1) * half
             if sx_ * 4 < pic.w and sy_ * 4 < pic.h:
+                if self._rrsp_ctu is not None and depth == 0:
+                    # per-32x32-quadrant mask, built after the previous
+                    # quadrants committed their depths (TEncCu.cpp:992-1002)
+                    self._rrsp_mask = self._rrsp_obj.quadrant_mask(
+                        x0, y0, sub)
                 cost_sp += self._compress(sx_, sy_, log2 - 1)
 
         if cost_ns <= cost_sp:
@@ -723,16 +810,20 @@ class CtuSearch:
             qp = self._tu_qp(px, py, comp)
             bd = self.bit_depth[comp]
             cpred = preds[comp]
-            if cs > max_tb:
+            if size > max_tb:
+                # CU above the max TB: the transform tree implicitly splits
+                # (for every component), so the only committable residual is
+                # all-zero — check each implicit TU tile and reject otherwise
+                ts = max_tb >> sx
                 co = self.orig[comp][cy0:cy0 + cs,
                                      cx0:cx0 + cs].astype(np.int64)
                 resi = co - cpred
-                for ty in range(0, cs, max_tb):
-                    for tx in range(0, cs, max_tb):
+                for ty in range(0, cs, ts):
+                    for tx in range(0, cs, ts):
                         fwd = transforms_ref.forward_transform(
-                            resi[ty:ty + max_tb, tx:tx + max_tb], bd, False)
+                            resi[ty:ty + ts, tx:tx + ts], bd, False)
                         if np.any(transforms_ref.quant(
-                                fwd, qp, bd, self.sps.log2_max_tb,
+                                fwd, qp, bd, ts.bit_length() - 1,
                                 is_intra=False)):
                             return False    # caller rolls the commit back
                 pic.coeff[comp][cy0:cy0 + cs, cx0:cx0 + cs] = 0

@@ -124,3 +124,48 @@ def test_encode_ra_gop8_selfdecode(tmp_path):
                               "-o", str(tmp_path / "o.yuv")],
                              capture_output=True, text=True)
         assert out.stdout.count("(OK)") == n, out.stdout + out.stderr
+
+
+def test_encode_rrsp_selfdecode():
+    """RRSP fast partitioning is normatively transparent: the pruned
+    encode still self-decodes bit-exactly (hash SEI green)."""
+    w, h, n = 128, 128, 5
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (h * 2, w * 2)).astype(np.int32)
+    base = (base + np.roll(base, 1, 0) + np.roll(base, 1, 1)) // 3
+    # mix of flat and detailed content so the depth votes vary
+    base[: h, : w] = 128
+    enc = Encoder(EncoderConfig(w, h, qp=37, intra_period=16,
+                                sbd=False, rrsp=True))
+    stream = b""
+    recons = []
+    for t in range(n):
+        stream += enc.encode_frame(_moving_planes(w, h, t, base), t)
+        recons.append(enc.last_recon)
+    dec = Decoder()
+    pics = dec.decode_stream(stream)
+    assert len(pics) == n
+    for i, p in enumerate(pics):
+        assert p.hash_ok is True
+        for c in range(3):
+            np.testing.assert_array_equal(p.planes[c], recons[i][c])
+
+
+def test_rrsp_prunes_search():
+    """With homogenous content the RRSP masks must restrict depths
+    (i.e. the algorithm actually engages, not just passes through)."""
+    from hm16_2_tpu.encode.rrsp import RRSP
+    ph = pw = 32                          # 128x128 pic -> 32x32 parts
+    col_depth = np.zeros((ph, pw), np.int8)      # all 64x64 in ref pic
+    cur_depth = np.zeros((ph, pw), np.int8)      # coded CTUs all depth 0
+    cur_depth[:, 16:] = -1                       # right half uncoded
+
+    from types import SimpleNamespace
+    col = SimpleNamespace(depth=col_depth,
+                          col_depth=np.zeros((ph, pw), np.int8),
+                          is_intra=False)
+    r = RRSP(cur_depth, col, qp=37, pic_w=128, pic_h=128)
+    check64, only0 = r.ctu_state(64, 64)
+    assert check64 and only0             # unanimous 64x64 votes, QP>35
+    mask = r.quadrant_mask(64, 64, 0)
+    assert mask[0] and not mask[2]       # 8x8 depths pruned away

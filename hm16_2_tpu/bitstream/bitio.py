@@ -42,7 +42,16 @@ def split_annexb(data: bytes) -> list[bytes]:
 
 def strip_emulation_prevention(payload: bytes) -> bytes:
     """Remove 0x03 emulation-prevention bytes: 00 00 03 xx -> 00 00 xx."""
+    return strip_emulation_prevention_pos(payload)[0]
+
+
+def strip_emulation_prevention_pos(payload: bytes) -> tuple[bytes, list]:
+    """Strip EPBs and also return, for each removed 0x03, the index (in the
+    STRIPPED output) of the byte that followed it — needed to convert
+    slice-header entry-point offsets (escaped-byte counts) into unescaped
+    substream sizes (TDecCAVLC.cpp:1438-1473)."""
     out = bytearray()
+    pos = []
     zeros = 0
     i = 0
     n = len(payload)
@@ -51,11 +60,27 @@ def strip_emulation_prevention(payload: bytes) -> bytes:
         if zeros >= 2 and b == 3 and i + 1 < n and payload[i + 1] <= 3:
             zeros = 0
             i += 1
+            pos.append(len(out))
             continue
         out.append(b)
         zeros = zeros + 1 if b == 0 else 0
         i += 1
-    return bytes(out)
+    return bytes(out), pos
+
+
+def count_emulation_prevention(rbsp: bytes) -> int:
+    """Number of EPBs NAL escaping will insert into this (sub)stream
+    (TComOutputBitstream::countStartCodeEmulations).  Substreams start and
+    end on byte-aligned CABAC flushes whose final byte is non-zero, so
+    counting per substream matches escaping the concatenated payload."""
+    cnt = 0
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            cnt += 1
+            zeros = 0
+        zeros = zeros + 1 if b == 0 else 0
+    return cnt
 
 
 def insert_emulation_prevention(rbsp: bytes) -> bytes:

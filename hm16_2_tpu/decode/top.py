@@ -13,7 +13,8 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from hm16_2_tpu.bitstream.bitio import (
-    BitReader, split_annexb, strip_emulation_prevention)
+    BitReader, split_annexb, strip_emulation_prevention,
+    strip_emulation_prevention_pos)
 from hm16_2_tpu.bitstream.cabac import ByteFifo, CabacDecoder
 from hm16_2_tpu.decode.ctu_dec import SliceDecoder
 from hm16_2_tpu.decode.mvpred import MvPredictor, RefCtx
@@ -109,7 +110,7 @@ class Decoder:
     def decode_nal(self, nal: bytes):
         nal_type = (nal[0] >> 1) & 63
         temporal_id = (nal[1] & 7) - 1
-        rbsp = strip_emulation_prevention(nal[2:])
+        rbsp, ep_pos = strip_emulation_prevention_pos(nal[2:])
         if nal_type == P.NAL_VPS:
             parse_vps(BitReader(rbsp))
         elif nal_type == P.NAL_SPS:
@@ -124,14 +125,15 @@ class Decoder:
                     self.pending_hash = parse_picture_hash_sei(payload)
                     self._check_hash()
         elif nal_type <= 31:   # VCL
-            self._decode_slice(nal_type, temporal_id, rbsp)
+            self._decode_slice(nal_type, temporal_id, rbsp, ep_pos)
 
     # ------------------------------------------------------------------
 
-    def _decode_slice(self, nal_type, temporal_id, rbsp):
+    def _decode_slice(self, nal_type, temporal_id, rbsp, ep_pos=None):
         br = BitReader(rbsp)
         sh = parse_slice_header(br, nal_type, temporal_id, self.sps_map,
-                                self.pps_map, self.prev_tid0_poc)
+                                self.pps_map, self.prev_tid0_poc,
+                                ep_byte_positions=ep_pos)
         if sh.first_slice_in_pic:
             self._finish_picture()
             if P.is_idr(nal_type):
@@ -153,24 +155,54 @@ class Decoder:
         sd.mvp = MvPredictor(pic, rc, slice_idx)
         data_start = br.pos // 8
 
-        if sh.pps.tiles_enabled or sh.pps.entropy_coding_sync:
-            raise NotImplementedError("tiles/WPP decode (next stage)")
+        # substream starts: entry-point offsets are already converted to
+        # unescaped sizes by the header parser (TDecGop.cpp:122)
+        wpp = bool(sh.pps.entropy_coding_sync)
+        starts = [data_start]
+        for size in sh.entry_point_offsets:
+            starts.append(starts[-1] + size)
 
         sd.ctx = sd.init_contexts()
-        sd.dec = CabacDecoder(ByteFifo(rbsp, data_start), sd.ctx)
+        sd.dec = CabacDecoder(ByteFifo(rbsp, starts[0]), sd.ctx)
 
+        tiles = pic.tiles
         w_ctbs = pic.w_ctbs
         n_ctus = w_ctbs * pic.h_ctbs
-        ctu_ts = sh.segment_address   # rs==ts without tiles
+        ctu_ts = sh.segment_address       # tile-scan CTB address (7.4.7.1)
+        sub_idx = 0
+        wpp_saved = None         # ctx after 2nd CTU of the row (TDecSlice:212)
+        prev_tile = None
         while ctu_ts < n_ctus:
-            ctu_rs = int(pic.tiles.ctu_ts_to_rs[ctu_ts])
+            ctu_rs = int(tiles.ctu_ts_to_rs[ctu_ts])
             cx, cy = ctu_rs % w_ctbs, ctu_rs // w_ctbs
+            tile_id = int(tiles.tile_of_ctu[cy, cx])
+            tile_x0 = max(b for b in tiles.col_bounds if b <= cx)
+            new_tile = prev_tile is not None and tile_id != prev_tile
+            row_start = wpp and cx == tile_x0 and prev_tile is not None \
+                and not new_tile
+            if new_tile or row_start:
+                # next substream; WPP loads the saved top-right state,
+                # tiles reset (TDecSlice.cpp:134-165)
+                sub_idx += 1
+                if sub_idx < len(starts):
+                    sd.dec = CabacDecoder(ByteFifo(rbsp, starts[sub_idx]),
+                                          sd.ctx)
+                if new_tile:
+                    sd.ctx.load(sd.init_contexts())
+                    wpp_saved = None
+                elif wpp_saved is not None:
+                    sd.ctx.load(wpp_saved)
+                else:
+                    sd.ctx.load(sd.init_contexts())
+            prev_tile = tile_id
             if sh.sps.sao_enabled and (sh.sao_luma or sh.sao_chroma):
                 left_ok = cx > 0 and self._ctu_same_slice_tile(pic, ctu_rs, ctu_rs - 1, slice_idx)
                 above_ok = cy > 0 and self._ctu_same_slice_tile(pic, ctu_rs, ctu_rs - w_ctbs, slice_idx)
                 sd.parse_sao(ctu_rs, left_ok, above_ok)
             end = sd.decode_ctu(cx, cy)
             sd.reconstruct_ctu(cx, cy)
+            if wpp and cx == tile_x0 + 1:
+                wpp_saved = sd.ctx.copy()
             ctu_ts += 1
             if end:
                 break

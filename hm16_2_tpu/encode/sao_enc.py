@@ -169,12 +169,26 @@ def estimate_sao(pic, orig, lam):
                         int(pic.sao_band[src_rs, c]))
                 return tot + lam * 1.0
 
+            # merge is SYNTAX prediction: allowed only within the same
+            # slice AND tile (unlike the loop-filter availability above,
+            # which the across-slices/tiles flags can widen)
+            def syn_avail(dx, dy):
+                nx, ny = cx + dx, cy + dy
+                if nx < 0 or ny < 0:
+                    return False
+                parts = pic.ctb // 4
+                if pic.slice_id[cy * parts, cx * parts] != \
+                        pic.slice_id[ny * parts, nx * parts]:
+                    return False
+                return pic.tiles.tile_of_ctu[cy, cx] == \
+                    pic.tiles.tile_of_ctu[ny, nx]
+
             best_merge, best_merge_cost = 0, None
-            if avail[(0, -1)]:
+            if syn_avail(-1, 0):
                 cml = merge_cost(rs - 1)
                 if best_merge_cost is None or cml < best_merge_cost:
                     best_merge, best_merge_cost = 1, cml
-            if avail[(-1, 0)]:
+            if syn_avail(0, -1):
                 cmu = merge_cost(rs - pic.w_ctbs)
                 if best_merge_cost is None or cmu < best_merge_cost:
                     best_merge, best_merge_cost = 2, cmu

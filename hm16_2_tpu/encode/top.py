@@ -16,7 +16,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from hm16_2_tpu.bitstream.bitio import BitWriter, make_nal, write_annexb
+from hm16_2_tpu.bitstream.bitio import (
+    BitWriter, count_emulation_prevention, make_nal, write_annexb)
 from hm16_2_tpu.bitstream.cabac import CabacCounter, CabacEncoder, ContextSet
 from hm16_2_tpu.decode.loopfilter import apply_loop_filters
 from hm16_2_tpu.decode.mvpred import MvPredictor, RefCtx
@@ -38,7 +39,8 @@ class EncoderConfig:
     def __init__(self, width, height, qp=32, bit_depth=8, chroma_format=1,
                  intra_period=1, deblock=True, sao=True, rdo=True,
                  gop="ld", sbd=True, rrsp=False,
-                 target_bps=None, frame_rate=30, total_frames=0):
+                 target_bps=None, frame_rate=30, total_frames=0,
+                 wpp=False, tile_cols=1, tile_rows=1):
         self.width, self.height = width, height
         self.qp = qp
         self.bit_depth = bit_depth
@@ -53,6 +55,9 @@ class EncoderConfig:
         self.target_bps = target_bps  # R-lambda rate control when set
         self.frame_rate = frame_rate
         self.total_frames = total_frames
+        self.wpp = wpp               # entropy_coding_sync (one substream/row)
+        self.tile_cols = tile_cols
+        self.tile_rows = tile_rows
         self.log2_ctb = 6
         self.log2_min_cb = 3
         self.log2_min_tb = 2
@@ -103,6 +108,12 @@ def build_sps_pps(cfg: EncoderConfig):
     pps.init_qp = 26
     pps.sign_data_hiding = 0
     pps.loop_filter_across_slices = 1
+    pps.entropy_coding_sync = 1 if cfg.wpp else 0
+    if cfg.tile_cols > 1 or cfg.tile_rows > 1:
+        pps.tiles_enabled = 1
+        pps.num_tile_cols = cfg.tile_cols
+        pps.num_tile_rows = cfg.tile_rows
+        pps.uniform_spacing = 1
     if not cfg.deblock:
         pps.deblocking_filter_control_present = 1
         pps.deblocking_filter_disabled = 1
@@ -283,24 +294,70 @@ class Encoder:
             sh.sao_chroma = 1
             estimate_sao(pic, search.orig, lam)
 
-        # pass 2: final bitstream (TEncSlice::encodeSlice)
+        # pass 2: final bitstream (TEncSlice::encodeSlice) — one CABAC
+        # substream per tile and, with WPP, per CTU row within the tile;
+        # contexts reset at tile starts and sync from the saved state after
+        # the 2nd CTU of the row above for WPP (TEncSlice.cpp:910-1183)
         enc = CtuEncoder(pic, sh, 0)
+        wpp = bool(pps.entropy_coding_sync)
+        tiles = pic.tiles
+        ctx = ContextSet()
+        ctx.reset(sh.slice_type, sh.qp)
+        datas = []
+        sbw = cab = None
+        wpp_saved = None
+        prev_tile = None
+
+        def _syn_avail(nx, ny, cx, cy):
+            if nx < 0 or ny < 0:
+                return False
+            return tiles.tile_of_ctu[cy, cx] == tiles.tile_of_ctu[ny, nx]
+
+        for ts in range(n_ctus):
+            rs = int(tiles.ctu_ts_to_rs[ts])
+            cx, cy = rs % pic.w_ctbs, rs // pic.w_ctbs
+            tile_id = int(tiles.tile_of_ctu[cy, cx])
+            tile_x0 = max(b for b in tiles.col_bounds if b <= cx)
+            new_tile = prev_tile is not None and tile_id != prev_tile
+            row_start = wpp and cx == tile_x0 and prev_tile is not None \
+                and not new_tile
+            if cab is None or new_tile or row_start:
+                if cab is not None:
+                    cab.encode_bin_trm(1)        # end_of_subset_one_bit
+                    cab.finish()
+                    sbw.u(1, 1)
+                    sbw.align_zero()
+                    datas.append(sbw.get_bytes())
+                    if new_tile:
+                        ctx.reset(sh.slice_type, sh.qp)
+                        wpp_saved = None
+                    elif wpp_saved is not None:
+                        ctx.load(wpp_saved)
+                    else:
+                        ctx.reset(sh.slice_type, sh.qp)
+                sbw = BitWriter()
+                cab = CabacEncoder(sbw, ctx)
+                enc.attach(cab)
+            prev_tile = tile_id
+            if use_sao:
+                enc.enc_sao(rs, _syn_avail(cx - 1, cy, cx, cy),
+                            _syn_avail(cx, cy - 1, cx, cy))
+            enc.encode_ctu(cx, cy, last_in_slice=(ts == n_ctus - 1))
+            if wpp and cx == tile_x0 + 1:
+                wpp_saved = ctx.copy()
+        cab.finish()
+        sbw.u(1, 1)              # stop bit after final terminate
+        sbw.align_zero()
+        datas.append(sbw.get_bytes())
+
+        # entry points count escaped bytes; each substream starts and ends
+        # byte-aligned on a non-zero byte so per-substream EPB counts are
+        # exact (TEncSlice.cpp:1067, countStartCodeEmulations)
+        sh.entry_point_offsets = [len(d) + count_emulation_prevention(d)
+                                  for d in datas[:-1]]
         bw = BitWriter()
         W.write_slice_header(bw, sh, sps, pps)
-        ctx = ContextSet()
-        cab = CabacEncoder(bw, ctx)
-        enc.attach(cab)
-        ctx.reset(sh.slice_type, sh.qp)
-        for ts in range(n_ctus):
-            rs = int(pic.tiles.ctu_ts_to_rs[ts])
-            cx, cy = rs % pic.w_ctbs, rs // pic.w_ctbs
-            if use_sao:
-                enc.enc_sao(rs, cx > 0, cy > 0)
-            enc.encode_ctu(cx, cy, last_in_slice=(ts == n_ctus - 1))
-        cab.finish()
-        bw.u(1, 1)              # stop bit after final terminate
-        bw.align_zero()
-        slice_nal = make_nal(sh.nal_type, bw.get_bytes())
+        slice_nal = make_nal(sh.nal_type, bw.get_bytes() + b"".join(datas))
 
         if use_sao:
             from hm16_2_tpu.ops.sao_ref import sao_picture

@@ -47,3 +47,16 @@ def test_bitexact_decode(bs, rec, w, h):
     for i, p in enumerate(sorted(pics, key=lambda x: x.poc)):
         ours = np.concatenate([pl.astype(np.uint8).ravel() for pl in p.planes])
         np.testing.assert_array_equal(ours, raw[i * frame:(i + 1) * frame])
+
+
+@pytest.mark.parametrize("bs", ["/tmp/hevc_data/w512_wpp.bin",
+                                "/tmp/hevc_data/w512_tile.bin"])
+def test_wpp_tile_golden_decode(bs):
+    """HM-encoded WPP / tile streams: substream split via entry points,
+    per-substream CABAC with WPP context sync / tile resets."""
+    if not os.path.exists(bs):
+        pytest.skip("golden stream absent (see .claude/skills/verify)")
+    dec = Decoder()
+    pics = dec.decode_stream(open(bs, "rb").read())
+    assert len(pics) == 3
+    assert all(p.hash_ok is True for p in pics)

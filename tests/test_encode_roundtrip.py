@@ -169,3 +169,45 @@ def test_rrsp_prunes_search():
     assert check64 and only0             # unanimous 64x64 votes, QP>35
     mask = r.quadrant_mask(64, 64, 0)
     assert mask[0] and not mask[2]       # 8x8 depths pruned away
+
+
+@pytest.mark.parametrize("kw", [dict(wpp=True), dict(tile_cols=2, tile_rows=2),
+                                dict(wpp=True, intra_period=8)])
+def test_encode_wpp_tiles_selfdecode(kw):
+    """WPP / tile substreams: entry points, per-substream CABAC, context
+    choreography — self-decode must stay bit-exact."""
+    w, h, n = 192, 128, 3
+    rng = np.random.default_rng(21)
+    base = rng.integers(0, 256, (h * 2, w * 2)).astype(np.int32)
+    base = (base + np.roll(base, 1, 0) + np.roll(base, 1, 1)) // 3
+    enc = Encoder(EncoderConfig(w, h, qp=30, **kw))
+    stream = b""
+    recons = []
+    for t in range(n):
+        stream += enc.encode_frame(_moving_planes(w, h, t, base), t)
+        recons.append(enc.last_recon)
+    dec = Decoder()
+    pics = dec.decode_stream(stream)
+    assert len(pics) == n
+    for i, p in enumerate(pics):
+        assert p.hash_ok is True, f"poc {i}"
+        for c in range(3):
+            np.testing.assert_array_equal(p.planes[c], recons[i][c])
+
+
+@pytest.mark.skipif(not os.path.exists(HM_DEC), reason="reference decoder absent")
+@pytest.mark.parametrize("kw", [dict(wpp=True), dict(tile_cols=2, tile_rows=2)])
+def test_encode_wpp_tiles_reference_decode(tmp_path, kw):
+    # conformance floor: tile columns >= 256 luma wide, rows >= 64 tall
+    w, h, n = (512, 128, 2) if "tile_cols" in kw else (192, 128, 3)
+    rng = np.random.default_rng(22)
+    base = rng.integers(0, 256, (h * 2, w * 2)).astype(np.int32)
+    base = (base + np.roll(base, 1, 0) + np.roll(base, 1, 1)) // 3
+    enc = Encoder(EncoderConfig(w, h, qp=30, intra_period=8, **kw))
+    stream = b"".join(enc.encode_frame(_moving_planes(w, h, t, base), t)
+                      for t in range(n))
+    bs = tmp_path / "t.bin"
+    bs.write_bytes(stream)
+    out = subprocess.run([HM_DEC, "-b", str(bs), "-o", str(tmp_path / "o.yuv")],
+                         capture_output=True, text=True)
+    assert out.stdout.count("(OK)") == n, out.stdout + out.stderr

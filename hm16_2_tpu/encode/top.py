@@ -40,7 +40,7 @@ class EncoderConfig:
                  intra_period=1, deblock=True, sao=True, rdo=True,
                  gop="ld", sbd=True, rrsp=False,
                  target_bps=None, frame_rate=30, total_frames=0,
-                 wpp=False, tile_cols=1, tile_rows=1):
+                 wpp=False, tile_cols=1, tile_rows=1, der=16):
         self.width, self.height = width, height
         self.qp = qp
         self.bit_depth = bit_depth
@@ -58,6 +58,7 @@ class EncoderConfig:
         self.wpp = wpp               # entropy_coding_sync (one substream/row)
         self.tile_cols = tile_cols
         self.tile_rows = tile_rows
+        self.der = der               # SBD strip parameter R (8/16/32/64)
         self.log2_ctb = 6
         self.log2_min_cb = 3
         self.log2_min_tb = 2
@@ -266,8 +267,10 @@ class Encoder:
         pic.poc = poc
         pic.slices.append(sh)
 
+        self.last_qp = sh.qp
         search = CtuSearch(pic, sh, planes, rdo=cfg.rdo, qp_factor=qp_factor,
-                           sbd=cfg.sbd, rrsp=cfg.rrsp, lam_override=rc_lam)
+                           sbd=cfg.sbd, rrsp=cfg.rrsp, lam_override=rc_lam,
+                           der=cfg.der)
         if not is_idr:
             ref_lists = build_ref_lists(sh, self.dpb)
             rc = RefCtx(sh, ref_lists)
@@ -406,7 +409,7 @@ class CtuSearch:
     def __init__(self, pic: PictureState, sh: SliceHeader, orig_planes,
                  rdo: bool = True, qp_factor: float | None = None,
                  sbd: bool = False, rrsp: bool = False,
-                 lam_override: float | None = None):
+                 lam_override: float | None = None, der: int = 16):
         self.pic = pic
         self.sh = sh
         self.sps, self.pps = sh.sps, sh.pps
@@ -417,6 +420,7 @@ class CtuSearch:
         self.rdo = rdo
         self.sbd = sbd
         self.rrsp = rrsp
+        self.der = der
         self._allowed_depths = None
         self._rrsp_obj = None        # built lazily (needs ref lists)
         self._rrsp_ctu = None        # (check64, only_depth0) for current CTU
@@ -482,7 +486,7 @@ class CtuSearch:
         # boundary CTUs keep the full range (fork escape :928-933)
         if (x0 + parts) * 4 > pic.w or (y0 + parts) * 4 > pic.h:
             return None
-        R = 4                         # border strip width in parts (DER=16)
+        R = max(1, self.der // 4)     # border strip width in parts (DER)
         alpha, beta = set(), set()
 
         def sample(dst, arr, px0, py0, w, h):

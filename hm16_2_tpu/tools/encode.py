@@ -1,52 +1,204 @@
 """Encoder CLI (TAppEncoder dual): encode planar YUV to an Annex-B stream.
 
-Usage: python -m hm16_2_tpu.tools.encode in.yuv -wdt W -hgt H -f N -q QP -b out.bin [-o rec.yuv]
+Accepts the reference encoder's option names and `.cfg` files (TAppEncCfg
+option registry, TAppEncCfg.cpp:360-900; config-file syntax from
+program_options_lite) for the supported tool set, so HM command lines like
+
+  python -m hm16_2_tpu.tools.encode -c encoder_randomaccess_main.cfg \
+      -i in.yuv -wdt 416 -hgt 240 -f 16 -q 32 -b out.bin -o rec.yuv
+
+work unchanged.  Prints per-POC lines and a summary table in the
+reference's spirit (TEncGOP::xCalculateAddPSNR / TEncAnalyze::printOut).
 """
 
-import argparse
+from __future__ import annotations
+
 import sys
 import time
 
+import numpy as np
+
+from hm16_2_tpu.config.options import Options
 from hm16_2_tpu.encode.top import Encoder, EncoderConfig
 from hm16_2_tpu.io.yuv import read_yuv_frame, write_yuv_frame
 
 
-def main(argv=None):
-    ap = argparse.ArgumentParser()
-    ap.add_argument("input")
-    ap.add_argument("-wdt", type=int, required=True)
-    ap.add_argument("-hgt", type=int, required=True)
-    ap.add_argument("-f", "--frames", type=int, default=1)
-    ap.add_argument("-q", "--qp", type=int, default=32)
-    ap.add_argument("-b", "--bitstream", required=True)
-    ap.add_argument("-o", "--recon", default=None)
-    ap.add_argument("--no-deblock", action="store_true")
-    args = ap.parse_args(argv)
+def build_options() -> Options:
+    o = Options()
+    o.add("InputFile", "", "Original YUV input file name", short="i")
+    o.add("BitstreamFile", "", "Bitstream output file name", short="b")
+    o.add("ReconFile", "", "Reconstructed YUV output file name", short="o")
+    o.add("SourceWidth", 0, "Source picture width", short="wdt")
+    o.add("SourceHeight", 0, "Source picture height", short="hgt")
+    o.add("InputBitDepth", 8, "Bit-depth of input file")
+    o.add("InternalBitDepth", 0, "Internal coding bit-depth (0: input)")
+    o.add("FrameRate", 30, "Frame rate", short="fr")
+    o.add("FrameSkip", 0, "Number of frames to skip at start", short="fs")
+    o.add("FramesToBeEncoded", 1, "Number of frames to be coded", short="f")
+    o.add("QP", 32.0, "Qp value", short="q")
+    o.add("IntraPeriod", -1, "Intra period in frames (-1: first only)",
+          short="ip")
+    o.add("DecodingRefreshType", 0, "Intra refresh type", short="dr")
+    o.add("GOPSize", 1, "GOP size of temporal structure", short="g")
+    o.add("SAO", True, "Enable Sample Adaptive Offset")
+    o.add("LoopFilterDisable", False, "Disable deblocking filter")
+    o.add("WaveFrontSynchro", 0, "WPP: 1 enables entropy_coding_sync")
+    o.add("NumTileColumnsMinus1", 0, "Number of tile columns minus 1")
+    o.add("NumTileRowsMinus1", 0, "Number of tile rows minus 1")
+    o.add("TileUniformSpacing", True, "Uniform tile grid")
+    o.add("SEIDecodedPictureHash", 1, "Hash SEI (always MD5 here)")
+    o.add("RateControl", False, "Rate control: enable R-lambda model")
+    o.add("TargetBitrate", 0, "Rate control: target bit-rate")
+    o.add("SBD", False, "Similarity-based fast CU depth decision (fork)")
+    o.add("RRSP", False, "Reduced-region similarity partitioning (fork)")
+    o.add("DER", 16, "SBD border-strip width R (8/16/32/64)")
+    o.add("InputChromaFormat", 420, "Input chroma format")
+    o.add("ConformanceWindowMode", 0, "Conformance window")
+    o.add("Level", 0.0, "Level limit")
+    o.add("Profile", "main", "Profile")
+    # registered-but-informational (accepted from HM cfgs without effect)
+    for name, dflt in (("MaxCUWidth", 64), ("MaxCUHeight", 64),
+                       ("MaxPartitionDepth", 4), ("QuadtreeTULog2MaxSize", 5),
+                       ("QuadtreeTULog2MinSize", 2),
+                       ("QuadtreeTUMaxDepthInter", 3),
+                       ("QuadtreeTUMaxDepthIntra", 3)):
+        o.add(name, dflt, "(structure; fixed in this build)")
+    # remaining TAppEncCfg keys found in the CTC cfg fixtures — accepted so
+    # reference config files parse cleanly; tools behind them land in later
+    # build stages (TAppEncCfg.cpp:360-900)
+    for name in ("AMP AlignCABACBeforeBypass BipredSearchRange "
+                 "CUTransquantBypassFlagForce CrossComponentPrediction "
+                 "DeblockingFilterControlPresent DeblockingFilterMetric "
+                 "DeltaQpRD ExplicitResidualDPCM ExtendedPrecision FDM FEN "
+                 "FastSearch GolombRiceParameterAdaptation HadamardME "
+                 "HighPrecisionPredictionWeighting ImplicitResidualDPCM "
+                 "InitialQP IntraConstraintFlag IntraReferenceSmoothing "
+                 "KeepHierarchicalBit LCULevelRateControl "
+                 "LFCrossSliceBoundaryFlag LFCrossTileBoundaryFlag "
+                 "LoopFilterBetaOffset_div2 LoopFilterOffsetInPPS "
+                 "LoopFilterTcOffset_div2 MaxCuDQPDepth MaxDeltaQP "
+                 "PCMEnabledFlag PCMFilterDisableFlag PCMInputBitDepthFlag "
+                 "PCMLog2MaxSize PCMLog2MinSize RCForceIntraQP "
+                 "RCLCUSeparateModel RDOQ RDOQTS ResidualRotation "
+                 "SAOLcuBoundary ScalingList ScalingListFile SearchRange "
+                 "SingleSignificanceMapContext SliceArgument SliceMode Tier "
+                 "TransformSkip TransformSkipFast TransformSkipLog2MaxSize "
+                 "TransquantBypassEnableFlag UniformSpacingIdc "
+                 "ColumnWidthArray RowHeightArray TileColumnWidthArray "
+                 "TileRowHeightArray").split():
+        o.add(name, "", "(accepted; see build-stage notes)")
+    for n in range(1, 17):    # GOP structure rows, validated by GOPSize
+        o.add(f"Frame{n}", "", "GOP entry")
+    return o
 
-    cfg = EncoderConfig(args.wdt, args.hgt, qp=args.qp,
-                        deblock=not args.no_deblock)
+
+def psnr(orig, rec, bd):
+    mse = float(np.mean((orig.astype(np.float64) - rec) ** 2))
+    if mse == 0:
+        return 99.99
+    peak = (1 << bd) - 1
+    return 10.0 * np.log10(peak * peak / mse)
+
+
+def main(argv=None):
+    o = build_options()
+    rest = o.parse_cli(sys.argv[1:] if argv is None else argv)
+    for w in o.warnings:
+        print(f"Warning: {w}", file=sys.stderr)
+    inp = o["InputFile"] or (rest[0] if rest else "")
+    if not inp or not o["BitstreamFile"] or not o["SourceWidth"]:
+        print("Required: -i/--InputFile, -b/--BitstreamFile, "
+              "-wdt/-hgt", file=sys.stderr)
+        return 2
+    w, h = o["SourceWidth"], o["SourceHeight"]
+    n = o["FramesToBeEncoded"]
+    qp = int(o["QP"])
+    ip = o["IntraPeriod"]
+    gop = "ra8" if o["GOPSize"] >= 8 else "ld"
+    bd_in = o["InputBitDepth"]
+    bd = o["InternalBitDepth"] or bd_in
+
+    intra_period = 1 if ip == 1 else (ip if ip > 0 else 10 ** 9)
+    cfg = EncoderConfig(
+        w, h, qp=qp, bit_depth=bd, intra_period=intra_period,
+        deblock=not o["LoopFilterDisable"], sao=o["SAO"], gop=gop,
+        sbd=o["SBD"], rrsp=o["RRSP"],
+        wpp=bool(o["WaveFrontSynchro"]),
+        tile_cols=o["NumTileColumnsMinus1"] + 1,
+        tile_rows=o["NumTileRowsMinus1"] + 1,
+        target_bps=o["TargetBitrate"] if o["RateControl"] else None,
+        frame_rate=o["FrameRate"], total_frames=n)
+    cfg.der = o["DER"]
     enc = Encoder(cfg)
-    fin = open(args.input, "rb")
-    fout = open(args.bitstream, "wb")
-    frec = open(args.recon, "wb") if args.recon else None
+
+    fin = open(inp, "rb")
+    for _ in range(o["FrameSkip"]):
+        read_yuv_frame(fin, w, h, file_bit_depth=bd_in)
+    fout = open(o["BitstreamFile"], "wb")
+    frec = open(o["ReconFile"], "wb") if o["ReconFile"] else None
+    bds = [bd] * 3
+
+    shift = bd - bd_in
+    stats = []          # (poc, slice, bits, psnr per plane)
     t0 = time.time()
-    total = 0
-    for poc in range(args.frames):
-        planes = read_yuv_frame(fin, args.wdt, args.hgt)
+    pending = {}        # poc -> orig planes (for PSNR after coding)
+    coded = []
+    for poc in range(n):
+        planes = read_yuv_frame(fin, w, h, file_bit_depth=bd_in)
         if planes is None:
             break
-        au = enc.encode_frame(planes, poc)
-        fout.write(au)
-        total += len(au)
-        print(f"POC {poc:4d} ( I-SLICE, QP {args.qp} ) {len(au)*8} bits")
-        if frec:
-            write_yuv_frame(frec, enc.last_recon, [8, 8, 8])
+        if shift:
+            planes = [p.astype(np.int32) << shift for p in planes]
+        pending[poc] = planes
+        if gop == "ra8":
+            for au in enc.push_frame(planes, poc):
+                coded.append(au)
+                fout.write(au)
+        else:
+            au = enc.encode_frame(planes, poc)
+            coded.append(au)
+            fout.write(au)
+            orig = pending.pop(poc)
+            py = psnr(orig[0], enc.last_recon[0], bd)
+            pu = psnr(orig[1], enc.last_recon[1], bd)
+            pv = psnr(orig[2], enc.last_recon[2], bd)
+            st = "I" if (cfg.intra_period == 1 or
+                         poc % cfg.intra_period == 0 or poc == 0) else "P"
+            bits = len(au) * 8
+            stats.append((poc, st, bits, py, pu, pv))
+            print(f"POC {poc:4d} ( {st}-SLICE, QP "
+                  f"{getattr(enc, 'last_qp', qp):2d} ) "
+                  f"{bits:10d} bits [Y {py:6.4f} dB  U {pu:6.4f} dB  "
+                  f"V {pv:6.4f} dB]")
+            if frec:
+                write_yuv_frame(frec, enc.last_recon, bds)
+    if gop == "ra8":
+        for au in enc.flush():
+            coded.append(au)
+            fout.write(au)
+        for poc, orig in sorted(pending.items()):
+            stats.append((poc, "B", 0, 0, 0, 0))
     dt = time.time() - t0
-    print(f"Bytes written to file: {total}")
-    print(f"Total Time: {dt:.3f} sec ({enc.frames_coded/dt:.3f} fps)")
-    fout.close()
+
     if frec:
         frec.close()
+    fout.close()
+
+    total_bytes = sum(len(a) for a in coded)
+    fps = o["FrameRate"]
+    kbps = total_bytes * 8 * fps / max(len(coded), 1) / 1000.0
+    print()
+    print("SUMMARY --------------------------------------------------------")
+    if stats and stats[0][3]:
+        ys = [s[3] for s in stats if s[3]]
+        us = [s[4] for s in stats if s[3]]
+        vs = [s[5] for s in stats if s[3]]
+        print(f"        Total Frames |   Bitrate     Y-PSNR    U-PSNR    "
+              f"V-PSNR")
+        print(f"              {len(coded):6d}    {kbps:9.4f}  {np.mean(ys):8.4f}  "
+              f"{np.mean(us):8.4f}  {np.mean(vs):8.4f}")
+    print(f"Bytes written to file: {total_bytes}")
+    print(f"Total Time: {dt:12.3f} sec. ({len(coded) / max(dt, 1e-9):.3f} fps)")
     return 0
 
 

@@ -1,0 +1,54 @@
+"""App-utils parity: annexBbytecount / convert_NtoMbit_YCbCr /
+BitrateTargeting duals."""
+
+import numpy as np
+
+from hm16_2_tpu.tools.annexb_bytecount import count
+from hm16_2_tpu.tools.bitrate_targeting import guess_lambda_modifiers
+from hm16_2_tpu.tools.convert_bitdepth import convert_plane
+
+
+def test_annexb_count():
+    from hm16_2_tpu.bitstream.bitio import write_annexb
+    nals = [bytes([32 << 1, 1]) + b"x" * 10,    # VPS
+            bytes([19 << 1, 1]) + b"y" * 100]   # IDR
+    data = write_annexb(nals)
+    per_type, total_nal, sc = count(data)
+    assert per_type[32] == [1, 12]
+    assert per_type[19] == [1, 102]
+    assert sc == len(data) - total_nal
+
+
+def test_convert_bitdepth_roundtrip():
+    rng = np.random.default_rng(0)
+    p8 = rng.integers(0, 256, (16, 16)).astype(np.int32)
+    p10 = convert_plane(p8, 8, 10)
+    assert p10.max() <= 1023 and np.array_equal(p10, p8 << 2)
+    back = convert_plane(p10, 10, 8)
+    np.testing.assert_array_equal(back, p8)
+    # down-shift rounds to nearest
+    assert convert_plane(np.array([3]), 10, 8)[0] == 1
+
+
+def test_lambda_modifier_convergence():
+    """Simulated encoder with bitrate ~ C/modifier: the guess loop must
+    approach the target bitrate within a few iterations."""
+    targets = [1000.0]
+    C = 800.0
+
+    def encode(mods):
+        return [C / m for m in mods]
+
+    meta = []
+    mods = [1.0]
+    meta.append((mods, encode(mods)))
+    for _ in range(8):
+        mods = guess_lambda_modifiers(0.5, targets, meta)
+        meta.append((mods, encode(mods)))
+    achieved = meta[-1][1][0]
+    assert abs(achieved - targets[0]) / targets[0] < 0.05
+    # multi-layer: inter dampening keeps later layers stable
+    t2 = [1000.0, 500.0]
+    meta2 = [([1.0, 1.0], [800.0, 300.0])]
+    m2 = guess_lambda_modifiers(0.5, t2, meta2)
+    assert len(m2) == 2 and all(m > 0 for m in m2)

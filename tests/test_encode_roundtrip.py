@@ -211,3 +211,21 @@ def test_encode_wpp_tiles_reference_decode(tmp_path, kw):
     out = subprocess.run([HM_DEC, "-b", str(bs), "-o", str(tmp_path / "o.yuv")],
                          capture_output=True, text=True)
     assert out.stdout.count("(OK)") == n, out.stdout + out.stderr
+
+
+def test_encode_main10_selfdecode():
+    """Main10 encode: 10-bit planes through the same path (bit-depth
+    plumbed through transforms/quant/intra/MC)."""
+    w, h, n = 64, 64, 3
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 1024, (h * 2, w * 2)).astype(np.int32)
+    base = (base + np.roll(base, 1, 0) + np.roll(base, 1, 1)) // 3
+    enc = Encoder(EncoderConfig(w, h, qp=32, bit_depth=10, intra_period=8))
+    stream = b""
+    for t in range(n):
+        y = base[t:t + h, t * 2:t * 2 + w]
+        u = np.full((h // 2, w // 2), 400, np.int32)
+        v = np.full((h // 2, w // 2), 600, np.int32)
+        stream += enc.encode_frame([y, u, v], t)
+    pics = Decoder().decode_stream(stream)
+    assert len(pics) == n and all(p.hash_ok for p in pics)

@@ -1151,6 +1151,9 @@ class CtuSearch:
         x0 = (px * 4) >> (sx if comp else 0)
         y0 = (py * 4) >> (sy if comp else 0)
         bd = self.bit_depth[comp]
+        cbf = self._native_intra_code_tu(px, py, log2, comp, mode)
+        if cbf >= 0:
+            return cbf
         pred = self._predict(px, py, log2, comp, mode)
         log2_tr = size.bit_length() - 1
         use_dst = (comp == 0 and size == 4)
@@ -1175,6 +1178,58 @@ class CtuSearch:
         pic.rec[comp][y0:y0 + size, x0:x0 + size] = np.clip(
             pred + rec_resi, 0, (1 << bd) - 1)
         return cbf
+
+    def _native_intra_code_tu(self, px, py, log2, comp, mode) -> int:
+        """Fused C++ intra TU: reference assembly + smoothing + prediction
+        + transform/quant/recon in one call (the AI hot loop); returns cbf
+        or -1 when unavailable / outside the fast-availability path."""
+        from hm16_2_tpu import native
+        lib = native.get_dsp()
+        pic = self.pic
+        if lib is None or self.pps.constrained_intra_pred or \
+                len(pic.tiles.col_bounds) != 2 or \
+                len(pic.tiles.row_bounds) != 2:
+            return -1
+        sps = self.sps
+        sx, sy = pic.comp_shift[comp]
+        size = (1 << log2) >> (sx if comp else 0)
+        x0 = (px * 4) >> (sx if comp else 0)
+        y0 = (py * 4) >> (sy if comp else 0)
+        bd = self.bit_depth[comp]
+        qp = self._tu_qp(px, py, comp)
+        use_dst = comp == 0 and size == 4
+        cache = getattr(self, "_nat_cache", None)
+        if cache is None:
+            cache = self._nat_cache = {}
+        ent = cache.get(comp)
+        if ent is None:
+            orig = self.orig[comp]
+            if orig.dtype != np.int32 or not orig.flags.c_contiguous:
+                orig = np.ascontiguousarray(orig, dtype=np.int32)
+                self.orig[comp] = orig
+            rec = pic.rec[comp]
+            coeff = pic.coeff[comp]
+            coded = pic.coded
+            assert coded.dtype == np.bool_ and coded.flags.c_contiguous
+            ent = cache[comp] = (
+                orig.ctypes.data, orig.shape[1],
+                rec.ctypes.data, rec.shape[1], rec.shape[0],
+                coeff.ctypes.data, coeff.shape[1],
+                coded.ctypes.data, coded.shape[1],
+                1 if sps.strong_intra_smoothing else 0,
+                1 if sps.intra_smoothing_disabled else 0,
+                sps.chroma_format_idc)
+        (optr0, ostride, rptr0, rstride, rh, cptr0, cstride,
+         kptr, kstride, strong, smooth_dis, cfmt) = ent
+        return lib.intra_code_tu(
+            rptr0, rstride, rstride, rh, kptr, kstride, pic.w, pic.h,
+            sx if comp else 0, sy if comp else 0,
+            x0, y0, size, int(mode), bd, 1 if comp == 0 else 0,
+            strong, smooth_dis, cfmt,
+            optr0 + 4 * (y0 * ostride + x0), ostride, qp,
+            1 if use_dst else 0, 1,
+            cptr0 + 4 * (y0 * cstride + x0), cstride,
+            rptr0 + 4 * (y0 * rstride + x0), rstride)
 
     def _native_code_tu(self, comp, x0, y0, size, log2_tr, bd, qp, use_dst,
                         is_intra, pred) -> int:

@@ -140,5 +140,23 @@ def get_dsp():
                   QUANT_SCALES, INV_QUANT_SCALES))
     lib.set_dsp_tables(*[t.ctypes.data_as(ctypes.c_void_p)
                          for t in _dsp_tables_keepalive])
+    lib.intra_code_tu.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64]
+    lib.intra_code_tu.restype = ctypes.c_int
+    lib.set_intra_tables.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    from hm16_2_tpu.common.tables import ANG_TABLE, INV_ANG_TABLE
+    global _intra_tables_keepalive
+    _intra_tables_keepalive = (
+        np.ascontiguousarray(ANG_TABLE, dtype=np.int32),
+        np.ascontiguousarray(INV_ANG_TABLE, dtype=np.int32))
+    lib.set_intra_tables(*[t.ctypes.data_as(ctypes.c_void_p)
+                           for t in _intra_tables_keepalive])
     _dsp = lib
     return lib

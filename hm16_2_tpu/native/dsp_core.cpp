@@ -184,3 +184,248 @@ extern "C" int code_tu(const int32_t *orig, int64_t orig_stride,
   }
   return 1;
 }
+
+// ---------------------------------------------------------------------------
+// Fused intra TU coding: availability scan + reference assembly (with
+// substitution), [1 2 1]/strong smoothing, 35-mode prediction, then the
+// same transform/quant/recon as code_tu.  Semantics mirror
+// hm16_2_tpu/ops/intra_ref.py (HM TComPattern.cpp:309-556,
+// TComPrediction.cpp:120-440) — verified by the bit-exact self/reference
+// decode tests.
+// ---------------------------------------------------------------------------
+
+static const int32_t *g_ang_table = 0;
+static const int32_t *g_inv_ang_table = 0;
+
+extern "C" void set_intra_tables(const void *ang, const void *inv_ang) {
+  g_ang_table = (const int32_t *)ang;
+  g_inv_ang_table = (const int32_t *)inv_ang;
+}
+
+static const int kFilterThreshold[5] = {10, 7, 1, 0, 10};
+
+extern "C" int intra_code_tu(
+    const int32_t *rec_plane, int64_t rec_stride, int plane_w, int plane_h,
+    const uint8_t *coded, int64_t coded_stride, int pic_w, int pic_h,
+    int sx, int sy, int x0, int y0, int size, int mode, int bit_depth,
+    int is_luma, int strong_smoothing, int smoothing_disabled,
+    int chroma_fmt, const int32_t *orig, int64_t orig_stride, int qp,
+    int use_dst, int is_intra, int32_t *levels, int64_t lvl_stride,
+    int32_t *rec_out, int64_t rec_out_stride) {
+  if (!g_ang_table || size > 32) return -1;
+  const int s = size;
+  const int unit_w = 4 >> sx, unit_h = 4 >> sy;
+  const int n_left = (2 * s) / unit_h, n_above = (2 * s) / unit_w;
+  const int total_units = n_left + n_above + 1;
+  const int64_t dc_fill = (int64_t)1 << (bit_depth - 1);
+
+  // availability per unit (fast path: committed-part lookup)
+  bool flags[130];
+  int num_avail = 0;
+  {
+    // avail(ux,uy): comp-plane sample -> 4x4 luma part
+    auto avail = [&](int ux, int uy) -> bool {
+      if (ux < 0 || uy < 0) return false;
+      int ppx = (ux << sx) >> 2, ppy = (uy << sy) >> 2;
+      if (ppx * 4 >= pic_w || ppy * 4 >= pic_h) return false;
+      return coded[ppy * coded_stride + ppx] != 0;
+    };
+    for (int j = 0; j < n_left; j++) {
+      int uy = y0 + (n_left - 1 - j) * unit_h;
+      flags[j] = avail(x0 - 1, uy);
+    }
+    flags[n_left] = avail(x0 - 1, y0 - 1);
+    for (int j = 0; j < n_above; j++)
+      flags[n_left + 1 + j] = avail(x0 + j * unit_w, y0 - 1);
+    for (int u = 0; u < total_units; u++) num_avail += flags[u];
+  }
+
+  int64_t top[65], left[65];
+  for (int i = 0; i <= 2 * s; i++) top[i] = left[i] = dc_fill;
+  auto sample = [&](int x, int y) -> int64_t {
+    if (x > plane_w - 1) x = plane_w - 1;
+    if (y > plane_h - 1) y = plane_h - 1;
+    return rec_plane[(int64_t)y * rec_stride + x];
+  };
+  if (num_avail == total_units) {
+    for (int i = 0; i <= 2 * s; i++) top[i] = sample(x0 - 1 + i, y0 - 1);
+    for (int i = 1; i <= 2 * s; i++) left[i] = sample(x0 - 1, y0 - 1 + i);
+    left[0] = top[0];
+  } else if (num_avail > 0) {
+    // line buffer bottom-left -> top-right in units
+    int total_samples = n_left * unit_h + (n_above + 1) * unit_w;
+    int64_t line[200];
+    for (int i = 0; i < total_samples; i++) line[i] = dc_fill;
+    for (int j = 0; j < n_left; j++)
+      if (flags[j]) {
+        int uy = y0 + (n_left - 1 - j) * unit_h;
+        for (int i = 0; i < unit_h; i++)
+          line[j * unit_h + i] = sample(x0 - 1, uy + unit_h - 1 - i);
+      }
+    int corner_base = n_left * unit_h;
+    if (flags[n_left])
+      for (int i = 0; i < unit_w; i++)
+        line[corner_base + i] = sample(x0 - 1, y0 - 1);
+    for (int j = 0; j < n_above; j++)
+      if (flags[n_left + 1 + j]) {
+        int base = corner_base + unit_w + j * unit_w;
+        for (int i = 0; i < unit_w; i++)
+          line[base + i] = sample(x0 + j * unit_w + i, y0 - 1);
+      }
+    auto unit_base = [&](int u) {
+      return u < n_left ? u * unit_h : corner_base + (u - n_left) * unit_w;
+    };
+    auto unit_len = [&](int u) { return u < n_left ? unit_h : unit_w; };
+    int start = 0;
+    if (!flags[0]) {
+      int nxt = 1;
+      while (nxt < total_units && !flags[nxt]) nxt++;
+      int64_t ref_sample = line[unit_base(nxt)];
+      for (int u = 0; u < nxt; u++) {
+        int b = unit_base(u);
+        for (int i = 0; i < unit_len(u); i++) line[b + i] = ref_sample;
+      }
+      start = nxt;
+    }
+    for (int u = start; u < total_units; u++)
+      if (!flags[u]) {
+        int b = unit_base(u);
+        for (int i = 0; i < unit_len(u); i++) line[b + i] = line[b - 1];
+      }
+    int off = (2 * s + 1) + unit_w - 2;
+    for (int i = 0; i <= 2 * s; i++) top[i] = line[off + i];
+    off = (2 * s + 1) - 1;
+    for (int i = 1; i <= 2 * s; i++) left[i] = line[off - i];
+    left[0] = top[0];
+  }
+
+  // filtering decision (filteringIntraReferenceSamples)
+  bool do_filter = false;
+  if (!smoothing_disabled && (is_luma || chroma_fmt == 3) && mode != 1) {
+    int size_idx = 0, t = s;
+    while (t > 4) { t >>= 1; size_idx++; }
+    int d1 = mode - 10 < 0 ? 10 - mode : mode - 10;
+    int d2 = mode - 26 < 0 ? 26 - mode : mode - 26;
+    int diff = d1 < d2 ? d1 : d2;
+    do_filter = diff > kFilterThreshold[size_idx];
+  }
+  if (do_filter) {
+    int64_t tf[65], lf[65];
+    bool strong = false;
+    if (strong_smoothing && s == 32) {
+      int64_t thr = (int64_t)1 << (bit_depth - 5);
+      int64_t bl = left[2 * s], tl = top[0], tr = top[2 * s];
+      int64_t dl = bl + tl - 2 * left[s];
+      int64_t da = tl + tr - 2 * top[s];
+      strong = (dl < 0 ? -dl : dl) < thr && (da < 0 ? -da : da) < thr;
+    }
+    if (strong) {
+      int log2s = 0;
+      for (int t = s; t > 1; t >>= 1) log2s++;
+      int shift = log2s + 1;
+      int64_t bl = left[2 * s], tl = top[0], tr = top[2 * s];
+      tf[0] = tl; lf[0] = tl;
+      tf[2 * s] = tr; lf[2 * s] = bl;
+      for (int i = 1; i < 2 * s; i++) {
+        lf[i] = ((2 * s - i) * tl + i * bl + s) >> shift;
+        tf[i] = ((2 * s - i) * tl + i * tr + s) >> shift;
+      }
+    } else {
+      tf[2 * s] = top[2 * s]; lf[2 * s] = left[2 * s];
+      for (int i = 1; i < 2 * s; i++) {
+        lf[i] = (left[i + 1] + 2 * left[i] + left[i - 1] + 2) >> 2;
+        tf[i] = (top[i + 1] + 2 * top[i] + top[i - 1] + 2) >> 2;
+      }
+      int64_t corner = (left[1] + 2 * top[0] + top[1] + 2) >> 2;
+      tf[0] = corner; lf[0] = corner;
+    }
+    for (int i = 0; i <= 2 * s; i++) { top[i] = tf[i]; left[i] = lf[i]; }
+  }
+
+  // prediction
+  int32_t pred[32 * 32];
+  const int64_t maxv = ((int64_t)1 << bit_depth) - 1;
+  if (mode == 0) {                                   // planar
+    int64_t bl = left[s + 1], tr = top[s + 1];
+    int log2s = 0;
+    for (int t = s; t > 1; t >>= 1) log2s++;
+    for (int y = 0; y < s; y++)
+      for (int x = 0; x < s; x++) {
+        int64_t hor = (s - 1 - x) * left[y + 1] + (x + 1) * tr;
+        int64_t ver = (s - 1 - y) * top[x + 1] + (y + 1) * bl;
+        pred[y * s + x] = (int32_t)((hor + ver + s) >> (log2s + 1));
+      }
+  } else if (mode == 1) {                            // DC
+    int64_t sum = 0;
+    for (int i = 1; i <= s; i++) sum += top[i] + left[i];
+    int log2s = 0;
+    for (int t = s; t > 1; t >>= 1) log2s++;
+    int64_t dcval = (sum + s) >> (log2s + 1);
+    for (int i = 0; i < s * s; i++) pred[i] = (int32_t)dcval;
+    if (is_luma && s <= 16) {
+      pred[0] = (int32_t)((top[1] + left[1] + 2 * dcval + 2) >> 2);
+      for (int x = 1; x < s; x++)
+        pred[x] = (int32_t)((top[x + 1] + 3 * dcval + 2) >> 2);
+      for (int y = 1; y < s; y++)
+        pred[y * s] = (int32_t)((left[y + 1] + 3 * dcval + 2) >> 2);
+    }
+  } else {                                           // angular
+    bool is_ver = mode >= 18;
+    int ang_mode = is_ver ? mode - 26 : -(mode - 10);
+    int aam = ang_mode < 0 ? -ang_mode : ang_mode;
+    int abs_ang = g_ang_table[aam];
+    int inv_angle = g_inv_ang_table[aam];
+    int angle = ang_mode < 0 ? -abs_ang : abs_ang;
+    int64_t ref_main[4 * 32 + 2];
+    const int base = s;
+    const int64_t *main_src = is_ver ? top : left;
+    const int64_t *side_src = is_ver ? left : top;
+    if (angle < 0) {
+      for (int x = 0; x <= s; x++) ref_main[base + x] = main_src[x];
+      int inv_sum = 128;
+      for (int k = -1; k > (s * angle) >> 5; k--) {
+        inv_sum += inv_angle;
+        ref_main[base + k] = side_src[inv_sum >> 8];
+      }
+    } else {
+      for (int x = 0; x <= 2 * s; x++) ref_main[base + x] = main_src[x];
+    }
+    int64_t tmp[32 * 32];
+    if (angle == 0) {
+      for (int y = 0; y < s; y++)
+        for (int x = 0; x < s; x++) tmp[y * s + x] = ref_main[base + 1 + x];
+      if (is_luma && s <= 16) {
+        int64_t ref0 = side_src[0];
+        for (int y = 0; y < s; y++) {
+          int64_t v = tmp[y * s] + ((side_src[y + 1] - ref0) >> 1);
+          tmp[y * s] = clip64(v, 0, maxv);
+        }
+      }
+    } else {
+      for (int y = 0; y < s; y++) {
+        int delta = (y + 1) * angle;
+        int i_int = delta >> 5;
+        int frac = delta & 31;
+        for (int x = 0; x < s; x++) {
+          int idx = base + 1 + i_int + x;
+          tmp[y * s + x] = frac
+              ? ((32 - frac) * ref_main[idx] + frac * ref_main[idx + 1] + 16)
+                    >> 5
+              : ref_main[idx];
+        }
+      }
+    }
+    if (is_ver) {
+      for (int i = 0; i < s * s; i++) pred[i] = (int32_t)tmp[i];
+    } else {
+      for (int y = 0; y < s; y++)
+        for (int x = 0; x < s; x++) pred[y * s + x] = (int32_t)tmp[x * s + y];
+    }
+  }
+
+  int log2n = 0;
+  for (int t = s; t > 1; t >>= 1) log2n++;
+  return code_tu(orig, orig_stride, pred, s, s, log2n, bit_depth, qp,
+                 use_dst, is_intra, levels, lvl_stride, rec_out,
+                 rec_out_stride);
+}

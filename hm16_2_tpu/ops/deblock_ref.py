@@ -22,6 +22,11 @@ BETA_TABLE = np.array(
 EDGE_VER, EDGE_HOR = 0, 1
 
 
+
+def _cl(v, lo, hi):
+    """Scalar clip (min/max beats np.clip on Python ints in the hot loop)."""
+    return lo if v < lo else (hi if v > hi else v)
+
 def _slice_flags(pic: PictureState):
     """Per-slice (disable, beta, tc, lf_cross_slices) lookup arrays."""
     n = len(pic.slices)
@@ -208,7 +213,7 @@ def _filter_luma(pic: PictureState, direction, bs, beta_off, tc_off):
             qp_q = int(pic.qp[py, px])
             qp_p = int(pic.qp[ny, nx])
             qp = (qp_p + qp_q + 1) >> 1
-            idx_tc = int(np.clip(qp + 2 * (b - 1) + (int(tc_off[sl]) << 1), 0, 53))
+            idx_tc = _cl(qp + 2 * (b - 1) + (int(tc_off[sl]) << 1), 0, 53)
             idx_b = int(np.clip(qp + (int(beta_off[sl]) << 1), 0, 51))
             tc = int(TC_TABLE[idx_tc]) * bd_scale
             beta = int(BETA_TABLE[idx_b]) * bd_scale
@@ -267,16 +272,16 @@ def _filter_luma(pic: PictureState, direction, bs, beta_off, tc_off):
                 else:
                     delta = (9 * (m[4] - m[3]) - 3 * (m[5] - m[2]) + 8) >> 4
                     if abs(delta) < thr_cut:
-                        delta = int(np.clip(delta, -tc, tc))
-                        put(line, -1, int(np.clip(m[3] + delta, 0, max_val)))
-                        put(line, 0, int(np.clip(m[4] - delta, 0, max_val)))
+                        delta = _cl(delta, -tc, tc)
+                        put(line, -1, _cl(m[3] + delta, 0, max_val))
+                        put(line, 0, _cl(m[4] - delta, 0, max_val))
                         tc2 = tc >> 1
                         if filter_p:
-                            d1 = int(np.clip((((m[1] + m[3] + 1) >> 1) - m[2] + delta) >> 1, -tc2, tc2))
-                            put(line, -2, int(np.clip(m[2] + d1, 0, max_val)))
+                            d1 = _cl((((m[1] + m[3] + 1) >> 1) - m[2] + delta) >> 1, -tc2, tc2)
+                            put(line, -2, _cl(m[2] + d1, 0, max_val))
                         if filter_q:
-                            d2 = int(np.clip((((m[6] + m[4] + 1) >> 1) - m[5] - delta) >> 1, -tc2, tc2))
-                            put(line, 1, int(np.clip(m[5] + d2, 0, max_val)))
+                            d2 = _cl((((m[6] + m[4] + 1) >> 1) - m[5] - delta) >> 1, -tc2, tc2)
+                            put(line, 1, _cl(m[5] + d2, 0, max_val))
                 if no_p:
                     for k in (-1, -2, -3):
                         put(line, k, m[4 + k])
@@ -320,7 +325,7 @@ def _filter_chroma(pic: PictureState, direction, bs, tc_off):
                     qp = qp - 6 if fmt == 1 else min(qp, 51)
                 elif qp >= 0:
                     qp = int(CHROMA_QP_SCALE[fmt][qp])
-                idx_tc = int(np.clip(qp + 2 * (b - 1) + (int(tc_off[sl]) << 1), 0, 53))
+                idx_tc = _cl(qp + 2 * (b - 1) + (int(tc_off[sl]) << 1), 0, 53)
                 tc = int(TC_TABLE[idx_tc]) * bd_scale
                 if tc == 0:
                     continue
@@ -336,9 +341,9 @@ def _filter_chroma(pic: PictureState, direction, bs, tc_off):
                         yy, xx = cy0, cx0 + line
                         m2, m3 = int(rec[yy-2, xx]), int(rec[yy-1, xx])
                         m4, m5 = int(rec[yy, xx]), int(rec[yy+1, xx])
-                    delta = int(np.clip((((m4 - m3) << 2) + m2 - m5 + 4) >> 3, -tc, tc))
-                    new_p = int(np.clip(m3 + delta, 0, max_val))
-                    new_q = int(np.clip(m4 - delta, 0, max_val))
+                    delta = _cl((((m4 - m3) << 2) + m2 - m5 + 4) >> 3, -tc, tc)
+                    new_p = _cl(m3 + delta, 0, max_val)
+                    new_q = _cl(m4 - delta, 0, max_val)
                     if no_p:
                         new_p = m3
                     if no_q:

@@ -27,7 +27,7 @@ def synthetic_planes(w, h, t, rng):
     return [np.clip(y, 0, 255), u, v]
 
 
-def bench_end_to_end(frames=2, w=416, h=240):
+def bench_end_to_end(frames=4, w=416, h=240):
     from hm16_2_tpu.encode.top import Encoder, EncoderConfig
     rng = np.random.default_rng(7)
     enc = Encoder(EncoderConfig(w, h, qp=32))

@@ -75,7 +75,7 @@ NUM_CTX = _off
 class ContextSet:
     """Flat array of packed 7-bit context states with named offsets."""
 
-    __slots__ = ("state",)
+    __slots__ = ("state", "_state_ptr")   # _state_ptr: cached ctypes addr
 
     def __init__(self, slice_type: int | None = None, qp: int | None = None):
         self.state = np.zeros(NUM_CTX, dtype=np.uint8)

@@ -578,31 +578,49 @@ class CtuEncoder(SliceDecoder):
         import ctypes
         e = self.enc
         counting = isinstance(e, CabacCounter)
+        # persistent state struct + output buffer (ctypes Structure
+        # construction and np.zeros were per-call hot spots)
+        st = getattr(self, "_nat_st", None)
+        if st is None:
+            st = self._nat_st = native.EncState()
+            self._nat_out = np.zeros(4 * 32 * 32 + 64, dtype=np.uint8)
+            self._nat_out_ptr = self._nat_out.ctypes.data
+        out = self._nat_out
+        st.out = self._nat_out_ptr
+        st.n = 0
         if counting:
-            out = np.zeros(1, dtype=np.uint8)
-            st = native.EncState(
-                out=out.ctypes.data_as(ctypes.c_void_p), n=0,
-                low=0, range_=510, bits_left=23, num_buffered=0,
-                buffered_byte=0xFF, counting=1, frac_bits=0)
+            st.low = 0
+            st.range_ = 510
+            st.bits_left = 23
+            st.num_buffered = 0
+            st.buffered_byte = 0xFF
+            st.counting = 1
+            st.frac_bits = 0
         else:
             if e.bw.held_bits:
                 return False   # CABAC data is always byte-aligned in the writer
-            out = np.zeros(4 * w * w + 64, dtype=np.uint8)
-            st = native.EncState(
-                out=out.ctypes.data_as(ctypes.c_void_p), n=0,
-                low=e.low, range_=e.range, bits_left=e.bits_left,
-                num_buffered=e.num_buffered, buffered_byte=e.buffered_byte)
+            st.low = e.low
+            st.range_ = e.range
+            st.bits_left = e.bits_left
+            st.num_buffered = e.num_buffered
+            st.buffered_byte = e.buffered_byte
+            st.counting = 0
+            st.frac_bits = 0
         params = self._res_params(cu, w.bit_length() - 1, comp, scan_type,
                                   ts, be_valid)
         scan, scan_cg = self._scan32(w, scan_type)
-        c32 = np.ascontiguousarray(coeffs, dtype=np.int32)
+        if coeffs.dtype == np.int32 and coeffs.flags.c_contiguous:
+            c32 = coeffs
+        else:
+            c32 = np.ascontiguousarray(coeffs, dtype=np.int32)
+        ctx_state = self.ctx.state
+        ctx_ptr = getattr(self.ctx, "_state_ptr", None)
+        if ctx_ptr is None:
+            ctx_ptr = self.ctx._state_ptr = ctx_state.ctypes.data
         rc = lib.encode_residual(
-            ctypes.byref(st), self.ctx.state.ctypes.data_as(ctypes.c_void_p),
-            ctypes.byref(params),
-            scan.ctypes.data_as(ctypes.c_void_p),
-            scan_cg.ctypes.data_as(ctypes.c_void_p),
-            c32.ctypes.data_as(ctypes.c_void_p),
-            self.golomb_rice_stats.ctypes.data_as(ctypes.c_void_p))
+            ctypes.byref(st), ctx_ptr, ctypes.byref(params),
+            scan.ctypes.data, scan_cg.ctypes.data, c32.ctypes.data,
+            self.golomb_rice_stats.ctypes.data)
         if rc != 0:
             return False
         if counting:

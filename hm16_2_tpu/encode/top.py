@@ -555,12 +555,17 @@ class CtuSearch:
         pic = self.pic
         n = 1 << (log2 - 2)
         sl = np.s_[py:py + n, px:px + n]
+        # I slices never touch motion or transform-skip state: skip those
+        # copies (snapshot/restore is a per-trial-CU hot spot)
+        intra_only = self.sh.slice_type == I_SLICE
         d = {
             "simple": {f: getattr(pic, f)[sl].copy()
                        for f in self._PART_FIELDS},
             "cbf": {c: pic.cbf[c][sl].copy() for c in range(3)},
-            "tskip": {c: pic.tskip[c][sl].copy() for c in range(3)},
-            "lead": {f: getattr(pic, f)[:, py:py + n, px:px + n].copy()
+            "tskip": None if intra_only else
+                     {c: pic.tskip[c][sl].copy() for c in range(3)},
+            "lead": None if intra_only else
+                    {f: getattr(pic, f)[:, py:py + n, px:px + n].copy()
                      for f in ("ref_idx", "mvp_idx", "ref_poc", "mv", "mvd")},
         }
         x0, y0, size = px * 4, py * 4, 1 << log2
@@ -582,9 +587,12 @@ class CtuSearch:
             getattr(pic, f)[sl] = v
         for c in range(3):
             pic.cbf[c][sl] = d["cbf"][c]
-            pic.tskip[c][sl] = d["tskip"][c]
-        for f, v in d["lead"].items():
-            getattr(pic, f)[:, py:py + n, px:px + n] = v
+        if d["tskip"] is not None:
+            for c in range(3):
+                pic.tskip[c][sl] = d["tskip"][c]
+        if d["lead"] is not None:
+            for f, v in d["lead"].items():
+                getattr(pic, f)[:, py:py + n, px:px + n] = v
         x0, y0, size = px * 4, py * 4, 1 << log2
         for c in range(pic.num_comps):
             sx, sy = pic.comp_shift[c]
@@ -1066,6 +1074,8 @@ class CtuSearch:
                    np.clip(x0s - 1, 0, None)[:, None]]
         lefts[:, 0] = tops[:, 0]        # shared corner sample
         n = len(x0s)
+        tops = tops.astype(np.int32, copy=False)
+        lefts = lefts.astype(np.int32, copy=False)
         buf_u = np.zeros((n, 4 * s + 1), dtype=np.int32)
         buf_u[:, 2 * s] = tops[:, 0]
         buf_u[:, 2 * s + 1:] = tops[:, 1:]

@@ -88,6 +88,43 @@ def picture_md5(planes, bit_depths) -> list[bytes]:
     return out
 
 
+def picture_crc(planes, bit_depths) -> list[bytes]:
+    """Per-plane CRC-16/CCITT (TComPicYuvMD5.cpp:149 compCRC).
+
+    HM shifts sample bits in at the register LSB and flushes 16 zero bits:
+    algebraically CRC = (M(x)*x^16 + 0xFFFF*x^(n+16)) mod g, which equals
+    the MSB-first table CRC (binascii.crc_hqx) over the sample bytes
+    low-byte-first with init 0x1D0F (= 0xFFFF*x^16 mod g)."""
+    import binascii
+    out = []
+    for plane, bd in zip(planes, bit_depths):
+        data = np.ascontiguousarray(plane, dtype=np.uint8 if bd <= 8
+                                    else np.dtype("<u2"))
+        crc = binascii.crc_hqx(data.tobytes(), 0x1D0F)
+        out.append(bytes([(crc >> 8) & 0xFF, crc & 0xFF]))
+    return out
+
+
+def picture_checksum(planes, bit_depths) -> list[bytes]:
+    """Per-plane position-xor checksum (TComPicYuvMD5.cpp:~183
+    compChecksum): sum over samples of (byte ^ xor_mask) mod 2^32 where
+    xor_mask = (x&0xff)^(y&0xff)^(x>>8)^(y>>8)."""
+    out = []
+    for plane, bd in zip(planes, bit_depths):
+        p = np.asarray(plane, dtype=np.uint32)
+        h, w = p.shape
+        xs = np.arange(w, dtype=np.uint32)
+        ys = np.arange(h, dtype=np.uint32)
+        mask = ((xs & 0xFF) ^ (xs >> 8))[None, :] ^ \
+               ((ys & 0xFF) ^ (ys >> 8))[:, None]
+        total = int(((p & 0xFF) ^ mask).sum(dtype=np.uint64))
+        if bd > 8:
+            total += int(((p >> 8) ^ mask).sum(dtype=np.uint64))
+        total &= 0xFFFFFFFF
+        out.append(total.to_bytes(4, "big"))
+    return out
+
+
 class Decoder:
     def __init__(self):
         self.sps_map: dict[int, P.SPS] = {}
@@ -255,11 +292,10 @@ class Decoder:
         # bit depths from the active SPS of the last picture
         sps = next(iter(self.sps_map.values()))
         pic_bds = [sps.bit_depth_luma] + [sps.bit_depth_chroma] * (len(dp.planes) - 1)
-        if self.pending_hash.method == 0:
-            ours = picture_md5(dp.planes, pic_bds)
-            dp.hash_ok = ours == self.pending_hash.digests
-        else:
-            dp.hash_ok = None   # CRC/checksum later
+        fn = (picture_md5, picture_crc,
+              picture_checksum)[self.pending_hash.method]
+        ours = fn(dp.planes, pic_bds)
+        dp.hash_ok = ours == self.pending_hash.digests
         if dp.hash_ok is False:
             self.hash_failures += 1
         self.pending_hash = None

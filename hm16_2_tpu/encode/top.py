@@ -40,7 +40,7 @@ class EncoderConfig:
                  intra_period=1, deblock=True, sao=True, rdo=True,
                  gop="ld", sbd=True, rrsp=False,
                  target_bps=None, frame_rate=30, total_frames=0,
-                 wpp=False, tile_cols=1, tile_rows=1, der=16):
+                 wpp=False, tile_cols=1, tile_rows=1, der=16, hash_type=0):
         self.width, self.height = width, height
         self.qp = qp
         self.bit_depth = bit_depth
@@ -59,6 +59,7 @@ class EncoderConfig:
         self.tile_cols = tile_cols
         self.tile_rows = tile_rows
         self.der = der               # SBD strip parameter R (8/16/32/64)
+        self.hash_type = hash_type   # decoded-picture-hash SEI: 0 MD5 / 1 CRC / 2 checksum
         self.log2_ctb = 6
         self.log2_min_cb = 3
         self.log2_min_tb = 2
@@ -368,8 +369,11 @@ class Encoder:
 
         bds = [sps.bit_depth_luma] + [sps.bit_depth_chroma] * (pic.num_comps - 1)
         recon = [pic.crop_output(c) for c in range(pic.num_comps)]
-        digests = picture_md5(recon, bds)
-        sei_nal = W.write_hash_sei(digests)
+        from hm16_2_tpu.decode.top import picture_checksum, picture_crc
+        hash_fn = (picture_md5, picture_crc,
+                   picture_checksum)[cfg.hash_type]
+        digests = hash_fn(recon, bds)
+        sei_nal = W.write_hash_sei(digests, cfg.hash_type)
 
         nals = []
         if self.frames_coded == 0:

@@ -46,7 +46,7 @@ def build_options() -> Options:
     o.add("NumTileColumnsMinus1", 0, "Number of tile columns minus 1")
     o.add("NumTileRowsMinus1", 0, "Number of tile rows minus 1")
     o.add("TileUniformSpacing", True, "Uniform tile grid")
-    o.add("SEIDecodedPictureHash", 1, "Hash SEI (always MD5 here)")
+    o.add("SEIDecodedPictureHash", 1, "Hash SEI: 1 MD5 / 2 CRC / 3 checksum")
     o.add("RateControl", False, "Rate control: enable R-lambda model")
     o.add("TargetBitrate", 0, "Rate control: target bit-rate")
     o.add("SBD", False, "Similarity-based fast CU depth decision (fork)")
@@ -127,7 +127,8 @@ def main(argv=None):
         tile_cols=o["NumTileColumnsMinus1"] + 1,
         tile_rows=o["NumTileRowsMinus1"] + 1,
         target_bps=o["TargetBitrate"] if o["RateControl"] else None,
-        frame_rate=o["FrameRate"], total_frames=n)
+        frame_rate=o["FrameRate"], total_frames=n,
+        hash_type=max(0, int(o["SEIDecodedPictureHash"]) - 1))
     cfg.der = o["DER"]
     enc = Encoder(cfg)
 

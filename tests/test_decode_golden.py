@@ -60,3 +60,27 @@ def test_wpp_tile_golden_decode(bs):
     pics = dec.decode_stream(open(bs, "rb").read())
     assert len(pics) == 3
     assert all(p.hash_ok is True for p in pics)
+
+
+@pytest.mark.parametrize("bs", ["/tmp/hevc_data/t_crc.bin",
+                                "/tmp/hevc_data/t_cksum.bin"])
+def test_crc_checksum_hash_verify(bs):
+    """CRC / checksum decoded-picture-hash SEI (TComPicYuvMD5.cpp:149-183)."""
+    if not os.path.exists(bs):
+        pytest.skip("golden stream absent (see tests/make_fixtures.py)")
+    pics = Decoder().decode_stream(open(bs, "rb").read())
+    assert pics and all(p.hash_ok is True for p in pics)
+
+
+def test_encoder_crc_checksum_self_decode():
+    """Encoder emits CRC / checksum hash SEI that our decoder verifies."""
+    from hm16_2_tpu.encode.top import Encoder, EncoderConfig
+    rng = np.random.default_rng(3)
+    planes = [rng.integers(0, 256, (64, 64)).astype(np.int32),
+              rng.integers(0, 256, (32, 32)).astype(np.int32),
+              rng.integers(0, 256, (32, 32)).astype(np.int32)]
+    for ht in (1, 2):
+        enc = Encoder(EncoderConfig(64, 64, qp=32, hash_type=ht))
+        au = enc.encode_frame([p.copy() for p in planes], 0)
+        pics = Decoder().decode_stream(au)
+        assert len(pics) == 1 and pics[0].hash_ok is True

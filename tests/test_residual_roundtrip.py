@@ -124,10 +124,11 @@ def test_residual_roundtrip(seed, size, comp):
 
 
 def test_bad_block_regression():
-    levels = np.load("/tmp/bad_levels.npy") if __import__("os").path.exists(
-        "/tmp/bad_levels.npy") else None
-    if levels is None:
-        pytest.skip("capture file absent")
+    # historical failure shape: dense mid-magnitude 16x16 levels with mixed
+    # signs (reproduced deterministically instead of from a capture file)
+    rng = np.random.default_rng(1234)
+    levels = rng.integers(-9, 10, size=(16, 16)).astype(np.int32)
+    levels[0, 0] = 37
     cfg, sps, pps, sh, setup, cu = _make_env(levels, 0, 6, False)
     pic_e = PictureState(sps, pps)
     setup(pic_e)

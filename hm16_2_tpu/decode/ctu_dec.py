@@ -457,7 +457,71 @@ class SliceDecoder:
         return [left_dir, above_dir, third]
 
     def _parse_pcm(self, cu):
-        raise NotImplementedError("PCM decode")
+        """pcm_sample parsing + reconstruction (TDecSbac::parseIPCMInfo
+        TDecSbac.cpp:366-405, TDecCu::xDecodePCMTexture TDecCu.cpp:732).
+
+        After the terminating pcm_flag bin the encoder has flushed and
+        byte-aligned the arithmetic coder, so the raw samples start exactly
+        at the decoder's current byte position; afterwards the engine
+        re-initialises from the next byte (TDecBinCABAC::start)."""
+        pic, sps, d = self.pic, self.sh.sps, self.dec
+        px, py, log2 = cu.px, cu.py, cu.log2
+        size = 1 << log2
+        x0, y0 = px * 4, py * 4
+        fifo = d.fifo
+        bitpos = 0
+        data = fifo.data
+        base = fifo.pos
+
+        def read_bits(n):
+            nonlocal bitpos
+            end = bitpos + n
+            v = 0
+            while bitpos < end:
+                byte = data[base + (bitpos >> 3)]
+                take = min(8 - (bitpos & 7), end - bitpos)
+                shift = 8 - (bitpos & 7) - take
+                v = (v << take) | ((byte >> shift) & ((1 << take) - 1))
+                bitpos += take
+            return v
+
+        bds = [sps.bit_depth_luma, sps.bit_depth_chroma, sps.bit_depth_chroma]
+        pcm_bds = [sps.pcm_bit_depth_luma, sps.pcm_bit_depth_chroma,
+                   sps.pcm_bit_depth_chroma]
+        for comp in range(pic.num_comps):
+            sx, sy = pic.comp_shift[comp]
+            w, h = size >> sx, size >> sy
+            cx0, cy0 = x0 >> sx, y0 >> sy
+            pbd, bd = pcm_bds[comp], bds[comp]
+            samples = np.empty((h, w), dtype=np.int32)
+            for yy in range(h):
+                for xx in range(w):
+                    samples[yy, xx] = read_bits(pbd)
+            pic.rec[comp][cy0:cy0 + h, cx0:cx0 + w] = samples << (bd - pbd)
+            pic.coeff[comp][cy0:cy0 + h, cx0:cx0 + w] = 0
+        assert bitpos % 8 == 0, "PCM payload is byte-aligned by construction"
+        fifo.pos = base + (bitpos >> 3)
+
+        # re-initialise the arithmetic engine (TDecBinCABAC::start)
+        d.range = 510
+        d.bits_needed = -8
+        d.value = (fifo.read_byte() << 8) | fifo.read_byte()
+
+        # commit part fields (intra DC defaults keep later MPM derivation
+        # identical to HM's initCtu defaults)
+        self._mark_parts(pic.depth, px, py, log2, cu.depth)
+        self._mark_parts(pic.pred_mode, px, py, log2, MODE_INTRA)
+        self._mark_parts(pic.part_size, px, py, log2, SIZE_2Nx2N)
+        self._mark_parts(pic.tqb, px, py, log2, cu.tqb)
+        self._mark_parts(pic.qp, px, py, log2, cu.qp)
+        self._mark_parts(pic.slice_id, px, py, log2, self.slice_idx)
+        self._mark_parts(pic.skip, px, py, log2, 0)
+        self._mark_parts(pic.ipcm, px, py, log2, 1)
+        self._mark_parts(pic.intra_luma, px, py, log2, DC_IDX)
+        self._mark_parts(pic.intra_chroma, px, py, log2, DM_CHROMA_IDX)
+        self._mark_parts(pic.tr_idx, px, py, log2, 0)
+        for comp in range(3):
+            self._mark_parts(pic.cbf[comp], px, py, log2, 0)
 
     # ------------------------------------------------------------------
     # Inter CUs (TDecSbac::parsePartSize inter branch, TDecEntropy::
@@ -1248,6 +1312,8 @@ class SliceDecoder:
                 self._recon_cu_tree(px + (sub & 1) * half,
                                     py + (sub >> 1) * half, log2 - 1)
             return
+        if pic.ipcm[py, px]:
+            return                  # PCM samples were written at parse time
         if pic.pred_mode[py, px] == MODE_INTRA:
             self._recon_intra_cu(px, py, log2)
         else:

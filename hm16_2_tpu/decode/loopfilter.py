@@ -14,6 +14,29 @@ from hm16_2_tpu.decode.picture import PictureState
 
 
 def apply_loop_filters(pic: PictureState):
+    # PCM / lossless sample restoration (TComSampleAdaptiveOffset.cpp:631
+    # xPCMRestoration): those CUs must come out of the loop filters
+    # untouched, so snapshot them first and restore after.  (Deblocking
+    # additionally skips them sample-wise; SAO relies on this restore.)
+    keep = np.zeros(pic.ipcm.shape, dtype=bool)
+    if pic.sps.pcm_enabled and pic.sps.pcm_loop_filter_disabled:
+        keep |= pic.ipcm.astype(bool)
+    if pic.pps.transquant_bypass_enabled:
+        keep |= pic.tqb.astype(bool)
+    saved = None
+    if keep.any():
+        saved = []
+        for c in range(pic.num_comps):
+            sx, sy = pic.comp_shift[c]
+            m = np.repeat(np.repeat(keep, 4 >> sy, 0), 4 >> sx, 1)
+            ph, pw = pic.rec[c].shape
+            m = m[:ph, :pw]
+            if m.shape != (ph, pw):
+                full = np.zeros((ph, pw), dtype=bool)
+                full[:m.shape[0], :m.shape[1]] = m
+                m = full
+            saved.append((m, pic.rec[c][m].copy()))
+
     any_deblock = any(not sh.deblocking_filter_disabled for sh in pic.slices)
     if any_deblock:
         from hm16_2_tpu.ops.deblock_ref import deblock_picture
@@ -22,3 +45,8 @@ def apply_loop_filters(pic: PictureState):
     if pic.sps.sao_enabled and any_sao:
         from hm16_2_tpu.ops.sao_ref import sao_picture
         sao_picture(pic)
+
+    if saved is not None:
+        for c in range(pic.num_comps):
+            m, vals = saved[c]
+            pic.rec[c][m] = vals

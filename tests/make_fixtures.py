@@ -167,6 +167,9 @@ def main():
     enc(ai, j("noise64.yuv"), 64, 64, 2, j("t_pcm2.bin"), j("t_pcm2_rec.yuv"),
         q=2, extra=["--PCMEnabledFlag=1", "--PCMLog2MinSize=3",
                     "--PCMLog2MaxSize=5", "--PCMInputBitDepthFlag=1"])
+    enc(ai, j("noise64.yuv"), 64, 64, 2, j("t_pcm3.bin"), j("t_pcm3_rec.yuv"),
+        q=12, extra=["--PCMEnabledFlag=1", "--PCMLog2MinSize=3",
+                     "--PCMLog2MaxSize=5", "--PCMFilterDisableFlag=1"])
     enc(ai, j("tiny64.yuv"), 64, 64, 2, j("t_crc.bin"), j("t_crc_rec.yuv"),
         extra=["--SEIDecodedPictureHash=2"])
     enc(ai, j("tiny64.yuv"), 64, 64, 2, j("t_cksum.bin"),

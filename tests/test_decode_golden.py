@@ -84,3 +84,15 @@ def test_encoder_crc_checksum_self_decode():
         au = enc.encode_frame([p.copy() for p in planes], 0)
         pics = Decoder().decode_stream(au)
         assert len(pics) == 1 and pics[0].hash_ok is True
+
+
+@pytest.mark.parametrize("bs", ["/tmp/hevc_data/t_pcm.bin",
+                                "/tmp/hevc_data/t_pcm2.bin",
+                                "/tmp/hevc_data/t_pcm3.bin"])
+def test_pcm_decode(bs):
+    """PCM CUs: raw-sample parse + engine re-init (TDecSbac.cpp:366-405),
+    recon passthrough, PCM loop-filter-disable restoration."""
+    if not os.path.exists(bs):
+        pytest.skip("golden stream absent (see tests/make_fixtures.py)")
+    pics = Decoder().decode_stream(open(bs, "rb").read())
+    assert pics and all(p.hash_ok is True for p in pics)

@@ -419,21 +419,32 @@ class SliceDecoder:
                              self.slice_idx)
         cu.intra_luma = modes
 
-        # chroma (one for the CU in 420)
-        sym = d.decode_bin(c.idx("chroma_pred_mode"))
-        if sym == 0:
-            chroma_mode = DM_CHROMA_IDX
-        else:
-            idx = d.decode_bins_ep(2)
-            allowed = [PLANAR_IDX, VER_IDX, HOR_IDX, DC_IDX, DM_CHROMA_IDX]
-            luma0 = modes[0]
-            for i in range(4):
-                if luma0 == allowed[i]:
-                    allowed[i] = 34
-                    break
-            chroma_mode = allowed[idx]
-        cu.intra_chroma = chroma_mode
-        self._mark_parts(pic.intra_chroma, cu.px, cu.py, cu.log2, chroma_mode)
+        # chroma: one mode per CU, except 4:4:4 intra NxN which carries one
+        # per PU (spec 7.3.8.5; enable4ChromaPUsInIntraNxNCU)
+        n_chroma = 4 if (n_parts == 4 and
+                         self.sh.sps.chroma_format_idc == 3) else 1
+        for j in range(n_chroma):
+            sym = d.decode_bin(c.idx("chroma_pred_mode"))
+            if sym == 0:
+                chroma_mode = DM_CHROMA_IDX
+            else:
+                idx = d.decode_bins_ep(2)
+                allowed = [PLANAR_IDX, VER_IDX, HOR_IDX, DC_IDX, DM_CHROMA_IDX]
+                luma0 = modes[j]
+                for i in range(4):
+                    if luma0 == allowed[i]:
+                        allowed[i] = 34
+                        break
+                chroma_mode = allowed[idx]
+            if n_chroma == 1:
+                cu.intra_chroma = chroma_mode
+                self._mark_parts(pic.intra_chroma, cu.px, cu.py, cu.log2,
+                                 chroma_mode)
+            else:
+                ox, oy = offs[j]
+                cu.intra_chroma = chroma_mode if j == 0 else cu.intra_chroma
+                self._mark_parts(pic.intra_chroma, cu.px + ox, cu.py + oy,
+                                 cu.log2 - 1, chroma_mode)
 
     def _intra_mpm(self, px, py):
         """getIntraDirPredictor (TComDataCU.cpp; above must not cross CTU)."""
@@ -781,15 +792,43 @@ class SliceDecoder:
             subdiv = d.decode_bin(c.idx("trans_subdiv", 5 - log2))
             self._tr(f"subdiv {subdiv} ctx={5 - log2}")
 
-        # chroma cbf parse (Cb then Cr), ctx = tr_depth
+        # chroma cbf parse (Cb then Cr), ctx = tr_depth.  In 4:2:2 the
+        # chroma block of a luma TU is double-high (TComTU.h:48-162); when
+        # this TU cannot quad-split its chroma further (leaf, or 8x8 luma
+        # about to split to 4x4), TWO cbf bins are sent — one per square
+        # sub-TU half (TDecSbac::parseQtCbf TDecSbac.cpp:993-1092).
+        is422 = sps.chroma_format_idc == 2
         if chroma_here:
+            two = is422 and (not subdiv or log2 == 3)
+            # sub-flag storage depth (HM subTUDepth): leaf -> tr_depth+1,
+            # 8x8-about-to-split -> tr_depth+2 (lowestTUDepth+1)
+            sub_depth = tr_depth + (2 if (subdiv and log2 == 3) else 1)
             for comp in (1, 2):
                 parent = self._get_cbf_scr(comp, cu, px, py, tr_depth - 1) \
                     if tr_depth else 1
                 if parent:
-                    v = d.decode_bin(c.idx("qt_cbf", CBF_CTX_START[1] + tr_depth))
-                    self._tr(f"cbf {v} ctx={tr_depth} etype={comp} part={self._zidx(px, py)}")
-                    self._set_cbf_scr(comp, cu, px, py, log2, tr_depth, v)
+                    if two:
+                        n = 1 << (log2 - 2)
+                        combined = 0
+                        subv = []
+                        for sub in range(2):
+                            v = d.decode_bin(
+                                c.idx("qt_cbf", CBF_CTX_START[1] + tr_depth))
+                            self._tr(f"cbf {v} ctx={tr_depth} etype={comp} "
+                                     f"part={self._zidx(px, py)}")
+                            subv.append(v)
+                            combined |= v
+                        self._set_cbf_scr(comp, cu, px, py, log2, tr_depth,
+                                          combined)
+                        for sub in range(2):
+                            self._set_cbf_half(comp, cu, px,
+                                               py + sub * (n >> 1), n,
+                                               sub_depth, subv[sub])
+                    else:
+                        v = d.decode_bin(
+                            c.idx("qt_cbf", CBF_CTX_START[1] + tr_depth))
+                        self._tr(f"cbf {v} ctx={tr_depth} etype={comp} part={self._zidx(px, py)}")
+                        self._set_cbf_scr(comp, cu, px, py, log2, tr_depth, v)
                 # else stays 0
 
         if subdiv:
@@ -818,11 +857,13 @@ class SliceDecoder:
         # ---- transform_unit ----
         cbf_cb = self._get_cbf_scr(1, cu, px, py, tr_depth) if chroma_ok else 0
         cbf_cr = self._get_cbf_scr(2, cu, px, py, tr_depth) if chroma_ok else 0
-        # at log2==2 (4x4 luma TU), chroma residual is carried by the last
-        # (bottom-right) sub-TU of the 8x8 parent, using the parent's cbf
+        # with subsampled chroma, at log2==2 (4x4 luma TU) the chroma
+        # residual is carried by the last (bottom-right) sub-TU of the 8x8
+        # parent, using the parent's cbf; 4:4:4 chroma codes at every level
+        subsampled = chroma_ok and pic.comp_shift[1][0] == 1
         is_chroma_holder = chroma_here or (
-            chroma_ok and log2 == 2 and (px % 2 == 1) and (py % 2 == 1))
-        if chroma_ok and log2 == 2:
+            subsampled and log2 == 2 and (px % 2 == 1) and (py % 2 == 1))
+        if subsampled and log2 == 2:
             cbf_cb = self._get_cbf_scr(1, cu, px & ~1, py & ~1, tr_depth - 1)
             cbf_cr = self._get_cbf_scr(2, cu, px & ~1, py & ~1, tr_depth - 1)
 
@@ -835,17 +876,38 @@ class SliceDecoder:
                 self._parse_residual(cu, px, py, log2, 0)
             if chroma_ok:
                 if chroma_here:
+                    n = 1 << (log2 - 2)
                     for comp, cbf_c in ((1, cbf_cb), (2, cbf_cr)):
-                        if cbf_y:
-                            self._parse_ccp(cu, px, py, log2, comp)
-                        if cbf_c:
-                            self._parse_residual(cu, px, py, log2, comp)
+                        if is422:
+                            # two square sub-TUs, own cbf each (sub-flags
+                            # live one depth below, TDecEntropy.cpp:549)
+                            for sub in range(2):
+                                if self._get_cbf_scr(comp, cu, px,
+                                                     py + sub * (n >> 1),
+                                                     tr_depth + 1):
+                                    self._parse_residual(cu, px, py, log2,
+                                                         comp, sub422=sub)
+                        else:
+                            if cbf_y:
+                                self._parse_ccp(cu, px, py, log2, comp)
+                            if cbf_c:
+                                self._parse_residual(cu, px, py, log2, comp)
                 elif log2 == 2 and is_chroma_holder:
                     bx, by = px - 1, py - 1
-                    if cbf_cb:
-                        self._parse_residual(cu, bx, by, 3, 1)
-                    if cbf_cr:
-                        self._parse_residual(cu, bx, by, 3, 2)
+                    if is422:
+                        # parent 8x8's two 4x4 chroma sub-TUs; sub-flags
+                        # stored at this depth + 1 (parent subTUDepth)
+                        for comp in (1, 2):
+                            for sub in range(2):
+                                if self._get_cbf_scr(comp, cu, bx, by + sub,
+                                                     tr_depth + 1):
+                                    self._parse_residual(cu, bx, by, 3, comp,
+                                                         sub422=sub)
+                    else:
+                        if cbf_cb:
+                            self._parse_residual(cu, bx, by, 3, 1)
+                        if cbf_cr:
+                            self._parse_residual(cu, bx, by, 3, 2)
 
     def _get_cbf_scr(self, comp, cu, px, py, tr_depth):
         if tr_depth < 0:
@@ -859,6 +921,13 @@ class SliceDecoder:
         # store at this depth and propagate down for child lookups
         for dep in range(tr_depth, 6):
             self._cbf_scratch[comp][dep, ry:ry + n, rx:rx + n] = v
+
+    def _set_cbf_half(self, comp, cu, px, py, n, depth, v):
+        """4:2:2 per-sub-TU cbf: half-height region (n wide, n/2 high parts)
+        at the sub-TU storage depth (parseQtCbf setCbfPartRange)."""
+        rx, ry = (px - cu.px), (py - cu.py)
+        for dep in range(depth, 6):
+            self._cbf_scratch[comp][dep, ry:ry + (n >> 1), rx:rx + n] = v
 
     def _parse_ccp(self, cu, px, py, log2, comp):
         """Cross-component prediction alpha (TDecSbac.cpp:847-896)."""
@@ -876,20 +945,23 @@ class SliceDecoder:
                 symbol = self.read_unary_max("cross_comp", base + 2, 1, 2) + 1
             sign = d.decode_bin(c.idx("cross_comp", base + 4))
             alpha = -(1 << symbol) if sign else (1 << symbol)
+        self._tr(f"ccp {comp} {alpha}")
         n = 1 << (log2 - 2)
         pic.ccp_alpha[comp][py:py + n, px:px + n] = alpha
 
-    def _parse_explicit_rdpcm(self, cu, px, py, log2, comp):
+    def _parse_explicit_rdpcm(self, cu, px, py, log2, comp, mh=None):
         """parseExplicitRdpcmMode (TDecSbac.cpp:1847-1880)."""
         pic, d, c = self.pic, self.dec, self.ctx
         chan = 0 if comp == 0 else 1
         n = 1 << (log2 - 2)
+        if mh is None:
+            mh = n
         if d.decode_bin(c.idx("rdpcm_flag", chan)):
             mode = 1 if d.decode_bin(c.idx("rdpcm_dir", chan)) else 0
             # 0 = horizontal, 1 = vertical (RDPCM_HOR/VER)
-            pic.rdpcm_mode[comp][py:py + n, px:px + n] = mode
+            pic.rdpcm_mode[comp][py:py + mh, px:px + n] = mode
         else:
-            pic.rdpcm_mode[comp][py:py + n, px:px + n] = -1
+            pic.rdpcm_mode[comp][py:py + mh, px:px + n] = -1
 
     def _parse_dqp(self, cu):
         d, c = self.dec, self.ctx
@@ -940,11 +1012,12 @@ class SliceDecoder:
         """Luma mode of the PU corresponding to a chroma block at (px,py)."""
         return int(self.pic.intra_luma[py, px])
 
-    def _parse_residual(self, cu, px, py, log2, comp):
+    def _parse_residual(self, cu, px, py, log2, comp, sub422=None):
         """parseCoeffNxN for a square TU of this component.
 
         (px, py) are luma part coords of the TU origin; for chroma the block
-        covers the subsampled area.
+        covers the subsampled area.  sub422 selects the upper (0) / lower (1)
+        square sub-TU of a 4:2:2 double-high chroma TU.
         """
         pic, d, c = self.pic, self.dec, self.ctx
         sps, pps = self.sps, self.pps
@@ -956,6 +1029,13 @@ class SliceDecoder:
             w = (1 << log2) >> sx
             x0, y0 = (px * 4) >> sx, (py * 4) >> sy
         h = w
+        # part-marking region (tskip / rdpcm state): half-height for a
+        # 4:2:2 sub-TU so each square block keeps its own flags
+        mn = 1 << (log2 - 2)
+        mpy, mh = py, mn
+        if sub422 is not None:
+            y0 += sub422 * w
+            mpy, mh = py + sub422 * (mn >> 1), mn >> 1
         log2w = w.bit_length() - 1
         chan = 0 if comp == 0 else 1
         extended_precision = bool(sps.extended_precision)
@@ -965,17 +1045,18 @@ class SliceDecoder:
         if cu.tqb:
             be_valid = False
             if cu.pred_mode != MODE_INTRA and sps.explicit_rdpcm:
-                self._parse_explicit_rdpcm(cu, px, py, log2, comp)
+                self._parse_explicit_rdpcm(cu, px, mpy, log2, comp, mh)
 
         # transform skip flag
         if pps.transform_skip_enabled and not cu.tqb and \
                 log2w <= pps.log2_max_transform_skip_block_size:
             ts = d.decode_bin(c.idx("transform_skip", chan))
+            self._tr(f"ts {ts}")
             n = 1 << (log2 - 2)
-            pic.tskip[comp][py:py + n, px:px + n] = ts
+            pic.tskip[comp][mpy:mpy + mh, px:px + n] = ts
             if ts and cu.pred_mode != MODE_INTRA and sps.explicit_rdpcm:
-                self._parse_explicit_rdpcm(cu, px, py, log2, comp)
-                if pic.rdpcm_mode[comp][py, px] != -1:
+                self._parse_explicit_rdpcm(cu, px, mpy, log2, comp, mh)
+                if pic.rdpcm_mode[comp][mpy, px] != -1:
                     be_valid = False
         else:
             ts = 0
@@ -1009,6 +1090,7 @@ class SliceDecoder:
 
         # last significant position
         last_x, last_y = self._parse_last_xy(w, h, comp, scan_type)
+        self._tr(f"lastxy {last_x} {last_y}")
         blk_pos_last = last_x + (last_y << log2w)
 
         coeffs = np.zeros(w * h, dtype=np.int64)
@@ -1024,7 +1106,7 @@ class SliceDecoder:
         scan_pos_sig = scan_pos_last
         for subset in range(last_scan_set, -1, -1):
             sub_pos = subset << 4
-            go_rice = int(self.golomb_rice_stats[rice_stat_idx] // 2) \
+            go_rice = int(self.golomb_rice_stats[rice_stat_idx] // 4) \
                 if use_rice_adaptation else 0
             update_rice = use_rice_adaptation
             num_nonzero = 0
@@ -1112,12 +1194,13 @@ class SliceDecoder:
                     base_level = (2 + first_coeff2) if idx < C1FLAG_NUMBER else 1
                     if abs_coeff[idx] == base_level:
                         level = self.read_coef_remain(go_rice, extended_precision, chan)
+                        self._tr(f"esc {level} {go_rice}")
                         abs_coeff[idx] = level + base_level
                         if abs_coeff[idx] > (3 << go_rice):
                             go_rice = go_rice + 1 if use_rice_adaptation \
                                 else min(go_rice + 1, 4)
                         if update_rice:
-                            init_rice = int(self.golomb_rice_stats[rice_stat_idx] // 2)
+                            init_rice = int(self.golomb_rice_stats[rice_stat_idx] // 4)
                             if level >= (3 << init_rice):
                                 self.golomb_rice_stats[rice_stat_idx] += 1
                             elif 2 * level < (1 << init_rice) and \
@@ -1438,10 +1521,16 @@ class SliceDecoder:
     def _accum_inter_resi(self, cu_px, cu_py, px, py, log2, tr_depth, comp,
                           resi, base_x, base_y):
         pic = self.pic
+        is422 = comp > 0 and self.sps.chroma_format_idc == 2
         if int(pic.tr_idx[py, px]) > tr_depth:
             if comp > 0 and log2 == 3 and pic.comp_shift[comp][0] == 1:
-                self._add_tu_resi(px, py, log2, tr_depth + 1, comp, resi,
-                                  base_x, base_y, chroma_from_parent=True)
+                if is422:
+                    for sub in range(2):
+                        self._add_tu_resi(px, py, log2, tr_depth + 2, comp,
+                                          resi, base_x, base_y, sub422=sub)
+                else:
+                    self._add_tu_resi(px, py, log2, tr_depth + 1, comp, resi,
+                                      base_x, base_y, chroma_from_parent=True)
                 return
             half = 1 << (log2 - 3)
             for sub in range(4):
@@ -1449,24 +1538,34 @@ class SliceDecoder:
                                        py + (sub >> 1) * half, log2 - 1,
                                        tr_depth + 1, comp, resi, base_x, base_y)
             return
-        self._add_tu_resi(px, py, log2, tr_depth, comp, resi, base_x, base_y)
+        if is422:
+            for sub in range(2):
+                self._add_tu_resi(px, py, log2, tr_depth + 1, comp, resi,
+                                  base_x, base_y, sub422=sub)
+        else:
+            self._add_tu_resi(px, py, log2, tr_depth, comp, resi, base_x,
+                              base_y)
 
     def _add_tu_resi(self, px, py, log2, tr_depth, comp, resi, base_x, base_y,
-                     chroma_from_parent=False):
+                     chroma_from_parent=False, sub422=None):
         pic = self.pic
         sx, sy = pic.comp_shift[comp]
+        anchor_py = py
         if comp == 0:
             size = 1 << log2
             x0, y0 = px * 4, py * 4
         else:
             size = (1 << log2) >> sx
             x0, y0 = (px * 4) >> sx, (py * 4) >> sy
+            if sub422 is not None:
+                y0 += sub422 * size
+                anchor_py = py + sub422 * max((1 << (log2 - 2)) >> 1, 1)
         cbf_depth = tr_depth - (1 if chroma_from_parent else 0)
-        cbf = (int(pic.cbf[comp][py, px]) >> cbf_depth) & 1
+        cbf = (int(pic.cbf[comp][anchor_py, px]) >> cbf_depth) & 1
         blk = None
         if cbf:
             levels = pic.coeff[comp][y0:y0 + size, x0:x0 + size]
-            blk = self._inv_transform_block(levels, px, py, comp,
+            blk = self._inv_transform_block(levels, px, anchor_py, comp,
                                             self.bit_depth[comp])
         if comp > 0 and self.pps.cross_component_prediction_enabled:
             alpha = int(pic.ccp_alpha[comp][py, px])
@@ -1494,11 +1593,19 @@ class SliceDecoder:
 
     def _recon_tu_tree(self, cu_px, cu_py, px, py, log2, tr_depth, comp):
         pic = self.pic
+        is422 = comp > 0 and self.sps.chroma_format_idc == 2
         if int(pic.tr_idx[py, px]) > tr_depth:
             if comp > 0 and log2 == 3 and pic.comp_shift[comp][0] == 1:
-                # subsampled chroma stays 4x4 here (luma children are 4x4)
-                self._recon_intra_tu(cu_px, cu_py, px, py, log2, tr_depth + 1,
-                                     comp, chroma_from_parent=True)
+                # subsampled chroma stays at the 8x8 parent (luma children
+                # are 4x4); 4:2:2 codes it as two square 4x4 sub-TUs
+                if is422:
+                    for sub in range(2):
+                        self._recon_intra_tu(cu_px, cu_py, px, py, log2,
+                                             tr_depth + 2, comp, sub422=sub)
+                else:
+                    self._recon_intra_tu(cu_px, cu_py, px, py, log2,
+                                         tr_depth + 1, comp,
+                                         chroma_from_parent=True)
                 return
             half = 1 << (log2 - 3)
             for sub in range(4):
@@ -1506,7 +1613,12 @@ class SliceDecoder:
                                     py + (sub >> 1) * half, log2 - 1,
                                     tr_depth + 1, comp)
             return
-        self._recon_intra_tu(cu_px, cu_py, px, py, log2, tr_depth, comp)
+        if is422:
+            for sub in range(2):
+                self._recon_intra_tu(cu_px, cu_py, px, py, log2,
+                                     tr_depth + 1, comp, sub422=sub)
+        else:
+            self._recon_intra_tu(cu_px, cu_py, px, py, log2, tr_depth, comp)
 
     def _tu_qp(self, px, py, comp):
         """QpParam (TComTrQuant.cpp:~100): luma/chroma QP derivation."""
@@ -1525,9 +1637,10 @@ class SliceDecoder:
         return int(CHROMA_QP_SCALE[sps.chroma_format_idc][base]) + bd_offset
 
     def _recon_intra_tu(self, cu_px, cu_py, px, py, log2, tr_depth, comp,
-                        chroma_from_parent=False):
+                        chroma_from_parent=False, sub422=None):
         pic, sps = self.pic, self.sps
         sx, sy = pic.comp_shift[comp]
+        anchor_py = py
         if comp == 0:
             size = 1 << log2
             x0, y0 = px * 4, py * 4
@@ -1538,6 +1651,12 @@ class SliceDecoder:
             x0, y0 = (px * 4) >> sx, (py * 4) >> sy
             mode = self._chroma_final_mode_for_recon(px, py)
             bd = sps.bit_depth_chroma
+            if sub422 is not None:
+                # square sub-TU of the double-high 4:2:2 chroma block; the
+                # lower half anchors at the TU's lower luma parts so its
+                # top neighbours (the upper half) count as available
+                y0 += sub422 * size
+                anchor_py = py + sub422 * max((1 << (log2 - 2)) >> 1, 1)
         rec = pic.rec[comp]
         is_luma = comp == 0
 
@@ -1547,6 +1666,8 @@ class SliceDecoder:
         constrained = bool(self.pps.constrained_intra_pred)
 
         blk_parts = max((1 << log2) >> 2, 1)   # TU span in luma parts
+        blk_parts_h = blk_parts if sub422 is None else \
+            max(blk_parts >> 1, 1)
 
         def avail(ax, ay):
             # ax, ay in this component's plane coords (may be -1)
@@ -1554,8 +1675,8 @@ class SliceDecoder:
                 return False
             lx, ly = ax << (sx if comp else 0), ay << (sy if comp else 0)
             npx, npy = lx // 4, ly // 4
-            return pic.part_available(npx, npy, px, py, constrained,
-                                      blk_parts, blk_parts)
+            return pic.part_available(npx, npy, px, anchor_py, constrained,
+                                      blk_parts, blk_parts_h)
 
         top, left = intra_ref.fill_reference_samples(
             rec, x0, y0, size, unit_w, unit_h, avail, bd)
@@ -1570,10 +1691,10 @@ class SliceDecoder:
 
         # residual
         cbf_depth = tr_depth - (1 if chroma_from_parent else 0)
-        cbf = (int(pic.cbf[comp][py, px]) >> cbf_depth) & 1
+        cbf = (int(pic.cbf[comp][anchor_py, px]) >> cbf_depth) & 1
         if cbf:
             levels = pic.coeff[comp][y0:y0 + size, x0:x0 + size]
-            resi = self._inv_transform_block(levels, px, py, comp, bd)
+            resi = self._inv_transform_block(levels, px, anchor_py, comp, bd)
         else:
             resi = np.zeros((size, size), dtype=np.int64)
         if self.pps.cross_component_prediction_enabled:
@@ -1630,7 +1751,10 @@ class SliceDecoder:
         pic, sps = self.pic, self.sps
         size = levels.shape[0]
         log2_tr = size.bit_length() - 1
-        rotate = bool(sps.transform_skip_rotation) and size == 4
+        # rotation only applies to 4x4 INTRA non-transformed blocks
+        # (TComTU::isNonTransformedResidualRotated, TComTU.cpp:227)
+        rotate = bool(sps.transform_skip_rotation) and size == 4 and \
+            pic.pred_mode[py, px] == MODE_INTRA
         if pic.tqb[py, px]:
             r = levels.astype(np.int64)
             if rotate:

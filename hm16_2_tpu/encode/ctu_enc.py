@@ -467,7 +467,7 @@ class CtuEncoder(SliceDecoder):
         scan_pos_sig = scan_pos_last
         for subset in range(last_scan_set, -1, -1):
             sub_pos = subset << 4
-            go_rice = int(self.golomb_rice_stats[rice_stat_idx] // 2) \
+            go_rice = int(self.golomb_rice_stats[rice_stat_idx] // 4) \
                 if use_rice_adaptation else 0
             update_rice = use_rice_adaptation
             num_nonzero = 0
@@ -559,7 +559,7 @@ class CtuEncoder(SliceDecoder):
                             go_rice = go_rice + 1 if use_rice_adaptation \
                                 else min(go_rice + 1, 4)
                         if update_rice:
-                            init_rice = int(self.golomb_rice_stats[rice_stat_idx] // 2)
+                            init_rice = int(self.golomb_rice_stats[rice_stat_idx] // 4)
                             if level >= (3 << init_rice):
                                 self.golomb_rice_stats[rice_stat_idx] += 1
                             elif 2 * level < (1 << init_rice) and \

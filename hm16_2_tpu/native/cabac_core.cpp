@@ -353,7 +353,7 @@ int decode_residual(DecState *s, uint8_t *ctx, const ResParams *p,
 
   for (int subset = last_scan_set; subset >= 0; subset--) {
     const int sub_pos = subset << 4;
-    int go_rice = p->use_rice_adaptation ? (int)(rice_stats[p->rice_stat_idx] / 2) : 0;
+    int go_rice = p->use_rice_adaptation ? (int)(rice_stats[p->rice_stat_idx] / 4) : 0;
     int update_rice = p->use_rice_adaptation;
     int num_nonzero = 0;
     int last_nz = -1, first_nz = 16;
@@ -477,7 +477,7 @@ int decode_residual(DecState *s, uint8_t *ctx, const ResParams *p,
             go_rice = p->use_rice_adaptation ? go_rice + 1
                                              : (go_rice + 1 < 4 ? go_rice + 1 : 4);
           if (update_rice) {
-            int init_rice = (int)(rice_stats[p->rice_stat_idx] / 2);
+            int init_rice = (int)(rice_stats[p->rice_stat_idx] / 4);
             if (level >= (3 << init_rice)) rice_stats[p->rice_stat_idx]++;
             else if (2 * level < (1 << init_rice) &&
                      rice_stats[p->rice_stat_idx] > 0)
@@ -570,7 +570,7 @@ int encode_residual(EncState *s, uint8_t *ctx, const ResParams *p,
   int scan_pos_sig = scan_pos_last;
   for (int subset = last_scan_set; subset >= 0; subset--) {
     const int sub_pos = subset << 4;
-    int go_rice = p->use_rice_adaptation ? (int)(rice_stats[p->rice_stat_idx] / 2) : 0;
+    int go_rice = p->use_rice_adaptation ? (int)(rice_stats[p->rice_stat_idx] / 4) : 0;
     int update_rice = p->use_rice_adaptation;
     int num_nonzero = 0;
     int last_nz = -1, first_nz = 16;
@@ -692,7 +692,7 @@ int encode_residual(EncState *s, uint8_t *ctx, const ResParams *p,
             go_rice = p->use_rice_adaptation ? go_rice + 1
                                              : (go_rice + 1 < 4 ? go_rice + 1 : 4);
           if (update_rice) {
-            int init_rice = (int)(rice_stats[p->rice_stat_idx] / 2);
+            int init_rice = (int)(rice_stats[p->rice_stat_idx] / 4);
             if (level >= (3 << init_rice)) rice_stats[p->rice_stat_idx]++;
             else if (2 * level < (1 << init_rice) &&
                      rice_stats[p->rice_stat_idx] > 0)

@@ -121,6 +121,8 @@ def main():
     write_yuv(j("n444.yuv"), make_yuv(64, 64, 2, chroma=444))
     n422 = j("n422.yuv")
     write_yuv(n422, make_yuv(64, 64, 2, chroma=422))
+    write_yuv(j("n422_8.yuv"), make_yuv(64, 64, 8, chroma=422))
+    write_yuv(j("n444_8.yuv"), make_yuv(64, 64, 8, chroma=444))
 
     ai, ldp, ra = ("encoder_intra_main.cfg", "encoder_lowdelay_P_main.cfg",
                    "encoder_randomaccess_main.cfg")
@@ -160,6 +162,12 @@ def main():
         j("t_422_rec.yuv"), extra=["--InputChromaFormat=422"])
     enc("encoder_intra_main_rext.cfg", j("n444.yuv"), 64, 64, 2,
         j("t_444.bin"), j("t_444_rec.yuv"),
+        extra=["--InputChromaFormat=444"])
+    enc("encoder_lowdelay_main_rext.cfg", j("n422_8.yuv"), 64, 64, 8,
+        j("t_422_ld.bin"), j("t_422_ld_rec.yuv"),
+        extra=["--InputChromaFormat=422"])
+    enc("encoder_lowdelay_main_rext.cfg", j("n444_8.yuv"), 64, 64, 8,
+        j("t_444_ld.bin"), j("t_444_ld_rec.yuv"),
         extra=["--InputChromaFormat=444"])
     enc(ai, j("noise64.yuv"), 64, 64, 2, j("t_pcm.bin"), j("t_pcm_rec.yuv"),
         q=2, extra=["--PCMEnabledFlag=1", "--PCMLog2MinSize=3",

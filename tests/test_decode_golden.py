@@ -96,3 +96,18 @@ def test_pcm_decode(bs):
         pytest.skip("golden stream absent (see tests/make_fixtures.py)")
     pics = Decoder().decode_stream(open(bs, "rb").read())
     assert pics and all(p.hash_ok is True for p in pics)
+
+
+@pytest.mark.parametrize("bs", ["/tmp/hevc_data/t_422.bin",
+                                "/tmp/hevc_data/t_444.bin",
+                                "/tmp/hevc_data/t_422_ld.bin",
+                                "/tmp/hevc_data/t_444_ld.bin"])
+def test_rext_chroma_format_decode(bs):
+    """4:2:2 / 4:4:4 RExt streams: double-high chroma TU walk with per-sub-TU
+    cbf (TComTU.h:48-162, TDecSbac.cpp:993-1092), per-PU chroma modes in
+    4:4:4 intra NxN, persistent Rice adaptation, intra-only residual
+    rotation — intra and inter (lowdelay) coverage."""
+    if not os.path.exists(bs):
+        pytest.skip("golden stream absent (see tests/make_fixtures.py)")
+    pics = Decoder().decode_stream(open(bs, "rb").read())
+    assert pics and all(p.hash_ok is True for p in pics)

@@ -272,6 +272,23 @@ class Encoder:
         search = CtuSearch(pic, sh, planes, rdo=cfg.rdo, qp_factor=qp_factor,
                            sbd=cfg.sbd, rrsp=cfg.rrsp, lam_override=rc_lam,
                            der=cfg.der)
+        # frame-level batched intra decision (stage 1+2 of the TPU
+        # pipeline); HM16_EXACT_RD=1 falls back to the sequential
+        # context-exact trial-encode search
+        import os
+        if sh.slice_type == I_SLICE and cfg.rdo and \
+                not os.environ.get("HM16_EXACT_RD"):
+            from hm16_2_tpu.common.tables import CHROMA_QP_SCALE
+            from hm16_2_tpu.encode import intra_rd
+            qp_luma = sh.qp + 6 * (sps.bit_depth_luma - 8)
+            cqps = []
+            for off in (pps.cb_qp_offset, pps.cr_qp_offset):
+                base = int(np.clip(sh.qp + off, 0, 57))
+                cqps.append(int(CHROMA_QP_SCALE[sps.chroma_format_idc][base])
+                            + 6 * (sps.bit_depth_chroma - 8))
+            search.plan = intra_rd.plan_frame(
+                planes, sps, qp_luma, search.lam,
+                getattr(search, "chroma_weight", 1.0), cqps)
         if not is_idr:
             ref_lists = build_ref_lists(sh, self.dpb)
             rc = RefCtx(sh, ref_lists)
@@ -425,6 +442,7 @@ class CtuSearch:
         self.sbd = sbd
         self.rrsp = rrsp
         self.der = der
+        self.plan = None             # frame-level batched intra plan (AI)
         self._allowed_depths = None
         self._rrsp_obj = None        # built lazily (needs ref lists)
         self._rrsp_ctu = None        # (check64, only_depth0) for current CTU
@@ -452,6 +470,9 @@ class CtuSearch:
     def decide_ctu(self, cx, cy):
         pic = self.pic
         parts = pic.ctb // 4
+        if self.plan is not None:
+            self._commit_plan_tree(cx * parts, cy * parts, pic.log2_ctb)
+            return
         self._allowed_depths = None
         if self.sbd and self.sh.slice_type != I_SLICE and self.rdo:
             self._allowed_depths = self._sbd_allowed(cx, cy)
@@ -716,6 +737,131 @@ class CtuSearch:
                                  py + (sub >> 1) * half, log2 - 1)
             return
         self._encode_cu(px, py, log2)
+
+    # ------------------------------------------------------------------
+    # plan-driven commit (stage 3 of the batched frame pipeline): walk the
+    # DP-chosen quadtree in z-order and reconstruct each CU bit-exactly
+    # with reconstructed-pixel references — no trial coding, no snapshots
+    # ------------------------------------------------------------------
+
+    def _commit_plan_tree(self, px, py, log2):
+        pic, sps = self.pic, self.sps
+        size = 1 << log2
+        x0, y0 = px * 4, py * 4
+        if x0 >= pic.w or y0 >= pic.h:
+            return
+        inside = (x0 + size <= pic.w) and (y0 + size <= pic.h)
+        plan = self.plan
+        depth = pic.log2_ctb - log2
+        covered = inside and bool(plan.cov[py, px])
+        if covered and int(plan.depth[py, px]) == depth:
+            if log2 == 3 and plan.nxn[py, px]:
+                self._commit_nxn(px, py)
+            else:
+                self._commit_cu(px, py, log2, int(plan.mode[py, px]),
+                                tusplit=bool(plan.tusplit[py, px]))
+            return
+        if inside and not covered:
+            # boundary-adjacent area the batched plan skipped: local search
+            if log2 <= sps.log2_max_tb and self._encode_cu(px, py, log2):
+                return
+        if log2 <= sps.log2_min_cb:
+            # last resort: 8x8 full search (cannot split further)
+            self._encode_cu(px, py, log2)
+            return
+        half = 1 << (log2 - 3)
+        for sub in range(4):
+            self._commit_plan_tree(px + (sub & 1) * half,
+                                   py + (sub >> 1) * half, log2 - 1)
+
+    def _mark_cu_fields(self, px, py, log2, part_size):
+        pic = self.pic
+        n = (1 << log2) // 4
+        sl = np.s_[py:py + n, px:px + n]
+        pic.depth[sl] = pic.log2_ctb - log2
+        pic.pred_mode[sl] = MODE_INTRA
+        pic.part_size[sl] = part_size
+        pic.qp[sl] = self.sh.qp
+        pic.slice_id[sl] = 0
+        pic.tr_idx[sl] = 0
+
+    def _plan_chroma(self, px, py, luma_mode):
+        """Resolve the planned chroma candidate: (stored syntax value,
+        actual prediction mode).  Candidates: planar/ver/hor/dc with the
+        34-substitution on collision, or DM (index 4)."""
+        ci = 4 if self.plan is None else int(self.plan.cmode[py, px])
+        if ci == 4:
+            return DM_CHROMA_IDX, luma_mode
+        base = (0, 26, 10, 1)[ci]
+        stored = 34 if base == luma_mode else base
+        return stored, stored
+
+    def _commit_cu(self, px, py, log2, mode, tusplit=False):
+        """Commit one planned intra 2Nx2N CU (TU == CU, or one shared-mode
+        TU split — intra RQT level 1, xRecurIntraCodingQT split branch)."""
+        pic = self.pic
+        n = (1 << log2) // 4
+        self._mark_cu_fields(px, py, log2, SIZE_2Nx2N)
+        sl = np.s_[py:py + n, px:px + n]
+        pic.intra_luma[sl] = mode
+        cstored, cmode = self._plan_chroma(px, py, mode)
+        pic.intra_chroma[sl] = cstored
+        if not tusplit:
+            pic.coded[sl] = True
+            cbf_y = self._code_tu(px, py, log2, 0, mode)
+            pic.cbf[0][sl] = cbf_y
+            if pic.num_comps > 1:
+                pic.cbf[1][sl] = self._code_tu(px, py, log2, 1, cmode)
+                pic.cbf[2][sl] = self._code_tu(px, py, log2, 2, cmode)
+            return
+        pic.tr_idx[sl] = 1
+        pic.coded[sl] = False
+        half = max(n // 2, 1)
+        for sub in range(4):
+            cx = px + (sub & 1) * half
+            cy = py + (sub >> 1) * half
+            csl = np.s_[cy:cy + half, cx:cx + half]
+            cbf = self._code_tu(cx, cy, log2 - 1, 0, mode)
+            pic.cbf[0][csl] = cbf << 1
+            if pic.num_comps > 1 and log2 > 3:
+                # chroma splits with luma (child blocks are >= 4x4)
+                cb = self._code_tu(cx, cy, log2 - 1, 1, cmode)
+                cr = self._code_tu(cx, cy, log2 - 1, 2, cmode)
+                pic.cbf[1][csl] = cb << 1
+                pic.cbf[2][csl] = cr << 1
+            pic.coded[csl] = True
+        if pic.num_comps > 1:
+            if log2 == 3:
+                # chroma stays one 4x4 TU at the CU level
+                pic.cbf[1][sl] = self._code_tu(px, py, 3, 1, cmode)
+                pic.cbf[2][sl] = self._code_tu(px, py, 3, 2, cmode)
+            else:
+                # root chroma cbf = OR of the children (bit 0)
+                for comp in (1, 2):
+                    root = 1 if np.any(pic.cbf[comp][sl] & 2) else 0
+                    pic.cbf[comp][sl] |= root
+
+    def _commit_nxn(self, px, py):
+        """Commit a planned intra NxN 8x8 CU: four 4x4 PUs with their own
+        modes and TUs (coded z-order so each PU predicts from the previous
+        PU's reconstruction), chroma as one 4x4 TU at the CU level."""
+        pic, plan = self.pic, self.plan
+        self._mark_cu_fields(px, py, 3, SIZE_NxN)
+        sl = np.s_[py:py + 2, px:px + 2]
+        pic.tr_idx[sl] = 1
+        cstored, cmode = self._plan_chroma(px, py, int(plan.mode[py, px]))
+        pic.intra_chroma[sl] = cstored
+        pic.coded[sl] = False
+        for oy in range(2):
+            for ox in range(2):
+                mode = int(plan.mode[py + oy, px + ox])
+                pic.intra_luma[py + oy, px + ox] = mode
+                cbf = self._code_tu(px + ox, py + oy, 2, 0, mode)
+                pic.cbf[0][py + oy, px + ox] = cbf << 1
+                pic.coded[py + oy, px + ox] = True
+        if pic.num_comps > 1:
+            pic.cbf[1][sl] = self._code_tu(px, py, 3, 1, cmode)
+            pic.cbf[2][sl] = self._code_tu(px, py, 3, 2, cmode)
 
     # ------------------------------------------------------------------
 

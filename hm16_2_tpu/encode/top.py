@@ -108,7 +108,7 @@ def build_sps_pps(cfg: EncoderConfig):
 
     pps = PPS()
     pps.init_qp = 26
-    pps.sign_data_hiding = 0
+    pps.sign_data_hiding = 1
     pps.loop_filter_across_slices = 1
     pps.entropy_coding_sync = 1 if cfg.wpp else 0
     if cfg.tile_cols > 1 or cfg.tile_rows > 1:
@@ -1060,6 +1060,10 @@ class CtuSearch:
                                                            False)
                     levels = transforms_ref.quant(fwd, qp, bd, log2_tr,
                                                   is_intra=False)
+                    scan = self._sbh_scan(cs, comp, -1)
+                    if scan is not None and np.any(levels):
+                        levels = transforms_ref.sign_bit_hiding(
+                            levels, fwd, qp, bd, log2_tr, scan, False)
                     cbf = 1 if np.any(levels) else 0
                     pic.coeff[comp][cy0:cy0 + cs, cx0:cx0 + cs] = levels
                     rec_resi = 0
@@ -1320,7 +1324,7 @@ class CtuSearch:
         qp = self._tu_qp(px, py, comp)
 
         cbf = self._native_code_tu(comp, x0, y0, size, log2_tr, bd, qp,
-                                   use_dst, True, pred)
+                                   use_dst, True, pred, mode_for_scan=mode)
         if cbf >= 0:
             return cbf
 
@@ -1328,6 +1332,10 @@ class CtuSearch:
         resi = orig - pred
         fwd = transforms_ref.forward_transform(resi, bd, use_dst)
         levels = transforms_ref.quant(fwd, qp, bd, log2_tr, is_intra=True)
+        scan = self._sbh_scan(size, comp, int(mode))
+        if scan is not None and np.any(levels):
+            levels = transforms_ref.sign_bit_hiding(levels, fwd, qp, bd,
+                                                    log2_tr, scan)
         cbf = 1 if np.any(levels) else 0
         pic.coeff[comp][y0:y0 + size, x0:x0 + size] = levels
         if cbf:
@@ -1381,6 +1389,10 @@ class CtuSearch:
                 sps.chroma_format_idc)
         (optr0, ostride, rptr0, rstride, rh, cptr0, cstride,
          kptr, kstride, strong, smooth_dis, cfmt) = ent
+        import ctypes
+        scan = self._sbh_scan(size, comp, int(mode))
+        scan_p = scan.ctypes.data_as(ctypes.c_void_p) if scan is not None \
+            else None
         return lib.intra_code_tu(
             rptr0, rstride, rstride, rh, kptr, kstride, pic.w, pic.h,
             sx if comp else 0, sy if comp else 0,
@@ -1389,10 +1401,10 @@ class CtuSearch:
             optr0 + 4 * (y0 * ostride + x0), ostride, qp,
             1 if use_dst else 0, 1,
             cptr0 + 4 * (y0 * cstride + x0), cstride,
-            rptr0 + 4 * (y0 * rstride + x0), rstride)
+            rptr0 + 4 * (y0 * rstride + x0), rstride, scan_p)
 
     def _native_code_tu(self, comp, x0, y0, size, log2_tr, bd, qp, use_dst,
-                        is_intra, pred) -> int:
+                        is_intra, pred, mode_for_scan=-1) -> int:
         """Fused C++ transform/quant/recon; returns cbf or -1 (unavailable).
         Writes levels and reconstruction directly into the picture planes."""
         from hm16_2_tpu import native
@@ -1415,13 +1427,40 @@ class CtuSearch:
             4 * (y0 * coeff.shape[1] + x0)
         rptr = rec.ctypes.data_as(ctypes.c_void_p).value + \
             4 * (y0 * rec.shape[1] + x0)
+        scan = self._sbh_scan(size, comp, mode_for_scan)
+        scan_p = scan.ctypes.data_as(ctypes.c_void_p) if scan is not None \
+            else None
         return lib.code_tu(
             ctypes.c_void_p(optr), orig.shape[1],
             pred32.ctypes.data_as(ctypes.c_void_p), size,
             size, log2_tr, bd, qp, 1 if use_dst else 0,
             1 if is_intra else 0,
             ctypes.c_void_p(cptr), coeff.shape[1],
-            ctypes.c_void_p(rptr), rec.shape[1])
+            ctypes.c_void_p(rptr), rec.shape[1], scan_p)
+
+    _sbh_scan_cache: dict = {}
+
+    def _sbh_scan(self, size, comp, mode):
+        """Coding-scan raster positions for sign-bit hiding, or None when
+        SBH is off.  Scan choice mirrors the entropy coder's MDCS rule."""
+        if not self.pps.sign_data_hiding:
+            return None
+        from hm16_2_tpu.common.tables import get_scan
+        from hm16_2_tpu.ops.intra_ref import HOR_IDX, VER_IDX
+        scan_type = 0
+        max_mdcs = 8 if comp == 0 else 4
+        if mode >= 0 and size <= max_mdcs:
+            if abs(mode - VER_IDX) <= 4:
+                scan_type = 1
+            elif abs(mode - HOR_IDX) <= 4:
+                scan_type = 2
+        key = (size, scan_type)
+        arr = self._sbh_scan_cache.get(key)
+        if arr is None:
+            arr = np.ascontiguousarray(
+                get_scan(size, size, scan_type, grouped=True), dtype=np.int32)
+            self._sbh_scan_cache[key] = arr
+        return arr
 
     def _tu_qp(self, px, py, comp):
         sps, pps, sh = self.sps, self.pps, self.sh

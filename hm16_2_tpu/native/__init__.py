@@ -128,7 +128,7 @@ def get_dsp():
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
-        ctypes.c_int64]
+        ctypes.c_int64, ctypes.c_void_p]
     lib.code_tu.restype = ctypes.c_int
 
     from hm16_2_tpu.common.tables import (
@@ -148,7 +148,7 @@ def get_dsp():
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_void_p, ctypes.c_int64,
-        ctypes.c_void_p, ctypes.c_int64]
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
     lib.intra_code_tu.restype = ctypes.c_int
     lib.set_intra_tables.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     from hm16_2_tpu.common.tables import ANG_TABLE, INV_ANG_TABLE

@@ -84,11 +84,89 @@ static void matmul_at(const int64_t *a, const int32_t *t, int n,
 // Fused TU coding.  orig/pred: n*n int32 row-major with given strides
 // (elements).  Writes quantized levels (n*n int32, stride lvl_stride) and
 // reconstruction (stride rec_stride).  Returns cbf (0/1), or -1 on error.
+// HM signBitHidingHDQ (TComTrQuant.cpp:952-1086): per coefficient group
+// along the coding scan, force the parity of the absolute sum to encode
+// the first nonzero's sign, adjusting the level with the cheapest
+// rounding-error delta.
+static void sbh_adjust(int32_t *levels, int64_t lvl_stride,
+                       const int64_t *coef /* n*n pre-quant, raster */,
+                       const int64_t *deltaU /* n*n, raster */, int n,
+                       const int32_t *scan) {
+  const int num = n * n;
+  int lastCG = -1;
+  for (int subSet = (num - 1) >> 4; subSet >= 0; subSet--) {
+    int subPos = subSet << 4;
+    int firstNZ = 16, lastNZ = -1;
+    long absSum = 0;
+    for (int k = 15; k >= 0; --k) {
+      int bp = scan[subPos + k];
+      if (levels[(bp / n) * lvl_stride + (bp % n)]) { lastNZ = k; break; }
+    }
+    for (int k = 0; k < 16; k++) {
+      int bp = scan[subPos + k];
+      if (levels[(bp / n) * lvl_stride + (bp % n)]) { firstNZ = k; break; }
+    }
+    for (int k = firstNZ; k <= lastNZ; k++) {
+      int bp = scan[subPos + k];
+      absSum += levels[(bp / n) * lvl_stride + (bp % n)];
+    }
+    if (lastNZ >= 0 && lastCG == -1) lastCG = 1;
+    if (lastNZ - firstNZ >= 4 /* SBH_THRESHOLD */) {
+      int bp_first = scan[subPos + firstNZ];
+      int signbit =
+          levels[(bp_first / n) * lvl_stride + (bp_first % n)] > 0 ? 0 : 1;
+      if (signbit != (int)(absSum & 1)) {
+        int64_t minCostInc = INT64_MAX;
+        int minPos = -1, finalChange = 0;
+        for (int k = (lastCG == 1 ? lastNZ : 15); k >= 0; --k) {
+          int bp = scan[subPos + k];
+          int32_t q = levels[(bp / n) * lvl_stride + (bp % n)];
+          int64_t curCost;
+          int curChange = 0;
+          if (q != 0) {
+            if (deltaU[bp] > 0) {
+              curCost = -deltaU[bp];
+              curChange = 1;
+            } else if (k == firstNZ && (q == 1 || q == -1)) {
+              curCost = INT64_MAX;
+            } else {
+              curCost = deltaU[bp];
+              curChange = -1;
+            }
+          } else if (k < firstNZ) {
+            int thisSign = coef[bp] >= 0 ? 0 : 1;
+            if (thisSign != signbit) {
+              curCost = INT64_MAX;
+            } else {
+              curCost = -deltaU[bp];
+              curChange = 1;
+            }
+          } else {
+            curCost = -deltaU[bp];
+            curChange = 1;
+          }
+          if (curCost < minCostInc) {
+            minCostInc = curCost;
+            finalChange = curChange;
+            minPos = bp;
+          }
+        }
+        int32_t *tgt = &levels[(minPos / n) * lvl_stride + (minPos % n)];
+        if (*tgt == 32767 || *tgt == -32768) finalChange = -1;
+        if (coef[minPos] >= 0) *tgt += finalChange;
+        else *tgt -= finalChange;
+      }
+    }
+    if (lastCG == 1) lastCG = 0;
+  }
+}
+
 extern "C" int code_tu(const int32_t *orig, int64_t orig_stride,
                        const int32_t *pred, int64_t pred_stride, int n,
                        int log2n, int bit_depth, int qp, int use_dst,
                        int is_intra, int32_t *levels, int64_t lvl_stride,
-                       int32_t *rec, int64_t rec_stride) {
+                       int32_t *rec, int64_t rec_stride,
+                       const int32_t *sbh_scan) {
   if (log2n < 2 || log2n > 5) return -1;
   const int32_t *t = (use_dst && n == 4) ? g_dst4 : g_dct[log2n];
   if (!t) return -1;
@@ -123,17 +201,28 @@ extern "C" int code_tu(const int32_t *orig, int64_t orig_stride,
   int64_t scale = g_qscale[rem];
   int64_t qadd = (int64_t)(is_intra ? 171 : 85) << (q_bits - 9);
   int cbf = 0;
+  int64_t deltaU[32 * 32];
   for (int i = 0; i < n; i++)
     for (int j = 0; j < n; j++) {
       int64_t c = buf_2[i * n + j];
       int64_t mag = (c < 0 ? -c : c);
-      int64_t lvl = (mag * scale + qadd) >> q_bits;
+      int64_t tmp = mag * scale;
+      int64_t lvl = (tmp + qadd) >> q_bits;
       lvl = clip64(lvl, 0, 32767);
+      deltaU[i * n + j] = (tmp - (lvl << q_bits)) >> (q_bits - 8);
       if (c < 0) lvl = -lvl;
       levels[i * lvl_stride + j] = (int32_t)lvl;
-      buf_r[i * n + j] = lvl;  // reuse as dequant input
       if (lvl) cbf = 1;
     }
+  if (cbf && sbh_scan) {
+    sbh_adjust(levels, lvl_stride, buf_2, deltaU, n, sbh_scan);
+    cbf = 0;
+    for (int i = 0; i < n; i++)
+      for (int j = 0; j < n; j++)
+        if (levels[i * lvl_stride + j]) cbf = 1;
+  }
+  for (int i = 0; i < n; i++)
+    for (int j = 0; j < n; j++) buf_r[i * n + j] = levels[i * lvl_stride + j];
 
   int64_t maxv = ((int64_t)1 << bit_depth) - 1;
   if (!cbf) {
@@ -211,7 +300,7 @@ extern "C" int intra_code_tu(
     int is_luma, int strong_smoothing, int smoothing_disabled,
     int chroma_fmt, const int32_t *orig, int64_t orig_stride, int qp,
     int use_dst, int is_intra, int32_t *levels, int64_t lvl_stride,
-    int32_t *rec_out, int64_t rec_out_stride) {
+    int32_t *rec_out, int64_t rec_out_stride, const int32_t *sbh_scan) {
   if (!g_ang_table || size > 32) return -1;
   const int s = size;
   const int unit_w = 4 >> sx, unit_h = 4 >> sy;
@@ -427,5 +516,5 @@ extern "C" int intra_code_tu(
   for (int t = s; t > 1; t >>= 1) log2n++;
   return code_tu(orig, orig_stride, pred, s, s, log2n, bit_depth, qp,
                  use_dst, is_intra, levels, lvl_stride, rec_out,
-                 rec_out_stride);
+                 rec_out_stride, sbh_scan);
 }

@@ -140,3 +140,69 @@ def quant(coeffs: np.ndarray, qp: int, bit_depth: int, log2_tr_size: int,
     level = (np.abs(c) * scale + add) >> q_bits
     entropy_max = (1 << 15) - 1
     return _clip(sign * level, -32768, entropy_max)
+
+
+SBH_THRESHOLD = 4
+
+
+def sign_bit_hiding(levels: np.ndarray, coeffs: np.ndarray, qp: int,
+                    bit_depth: int, log2_tr_size: int, scan: np.ndarray,
+                    is_intra: bool = True) -> np.ndarray:
+    """Encoder sign-data-hiding adjustment (signBitHidingHDQ,
+    TComTrQuant.cpp:952-1086).  levels: quantized block (modified copy
+    returned); coeffs: pre-quant transform coefficients; scan: raster
+    positions in coding-scan order."""
+    n = levels.shape[0]
+    per, rem = qp // 6, qp % 6
+    tshift = 15 - bit_depth - log2_tr_size
+    q_bits = 14 + per + tshift
+    scale = int(QUANT_SCALES[rem])
+    lv = levels.ravel().copy()
+    cf = coeffs.ravel()
+    mag = np.abs(cf.astype(np.int64)) * scale
+    deltaU = (mag - (np.abs(lv.astype(np.int64)) << q_bits)) >> (q_bits - 8)
+    last_cg = -1
+    for sub in range((n * n - 1) >> 4, -1, -1):
+        pos = scan[sub * 16: sub * 16 + 16]
+        vals = lv[pos]
+        nz = np.nonzero(vals)[0]
+        if len(nz) == 0:
+            continue
+        first_nz, last_nz = int(nz[0]), int(nz[-1])
+        if last_cg == -1:
+            last_cg = 1
+        if last_nz - first_nz >= SBH_THRESHOLD:
+            abs_sum = int(vals[first_nz:last_nz + 1].sum())
+            signbit = 0 if vals[first_nz] > 0 else 1
+            if signbit != (abs_sum & 1):
+                best_cost, best_pos, best_chg = None, -1, 0
+                rng = range(last_nz if last_cg == 1 else 15, -1, -1)
+                for k in rng:
+                    bp = int(pos[k])
+                    q = int(lv[bp])
+                    if q != 0:
+                        if deltaU[bp] > 0:
+                            cost, chg = -int(deltaU[bp]), 1
+                        elif k == first_nz and abs(q) == 1:
+                            cost, chg = None, 0
+                        else:
+                            cost, chg = int(deltaU[bp]), -1
+                    elif k < first_nz:
+                        if (0 if cf.ravel()[bp] >= 0 else 1) != signbit:
+                            cost, chg = None, 0
+                        else:
+                            cost, chg = -int(deltaU[bp]), 1
+                    else:
+                        cost, chg = -int(deltaU[bp]), 1
+                    if cost is not None and                             (best_cost is None or cost < best_cost):
+                        best_cost, best_pos, best_chg = cost, bp, chg
+                if best_pos >= 0:
+                    if lv[best_pos] in (32767, -32768):
+                        best_chg = -1
+                    if cf[best_pos] >= 0:
+                        lv[best_pos] += best_chg
+                    else:
+                        lv[best_pos] -= best_chg
+        if last_cg == 1:
+            last_cg = 0
+    return lv.reshape(n, n)

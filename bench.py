@@ -1,83 +1,96 @@
 """Benchmark entry point (driver-run, one JSON line on stdout).
 
-Headline: end-to-end All-Intra encode frames/s at 416x240 QP32 vs the
-reference encoder's single-thread speed on the same class of content
-(measured: 16 frames in 13.065 s = 1.223 fps, encoder_intra_main.cfg).
+Headline: end-to-end All-Intra encode frames/s at 416x240 QP32, measured
+on deterministic video-like content (tests/make_fixtures.make_yuv, seed
+42) and compared against the HM reference encoder run on the SAME
+content: measured live when /tmp/hmref/bin is present, otherwise the
+stored constant below (8 frames / 2.896 s single-thread on this box).
 
-Also measured (stderr): TPU batched intra-analysis throughput (the jitted
-35-mode predict + SATD + transform + quant pipeline), expressed as
-equivalent 1080p frames/s of analysis work.
+Extra keys in the JSON: ai_bdrate_pct (BD-rate vs HM at QP 27/32/37 on
+the same content, only when the HM binary is available).
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
-HM_AI_416_FPS = 16 / 13.065   # reference single-thread baseline (BASELINE.md)
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+
+HM_ENC = "/tmp/hmref/bin/TAppEncoderStatic"
+HM_AI_416_FPS_STORED = 8 / 2.896   # same content, encoder_intra_main.cfg, QP32
 
 
-def synthetic_planes(w, h, t, rng):
-    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
-    y = ((xx * 2 + yy + t * 7) % 256 * 0.6 +
-         0.4 * rng.integers(0, 256, (h, w))).astype(np.int32)
-    u = ((xx // 2 + t) % 256)[::2, ::2].astype(np.int32)
-    v = ((yy // 2 + 2 * t) % 256)[::2, ::2].astype(np.int32)
-    return [np.clip(y, 0, 255), u, v]
+def bench_content(frames=9):
+    from make_fixtures import make_yuv
+    out = []
+    for planes in make_yuv(416, 240, frames, seed=42):
+        out.append([p.astype(np.int32) for p in planes])
+    return out
 
 
-def bench_end_to_end(frames=4, w=416, h=240):
+def bench_end_to_end(planes):
     from hm16_2_tpu.encode.top import Encoder, EncoderConfig
-    rng = np.random.default_rng(7)
-    enc = Encoder(EncoderConfig(w, h, qp=32))
-    planes = [synthetic_planes(w, h, t, rng) for t in range(frames)]
-    enc.encode_frame(planes[0], 1000)     # warmup: jit-compile analysis path
+    enc = Encoder(EncoderConfig(416, 240, qp=32))
+    enc.encode_frame([p.copy() for p in planes[0]], 1000)  # jit warmup
     t0 = time.time()
-    n = 0
     for t, p in enumerate(planes):
-        enc.encode_frame(p, t)
-        n += 1
-    dt = time.time() - t0
-    return n / dt
+        enc.encode_frame([q.copy() for q in p], t)
+    return len(planes) / (time.time() - t0)
 
 
-def bench_tpu_analysis(size=16, batch=2048, iters=10):
-    import jax
-    import jax.numpy as jnp
-    from hm16_2_tpu.parallel.mesh import analysis_step
-
-    rng = np.random.default_rng(0)
-    orig = jnp.asarray(rng.integers(0, 256, (batch, size, size)), jnp.int32)
-    bufs = jnp.asarray(rng.integers(0, 256, (batch, 2, 4 * size + 1)), jnp.int32)
-    qp = jnp.int32(32)
-    fn = jax.jit(lambda o, b, q: analysis_step(o, b, q, size))
-    jax.block_until_ready(fn(orig, bufs, qp))   # compile
+def measure_hm_fps(n=8):
+    if not os.path.exists(HM_ENC):
+        return None
+    src = "/tmp/bench416.yuv"
+    if not os.path.exists(src):
+        from make_fixtures import make_yuv, write_yuv
+        write_yuv(src, make_yuv(416, 240, 9, seed=42))
     t0 = time.time()
-    for _ in range(iters):
-        out = fn(orig, bufs, qp)
-    jax.block_until_ready(out)
-    dt = time.time() - t0
-    blocks_per_s = batch * iters / dt
-    blocks_per_1080p = (1920 // size) * (1088 // size)
-    return blocks_per_s, blocks_per_s / blocks_per_1080p
+    r = subprocess.run(
+        [HM_ENC, "-c", "/tmp/hmref/cfg/encoder_intra_main.cfg", "-i", src,
+         "-wdt", "416", "-hgt", "240", "-fr", "30", "-f", str(n),
+         "-b", "/tmp/bench_hm.bin", "-o", "/dev/null", "-q", "32",
+         "--SEIDecodedPictureHash=1"], capture_output=True)
+    if r.returncode != 0:
+        return None
+    return n / (time.time() - t0)
+
+
+def measure_bdrate():
+    """AI BD-rate vs HM at QP 27/32/37 on the same content (2 frames)."""
+    if not os.path.exists(HM_ENC):
+        return None
+    try:
+        src = "/tmp/bench416.yuv"
+        from hm16_2_tpu.tools import bdrate as bdr
+        bd, _ = bdr.run(src, 416, 240, 2, "ai", [27, 32, 37], verbose=False)
+        return round(bd, 2)
+    except Exception as e:
+        print(f"bdrate skipped: {e}", file=sys.stderr)
+        return None
 
 
 def main():
-    fps = bench_end_to_end()
-    try:
-        blk_s, frames_1080p = bench_tpu_analysis()
-        print(f"tpu intra-analysis: {blk_s:,.0f} blocks/s "
-              f"= {frames_1080p:,.1f} 1080p-frames/s of analysis",
-              file=sys.stderr)
-    except Exception as e:  # TPU may be absent in some environments
-        print(f"tpu analysis bench skipped: {e}", file=sys.stderr)
-    print(json.dumps({
+    planes = bench_content()
+    fps = bench_end_to_end(planes)
+    hm_fps = measure_hm_fps()
+    baseline = hm_fps if hm_fps else HM_AI_416_FPS_STORED
+    out = {
         "metric": "AI encode fps (416x240, QP32, end-to-end)",
         "value": round(fps, 4),
         "unit": "frames/s",
-        "vs_baseline": round(fps / HM_AI_416_FPS, 4),
-    }))
+        "vs_baseline": round(fps / baseline, 4),
+        "hm_fps_same_content": round(baseline, 4),
+        "hm_measured_live": bool(hm_fps),
+    }
+    bd = measure_bdrate()
+    if bd is not None:
+        out["ai_bdrate_pct_vs_hm"] = bd
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -19,6 +19,31 @@ from hm16_2_tpu.ops.sao_ref import _ctu_avail, _eo_classify
 _EDGE_TO_SLOT = {0: 0, 1: 1, 3: 2, 4: 3}
 
 
+def _best_offsets_vec(S, N, lo, hi, lam):
+    """Vectorized _best_offset over category arrays: evaluates every
+    offset between 0 and the rounded estimate (inclusive) and keeps the
+    cheapest — identical to the scalar search path."""
+    S = np.asarray(S, dtype=np.float64)
+    N = np.asarray(N, dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        est = np.where(N > 0, np.round(S / np.maximum(N, 1)), 0.0)
+    est = np.clip(est, lo, hi).astype(np.int64)
+    max_abs = max(abs(lo), abs(hi))
+    os_ = np.arange(-max_abs, max_abs + 1)                 # (M,)
+    cost = (N[..., None] * os_ * os_ - 2.0 * os_ * S[..., None]
+            + lam * (np.abs(os_) + 2))
+    cost = np.where(os_ == 0, 0.0, cost)                   # o=0 costs 0
+    # valid offsets lie between 0 and est (inclusive), same sign as est
+    valid = ((os_ >= np.minimum(est, 0)[..., None])
+             & (os_ <= np.maximum(est, 0)[..., None]))
+    cost = np.where(valid, cost, np.inf)
+    k = np.argmin(cost, axis=-1)
+    best_o = os_[k]
+    best_c = np.take_along_axis(cost, k[..., None], axis=-1)[..., 0]
+    best_c = np.where(np.isfinite(best_c), best_c, 0.0)
+    return best_o, best_c
+
+
 def _best_offset(s, n, lo, hi, lam):
     """Offset minimizing N*o^2 - 2*o*S + lam*rate(|o|), searched from the
     rounded estimate toward zero (xGetBestOffset-style)."""
@@ -121,33 +146,23 @@ def estimate_sao(pic, orig, lam):
                         mx = bd_max[c]
                         if t == 4:
                             S, N = st[4]
-                            best_band, bb_cost, bb_offs = 0, None, None
-                            for start in range(32):
-                                cc = 0.0
-                                oo = []
-                                for i in range(4):
-                                    b = (start + i) % 32
-                                    o, ocost = _best_offset(
-                                        S[b], N[b], -mx, mx, lam)
-                                    oo.append(o)
-                                    cc += ocost
-                                if bb_cost is None or cc < bb_cost:
-                                    best_band, bb_cost, bb_offs = start, cc, oo
-                            cost += bb_cost + lam * 5
-                            offs[c] = bb_offs
+                            ob, cb = _best_offsets_vec(S, N, -mx, mx, lam)
+                            win = cb + np.roll(cb, -1) + np.roll(cb, -2) \
+                                + np.roll(cb, -3)
+                            best_band = int(np.argmin(win))
+                            cost += float(win[best_band]) + lam * 5
+                            offs[c] = [int(ob[(best_band + i) % 32])
+                                       for i in range(4)]
                             bands[c] = best_band
                         else:
                             S, N = st[t]
-                            cc = 0.0
-                            oo = []
-                            for i in range(4):
-                                lo, hi = (0, mx) if i < 2 else (-mx, 0)
-                                o, ocost = _best_offset(S[i], N[i], lo, hi,
-                                                        lam)
-                                oo.append(o)
-                                cc += ocost
-                            cost += cc
-                            offs[c] = oo
+                            o_pos, c_pos = _best_offsets_vec(
+                                S[:2], N[:2], 0, mx, lam)
+                            o_neg, c_neg = _best_offsets_vec(
+                                S[2:], N[2:], -mx, 0, lam)
+                            cost += float(c_pos.sum() + c_neg.sum())
+                            offs[c] = [int(o_pos[0]), int(o_pos[1]),
+                                       int(o_neg[0]), int(o_neg[1])]
                             bands[c] = 0
                     if ok and cost < best[0]:
                         best = (cost, 1, t, offs, bands)

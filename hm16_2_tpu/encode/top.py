@@ -40,7 +40,8 @@ class EncoderConfig:
                  intra_period=1, deblock=True, sao=True, rdo=True,
                  gop="ld", sbd=True, rrsp=False,
                  target_bps=None, frame_rate=30, total_frames=0,
-                 wpp=False, tile_cols=1, tile_rows=1, der=16, hash_type=0):
+                 wpp=False, tile_cols=1, tile_rows=1, der=16, hash_type=0,
+                 gop_table=None):
         self.width, self.height = width, height
         self.qp = qp
         self.bit_depth = bit_depth
@@ -60,6 +61,9 @@ class EncoderConfig:
         self.tile_rows = tile_rows
         self.der = der               # SBD strip parameter R (8/16/32/64)
         self.hash_type = hash_type   # decoded-picture-hash SEI: 0 MD5 / 1 CRC / 2 checksum
+        # explicit GOPEntry table (TEncCfg.h:49-88) parsed from the cfg
+        # file's FrameN lines; overrides the built-in ld/ra8 structures
+        self.gop_table = gop_table
         self.log2_ctb = 6
         self.log2_min_cb = 3
         self.log2_min_tb = 2
@@ -133,6 +137,15 @@ class Encoder:
         self._reorder = {}
         self._next_coded = 0
         self._gop_start = 0
+        # active GOP structure (cfg table wins over the built-ins)
+        if cfg.gop_table:
+            self.gop_table = cfg.gop_table
+        elif cfg.gop == "ra8":
+            self.gop_table = RA8_GOP
+        else:
+            self.gop_table = None
+        self._reordered = self.gop_table is not None and any(
+            s["poc"] != i + 1 for i, s in enumerate(self.gop_table))
         self.rc = None
         if cfg.target_bps:
             from hm16_2_tpu.encode.ratectrl import RateCtrl
@@ -180,13 +193,13 @@ class Encoder:
     def push_frame(self, planes: list[np.ndarray], poc: int) -> list[bytes]:
         """Buffer a display-order frame; returns any AUs that became
         codable, in coding (bitstream) order."""
-        if self.cfg.gop != "ra8":
+        if self.gop_table is None:
             return [self.encode_frame(planes, poc)]
         self._reorder[poc] = planes
         return self._drain(False)
 
     def flush(self) -> list[bytes]:
-        if self.cfg.gop != "ra8":
+        if self.gop_table is None:
             return []
         return self._drain(True)
 
@@ -209,15 +222,17 @@ class Encoder:
                 self._next_coded = 1
                 self._gop_start = 0
                 continue
-            gop_pocs = [self._gop_start + s["poc"] for s in RA8_GOP]
+            table = self.gop_table
+            gsize = len(table)
+            gop_pocs = [self._gop_start + s["poc"] for s in table]
             if all(p in buf for p in gop_pocs):
                 if self.rc is not None:
-                    self.rc.begin_gop(8)
-                for gop_id, slot in enumerate(RA8_GOP):
+                    self.rc.begin_gop(gsize)
+                for gop_id, slot in enumerate(table):
                     p = self._gop_start + slot["poc"]
                     aus.append(self._encode_ra_picture(buf.pop(p), p, slot,
                                                        gop_id))
-                self._gop_start += 8
+                self._gop_start += gsize
                 self._next_coded = self._gop_start + 1
                 continue
             if final and buf:
@@ -243,7 +258,11 @@ class Encoder:
                               delta_poc=neg + pos,
                               used=[1] * (len(neg) + len(pos)))
         total = len(neg) + len(pos)
-        sh.num_ref_idx = [min(2, total), min(2, total)]
+        n_act = min(slot.get("n_active", 2), total)
+        sh.num_ref_idx = [max(1, min(n_act, total))] * 2 if total else [0, 0]
+        sh.slice_type = B_SLICE if slot.get("type", "B") == "B" else P_SLICE
+        if sh.slice_type == P_SLICE:
+            sh.num_ref_idx[1] = 0
         sh.max_num_merge_cand = 5
         rc_lam = self._rc_begin(planes, sh, gop_id)
         return self._encode_one(planes, poc, sh, qp_factor=slot["qpfac"],

@@ -115,6 +115,21 @@ def main(argv=None):
     qp = int(o["QP"])
     ip = o["IntraPeriod"]
     gop = "ra8" if o["GOPSize"] >= 8 else "ld"
+
+    # GOPEntry table from the cfg's FrameN lines (TEncCfg.h:49-88):
+    # Type POC QPoffset QPfactor tcOff betaOff tid #active #refs refs...
+    gop_table = []
+    for i in range(1, int(o["GOPSize"]) + 1):
+        line = str(o[f"Frame{i}"] or "").split()
+        if len(line) < 9:
+            gop_table = []
+            break
+        n_refs = int(line[8])
+        refs = tuple(int(x) for x in line[9:9 + n_refs])
+        gop_table.append(dict(type=line[0], poc=int(line[1]),
+                              qpoff=int(line[2]), qpfac=float(line[3]),
+                              tid=int(line[6]), n_active=int(line[7]),
+                              refs=refs))
     bd_in = o["InputBitDepth"]
     bd = o["InternalBitDepth"] or bd_in
 
@@ -128,7 +143,8 @@ def main(argv=None):
         tile_rows=o["NumTileRowsMinus1"] + 1,
         target_bps=o["TargetBitrate"] if o["RateControl"] else None,
         frame_rate=o["FrameRate"], total_frames=n,
-        hash_type=max(0, int(o["SEIDecodedPictureHash"]) - 1))
+        hash_type=max(0, int(o["SEIDecodedPictureHash"]) - 1),
+        gop_table=gop_table or None)
     cfg.der = o["DER"]
     enc = Encoder(cfg)
 
@@ -151,7 +167,7 @@ def main(argv=None):
         if shift:
             planes = [p.astype(np.int32) << shift for p in planes]
         pending[poc] = planes
-        if gop == "ra8":
+        if enc.gop_table is not None and ip != 1:
             for au in enc.push_frame(planes, poc):
                 coded.append(au)
                 fout.write(au)
@@ -173,7 +189,7 @@ def main(argv=None):
                   f"V {pv:6.4f} dB]")
             if frec:
                 write_yuv_frame(frec, enc.last_recon, bds)
-    if gop == "ra8":
+    if enc.gop_table is not None and ip != 1:
         for au in enc.flush():
             coded.append(au)
             fout.write(au)

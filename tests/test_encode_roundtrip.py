@@ -229,3 +229,22 @@ def test_encode_main10_selfdecode():
         stream += enc.encode_frame([y, u, v], t)
     pics = Decoder().decode_stream(stream)
     assert len(pics) == n and all(p.hash_ok for p in pics)
+
+
+@pytest.mark.skipif(not os.path.exists(HM_DEC), reason="reference decoder absent")
+def test_cfg_gop_table_roundtrip(tmp_path):
+    """The cfg's GOPEntry table (TEncCfg.h:49-88) drives the coding
+    structure: lowdelay GOPSize-4 cfg produces its per-slot QP offsets and
+    refs, and the stream decodes (OK) in the reference decoder."""
+    import subprocess, sys
+    bs = tmp_path / "gop.bin"
+    r = subprocess.run(
+        [sys.executable, "-m", "hm16_2_tpu.tools.encode",
+         "-c", "/tmp/hmref/cfg/encoder_lowdelay_main.cfg",
+         "-i", "/tmp/hevc_data/tiny64.yuv", "-wdt", "64", "-hgt", "64",
+         "-f", "8", "-b", str(bs), "-q", "35"],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    out = subprocess.run([HM_DEC, "-b", str(bs), "-o", str(tmp_path / "o.yuv")],
+                         capture_output=True, text=True)
+    assert out.stdout.count("(OK)") == 8, out.stdout

@@ -41,11 +41,33 @@ class DPB:
         self.pics.clear()
 
 
-def build_ref_lists(sh, dpb: DPB):
+def conceal_lost_picture(dpb: DPB, poc: int) -> RefPicture:
+    """Lost-reference concealment (TDecTop::xCreateLostPicture,
+    TDecTop.cpp:229-278): clone the DPB picture closest in POC and
+    re-badge it with the missing POC (zeroed motion)."""
+    assert dpb.pics, "cannot conceal with an empty DPB"
+    closest = min(dpb.pics.values(), key=lambda p: abs(p.poc - poc))
+    sub = RefPicture(
+        poc=poc, rec=[pl.copy() for pl in closest.rec],
+        mv=None if closest.mv is None else np.zeros_like(closest.mv),
+        ref_idx=None if closest.ref_idx is None
+        else np.full_like(closest.ref_idx, -1),
+        ref_poc=None if closest.ref_poc is None
+        else np.full_like(closest.ref_poc, -(10 ** 9)),
+        pred_mode=None if closest.pred_mode is None
+        else closest.pred_mode.copy(),
+        is_intra=closest.is_intra, is_b_slice=closest.is_b_slice)
+    dpb.add(sub)
+    return sub
+
+
+def build_ref_lists(sh, dpb: DPB, conceal: bool = True):
     """RefPicList0/1 as lists of RefPicture (spec 8.3.4).
 
     Short-term before (POC < cur, descending) then after (ascending), from
     the slice RPS 'used' pictures; wrap-around fill to num_ref_idx.
+    Missing references are concealed (cloned nearest picture) when
+    `conceal`, matching the reference decoder's robustness path.
     """
     cur = sh.poc
     rps = sh.rps
@@ -56,7 +78,9 @@ def build_ref_lists(sh, dpb: DPB):
                 continue
             p = dpb.get(cur + d)
             if p is None:
-                raise KeyError(f"missing reference POC {cur + d}")
+                if not conceal or not dpb.pics:
+                    raise KeyError(f"missing reference POC {cur + d}")
+                p = conceal_lost_picture(dpb, cur + d)
             (before if d < 0 else after).append((d, p))
     before.sort(key=lambda x: -x[0])    # closest (least negative) first
     after.sort(key=lambda x: x[0])

@@ -135,14 +135,31 @@ class Decoder:
         self.outputs: list[DecodedPicture] = []
         self.hash_failures = 0
         self.dpb = DPB()
+        # random-access skip (TDecTop::isRandomAccessSkipPicture): when the
+        # stream starts at a CRA/BLA, its RASL leading pictures reference
+        # pictures before the random-access point and must be dropped
+        self._seen_irap = False
+        self._skip_rasl = False
+        self._last_vcl_skipped = False
+        # C.5.2 output-order bumping state
+        self._reorder: list[DecodedPicture] = []
+        self.display: list[DecodedPicture] = []
 
     # ------------------------------------------------------------------
 
     def decode_stream(self, data: bytes) -> list[DecodedPicture]:
         for nal in split_annexb(data):
             self.decode_nal(nal)
-        self._finish_picture()
+        self.flush()
         return self.outputs
+
+    def flush(self):
+        """End-of-stream: finish the open picture and drain the reorder
+        buffer in POC order (TAppDecTop::xFlushOutput)."""
+        self._finish_picture()
+        for dp in sorted(self._reorder, key=lambda d: d.poc):
+            self.display.append(dp)
+        self._reorder.clear()
 
     def decode_nal(self, nal: bytes):
         nal_type = (nal[0] >> 1) & 63
@@ -159,6 +176,8 @@ class Decoder:
         elif nal_type in (P.NAL_SEI_PREFIX, P.NAL_SEI_SUFFIX):
             for ptype, payload in parse_sei_rbsp(rbsp):
                 if ptype == 132:  # decoded picture hash
+                    if self._last_vcl_skipped:
+                        continue         # hash of a skipped (RASL) picture
                     self.pending_hash = parse_picture_hash_sei(payload)
                     self._check_hash()
         elif nal_type <= 31:   # VCL
@@ -171,6 +190,19 @@ class Decoder:
         sh = parse_slice_header(br, nal_type, temporal_id, self.sps_map,
                                 self.pps_map, self.prev_tid0_poc,
                                 ep_byte_positions=ep_pos)
+        if not self._seen_irap:
+            if not P.is_irap(nal_type):
+                self._last_vcl_skipped = True
+                return                       # broken leading data pre-IRAP
+            self._seen_irap = True
+            if P.is_cra(nal_type) or P.is_bla(nal_type):
+                self._skip_rasl = True       # drop this IRAP's RASLs
+        if self._skip_rasl and P.is_rasl(nal_type):
+            self._last_vcl_skipped = True
+            return
+        if not P.is_rasl(nal_type) and not P.is_irap(nal_type):
+            self._skip_rasl = False
+        self._last_vcl_skipped = False
         if sh.first_slice_in_pic:
             self._finish_picture()
             if P.is_idr(nal_type):
@@ -281,6 +313,14 @@ class Decoder:
             is_b_slice=any(s.slice_type == P.B_SLICE for s in pic.slices)))
         self.cur_pic = None
         self._check_hash()
+        # C.5.2 bumping: emit in POC order once the reorder buffer exceeds
+        # the SPS reorder allowance (TAppDecTop::xWriteOutput)
+        self._reorder.append(self.outputs[-1])
+        reorder_max = sps.num_reorder_pics[-1] if sps.num_reorder_pics else 0
+        while len(self._reorder) > reorder_max:
+            nxt = min(self._reorder, key=lambda d: d.poc)
+            self._reorder.remove(nxt)
+            self.display.append(nxt)
 
     def _check_hash(self):
         if self.pending_hash is None or not self.outputs:

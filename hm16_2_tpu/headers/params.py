@@ -37,6 +37,10 @@ def is_bla(nal_type: int) -> bool:
     return nal_type in (NAL_BLA_W_LP, NAL_BLA_W_RADL, NAL_BLA_N_LP)
 
 
+def is_cra(nal_type: int) -> bool:
+    return nal_type == NAL_CRA
+
+
 def is_rasl(nal_type: int) -> bool:
     return nal_type in (NAL_RASL_N, NAL_RASL_R)
 

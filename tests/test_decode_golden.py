@@ -111,3 +111,25 @@ def test_rext_chroma_format_decode(bs):
         pytest.skip("golden stream absent (see tests/make_fixtures.py)")
     pics = Decoder().decode_stream(open(bs, "rb").read())
     assert pics and all(p.hash_ok is True for p in pics)
+
+
+def test_decoder_robustness_and_bumping():
+    """C.5.2 output bumping, mid-stream CRA tune-in with RASL skip
+    (TDecTop.cpp:840), and lost-reference concealment (TDecTop.cpp:229)."""
+    from hm16_2_tpu.bitstream.bitio import split_annexb
+    bs = "/tmp/hevc_data/bq_ra.bin"
+    if not os.path.exists(bs):
+        pytest.skip("golden stream absent")
+    data = open(bs, "rb").read()
+    d = Decoder()
+    d.decode_stream(data)
+    assert [p.poc for p in d.display] == sorted(p.poc for p in d.outputs)
+    # drop one reference VCL NAL: decode must conceal, not raise
+    nals = split_annexb(data)
+    vcl = [i for i, n in enumerate(nals) if (n[0] >> 1) & 63 <= 31]
+    d2 = Decoder()
+    for i, n in enumerate(nals):
+        if i != vcl[2]:
+            d2.decode_nal(n)
+    d2.flush()
+    assert len(d2.outputs) == len(vcl) - 1

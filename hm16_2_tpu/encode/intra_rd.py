@@ -86,9 +86,13 @@ def batched_inv_transform(coeffs, bit_depth: int, use_dst: bool):
 # ---------------------------------------------------------------------------
 
 BITS_SCALE = 1.0          # residual-bits model scale (calibrated)
-NXN_OVERHEAD_BITS = 18.0  # 3 extra modes + extra cbf/TU flags vs 2Nx2N
+NXN_OVERHEAD_BITS = 4.0   # part_size flag + extra cbf/TU flags vs 2Nx2N
+                          # (per-PU mode bits are counted per 4x4 candidate)
 SPLIT_OVERHEAD_BITS = 3.0  # split flag + per-child mode overhead delta
 TUSPLIT_SIZES = (8, 16, 32)
+# HM's fast-mode-decision candidate counts per TU size (numModesForFullRD,
+# TEncSearch.cpp:2306 / g_aucIntraModeNumFast)
+NUM_RD_CANDS = {4: 8, 8: 8, 16: 3, 32: 3}
 
 
 def _bits_estimate(lvl):
@@ -140,18 +144,28 @@ def _bits_estimate(lvl):
 # per-size candidate evaluation
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("s", "bd", "k", "qp", "is_luma",
-                                   "use_dst"))
-def _size_rd(bufs, blocks, lam, s: int, bd: int, k: int, qp: int,
-             is_luma: bool = True, use_dst: bool = False):
-    """Best mode + RD cost for N blocks of one size.
-
-    bufs: (N, 2, 4s+1) refs; blocks: (N, s, s) originals.
-    Returns (best_mode (N,), cost (N,), dist (N,), bits (N,))."""
+@partial(jax.jit, static_argnames=("s", "bd", "is_luma"))
+def _size_satd(bufs, blocks, s: int, bd: int, is_luma: bool = True):
+    """All-35-mode SATD for N blocks of one size -> (N, 35)."""
     preds = analysis.predict_all_modes(bufs, s, is_luma, bd)
     diffs = preds.astype(jnp.int32) - blocks[:, None].astype(jnp.int32)
-    satd = analysis.batched_satd(diffs)
-    order = jnp.argsort(satd, axis=1)
+    return analysis.batched_satd(diffs)
+
+
+@partial(jax.jit, static_argnames=("s", "bd", "k", "qp", "is_luma",
+                                   "use_dst"))
+def _size_rd(bufs, blocks, satd, mode_bits, lam, s: int, bd: int, k: int,
+             qp: int, is_luma: bool = True, use_dst: bool = False):
+    """Best mode + RD cost for N blocks of one size.
+
+    bufs: (N, 2, 4s+1) refs; blocks: (N, s, s) originals; satd: (N, 35)
+    from _size_satd; mode_bits: (N, 35) signalling-bit estimates (MPM
+    aware).  Candidate preselection by SATD + sqrt(lam)*mode_bits (HM's
+    Hadamard cost), final choice by true RD with the planned mode bits.
+    Returns (best_mode (N,), cost (N,), dist (N,), bits (N,))."""
+    preds = analysis.predict_all_modes(bufs, s, is_luma, bd)
+    pre_cost = satd + jnp.sqrt(lam) * mode_bits
+    order = jnp.argsort(pre_cost, axis=1)
     topk = order[:, :k]                                     # (N, k)
     cand = jnp.take_along_axis(preds, topk[:, :, None, None], axis=1)
     resi = blocks[:, None].astype(jnp.int32) - cand
@@ -163,12 +177,45 @@ def _size_rd(bufs, blocks, lam, s: int, bd: int, k: int, qp: int,
     rec = jnp.clip(cand + rres, 0, (1 << bd) - 1)
     d = (blocks[:, None] - rec).astype(jnp.float32)
     dist = (d * d).sum(axis=(-1, -2))
-    bits = BITS_SCALE * _bits_estimate(lvl) + 6.0           # + mode signalling
+    cand_mbits = jnp.take_along_axis(mode_bits, topk, axis=1)
+    bits = BITS_SCALE * _bits_estimate(lvl) + cand_mbits
     cost = dist + lam * bits
-    kb = jnp.argmin(cost, axis=1)
-    take = lambda arr: jnp.take_along_axis(arr, kb[:, None], axis=1)[:, 0]
-    return (jnp.take_along_axis(topk, kb[:, None], axis=1)[:, 0],
-            take(cost), take(dist), take(bits), satd)
+    rd_order = jnp.argsort(cost, axis=1)
+    top3 = jnp.take_along_axis(topk, rd_order[:, :3], axis=1)  # RD-ranked
+    kb = rd_order[:, :1]
+    take = lambda arr: jnp.take_along_axis(arr, kb, axis=1)[:, 0]
+    return (top3[:, 0], take(cost), take(dist), take(bits), top3)
+
+
+def _mpm_mode_bits(best_grid):
+    """(nby, nbx, 35) estimated intra-mode signalling bits from HEVC's
+    most-probable-mode derivation, using each block's grid neighbors'
+    best-SATD modes as the MPM sources (the commit pass signals with the
+    true neighbors; this steers the plan toward codable modes).
+    MPM candidates cost {2, 3, 3} bins, others 6 (flag + 5 fixed bits)."""
+    nby, nbx = best_grid.shape
+    left = np.empty_like(best_grid)
+    left[:, 1:] = best_grid[:, :-1]
+    left[:, 0] = 1                       # DC when unavailable
+    above = np.empty_like(best_grid)
+    above[1:, :] = best_grid[:-1, :]
+    above[0, :] = 1
+    eq = left == above
+    # equal & angular: {m, 2+((m+29)%32), 2+((m-1)%32)}
+    m = left
+    mpm0 = np.where(eq & (m < 2), 0, m)
+    mpm1 = np.where(eq, np.where(m < 2, 1, 2 + ((m + 29) % 32)), above)
+    mpm2_eq = np.where(m < 2, 26, 2 + ((m - 1) % 32))
+    # unequal: third is planar / dc / ver-26, first not among {left, above}
+    neither = lambda v: (left != v) & (above != v)
+    mpm2_ne = np.where(neither(0), 0, np.where(neither(1), 1, 26))
+    mpm2 = np.where(eq, mpm2_eq, mpm2_ne)
+    bits = np.full((nby, nbx, 35), 6.0, dtype=np.float32)
+    idx_y, idx_x = np.mgrid[0:nby, 0:nbx]
+    bits[idx_y, idx_x, mpm2] = 3.0
+    bits[idx_y, idx_x, mpm1] = 3.0
+    bits[idx_y, idx_x, mpm0] = 2.0
+    return bits
 
 
 @partial(jax.jit, static_argnames=("s", "bd", "qp"))
@@ -261,7 +308,8 @@ def _ref_buffers(plane, s, bd, strong, h, w):
 class IntraPlan:
     """Dense frame plan: per-4x4-part depth / NxN flag / luma mode."""
 
-    __slots__ = ("depth", "nxn", "mode", "h4", "w4", "cov", "tusplit", "cmode")
+    __slots__ = ("depth", "nxn", "mode", "h4", "w4", "cov", "tusplit",
+                 "cmode", "cands")
 
     def __init__(self, h4, w4):
         self.h4, self.w4 = h4, w4
@@ -271,6 +319,9 @@ class IntraPlan:
         self.cov = np.zeros((h4, w4), dtype=bool)      # plan covers part
         self.tusplit = np.zeros((h4, w4), dtype=bool)  # at CU origins
         self.cmode = np.full((h4, w4), 4, dtype=np.int8)  # chroma cand idx
+        # RD-ranked top-3 luma mode candidates at CU/PU origins, for the
+        # commit pass's true-reference re-ranking
+        self.cands = np.full((h4, w4, 3), -1, dtype=np.int8)
 
 
 def plan_frame(orig, sps, qp, lam, chroma_weight, chroma_qps, device=None):
@@ -288,7 +339,7 @@ def plan_frame(orig, sps, qp, lam, chroma_weight, chroma_qps, device=None):
     lamf = float(lam)
 
     sizes = (4, 8, 16, 32)
-    mode_s, cost_s, shape_s = {}, {}, {}
+    mode_s, cost_s, shape_s, mbits_s, cand_s = {}, {}, {}, {}, {}
     chroma_add = {}
     sub_bufs, sub_blocks = {}, {}
     with jax.default_device(device):
@@ -300,12 +351,16 @@ def plan_frame(orig, sps, qp, lam, chroma_weight, chroma_qps, device=None):
                 shape_s[s] = (0, 0)
                 continue
             sub_bufs[s], sub_blocks[s] = bufs, blocks
-            k = 3 if s <= 16 else 2
-            m, c, d, b, satd = _size_rd(jnp.asarray(bufs),
-                                        jnp.asarray(blocks),
-                                        lamf, s, bd, k, int(qp), True, s == 4)
+            jb, jblk = jnp.asarray(bufs), jnp.asarray(blocks)
+            satd = _size_satd(jb, jblk, s, bd, True)
+            mbits = jnp.full((len(bufs), 35), 6.0, jnp.float32)
+            k = NUM_RD_CANDS[s]
+            m, c, d, b, c3 = _size_rd(jb, jblk, satd, mbits,
+                                      lamf, s, bd, k, int(qp), True, s == 4)
             mode_s[s] = np.asarray(m).reshape(nby, nbx)
             cost_s[s] = np.asarray(c, dtype=np.float64).reshape(nby, nbx)
+            mbits_s[s] = 6.0
+            cand_s[s] = np.asarray(c3, dtype=np.int8).reshape(nby, nbx, 3)
             shape_s[s] = (nby, nbx)
             if s == 32:
                 satd32 = np.asarray(satd).reshape(nby, nbx, 35)
@@ -336,7 +391,7 @@ def plan_frame(orig, sps, qp, lam, chroma_weight, chroma_qps, device=None):
                   ).reshape(2 * nby, 2 * nbx)
             q = cc
             tusplit_s[s] = (q[0::2, 0::2] + q[0::2, 1::2] + q[1::2, 0::2]
-                            + q[1::2, 1::2]) + lamf * (1.0 + 6.0)
+                            + q[1::2, 1::2]) + lamf * (1.0 + mbits_s[s])
             # (tu-split flag + the CU's mode bits once)
 
         # chroma mode RD folded into each luma CU size: evaluate the five
@@ -468,6 +523,8 @@ def plan_frame(orig, sps, qp, lam, chroma_weight, chroma_qps, device=None):
             plan.nxn[py, px] = True
             plan.mode[py:py + 2, px:px + 2] = \
                 mode_s[4][py:py + 2, px:px + 2]
+            plan.cands[py:py + 2, px:px + 2] = \
+                cand_s[4][py:py + 2, px:px + 2]
             plan.cov[py:py + 2, px:px + 2] = True
             return
         if s == 16 and split16[by, bx]:
@@ -482,6 +539,7 @@ def plan_frame(orig, sps, qp, lam, chroma_weight, chroma_qps, device=None):
         py, px = by * n, bx * n
         plan.depth[py:py + n, px:px + n] = 6 - s.bit_length() + 1
         plan.mode[py:py + n, px:px + n] = mode_s[s][by, bx]
+        plan.cands[py, px] = cand_s[s][by, bx]
         plan.cov[py:py + n, px:px + n] = True
         if tuflag[s][by, bx]:
             plan.tusplit[py, px] = True

@@ -38,7 +38,7 @@ from hm16_2_tpu.ops.satd import satd_block
 class EncoderConfig:
     def __init__(self, width, height, qp=32, bit_depth=8, chroma_format=1,
                  intra_period=1, deblock=True, sao=True, rdo=True,
-                 gop="ld", sbd=True, rrsp=False,
+                 rdoq=True, gop="ld", sbd=True, rrsp=False,
                  target_bps=None, frame_rate=30, total_frames=0,
                  wpp=False, tile_cols=1, tile_rows=1, der=16, hash_type=0,
                  gop_table=None):
@@ -50,6 +50,7 @@ class EncoderConfig:
         self.deblock = deblock
         self.sao = sao
         self.rdo = rdo
+        self.rdoq = rdoq             # rate-distortion optimized quant
         self.gop = gop               # "ld" (IPPP) or "ra8" (hierarchical B)
         self.sbd = sbd               # fork's similarity-based fast CU depths
         self.rrsp = rrsp             # fork's reduced-region partitioning
@@ -290,7 +291,7 @@ class Encoder:
         self.last_qp = sh.qp
         search = CtuSearch(pic, sh, planes, rdo=cfg.rdo, qp_factor=qp_factor,
                            sbd=cfg.sbd, rrsp=cfg.rrsp, lam_override=rc_lam,
-                           der=cfg.der)
+                           der=cfg.der, rdoq=cfg.rdoq)
         # frame-level batched intra decision (stage 1+2 of the TPU
         # pipeline); HM16_EXACT_RD=1 falls back to the sequential
         # context-exact trial-encode search
@@ -449,7 +450,10 @@ class CtuSearch:
     def __init__(self, pic: PictureState, sh: SliceHeader, orig_planes,
                  rdo: bool = True, qp_factor: float | None = None,
                  sbd: bool = False, rrsp: bool = False,
-                 lam_override: float | None = None, der: int = 16):
+                 lam_override: float | None = None, der: int = 16,
+                 rdoq: bool = True):
+        import os
+        self.rdoq = rdoq and rdo and not os.environ.get("HM16_NO_RDOQ")
         self.pic = pic
         self.sh = sh
         self.sps, self.pps = sh.sps, sh.pps
@@ -822,17 +826,24 @@ class CtuSearch:
         n = (1 << log2) // 4
         self._mark_cu_fields(px, py, log2, SIZE_2Nx2N)
         sl = np.s_[py:py + n, px:px + n]
-        pic.intra_luma[sl] = mode
-        cstored, cmode = self._plan_chroma(px, py, mode)
-        pic.intra_chroma[sl] = cstored
         if not tusplit:
+            r = self._refine_mode(px, py, log2, mode)
+            if r is not None:
+                mode, cbf_y = r
+            pic.intra_luma[sl] = mode
+            cstored, cmode = self._plan_chroma(px, py, mode)
+            pic.intra_chroma[sl] = cstored
             pic.coded[sl] = True
-            cbf_y = self._code_tu(px, py, log2, 0, mode)
+            if r is None:
+                cbf_y = self._code_tu(px, py, log2, 0, mode)
             pic.cbf[0][sl] = cbf_y
             if pic.num_comps > 1:
                 pic.cbf[1][sl] = self._code_tu(px, py, log2, 1, cmode)
                 pic.cbf[2][sl] = self._code_tu(px, py, log2, 2, cmode)
             return
+        pic.intra_luma[sl] = mode
+        cstored, cmode = self._plan_chroma(px, py, mode)
+        pic.intra_chroma[sl] = cstored
         pic.tr_idx[sl] = 1
         pic.coded[sl] = False
         half = max(n // 2, 1)
@@ -868,21 +879,108 @@ class CtuSearch:
         self._mark_cu_fields(px, py, 3, SIZE_NxN)
         sl = np.s_[py:py + 2, px:px + 2]
         pic.tr_idx[sl] = 1
-        cstored, cmode = self._plan_chroma(px, py, int(plan.mode[py, px]))
-        pic.intra_chroma[sl] = cstored
         pic.coded[sl] = False
         for oy in range(2):
             for ox in range(2):
                 mode = int(plan.mode[py + oy, px + ox])
-                pic.intra_luma[py + oy, px + ox] = mode
-                cbf = self._code_tu(px + ox, py + oy, 2, 0, mode)
+                r = self._refine_mode(px + ox, py + oy, 2, mode)
+                if r is not None:
+                    mode, cbf = r
+                    pic.intra_luma[py + oy, px + ox] = mode
+                else:
+                    pic.intra_luma[py + oy, px + ox] = mode
+                    cbf = self._code_tu(px + ox, py + oy, 2, 0, mode)
                 pic.cbf[0][py + oy, px + ox] = cbf << 1
                 pic.coded[py + oy, px + ox] = True
+        cstored, cmode = self._plan_chroma(px, py,
+                                           int(pic.intra_luma[py, px]))
+        pic.intra_chroma[sl] = cstored
         if pic.num_comps > 1:
             pic.cbf[1][sl] = self._code_tu(px, py, 3, 1, cmode)
             pic.cbf[2][sl] = self._code_tu(px, py, 3, 2, cmode)
 
     # ------------------------------------------------------------------
+    # commit-time candidate refinement: the batched plan ranks modes on
+    # original-pixel references with estimated bits; here the top-3 RD
+    # candidates are re-ranked against the true reconstructed references
+    # and the true MPM signalling cost before the winner is committed
+    # (the estIntraPredQT full-RD stage of HM, TEncSearch.cpp:2289, with
+    # the candidate list supplied by the TPU plan)
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _res_bits_est(lvl) -> float:
+        """Numpy twin of intra_rd._bits_estimate for one level block."""
+        a = np.abs(lvl)
+        nnz = int((a > 0).sum())
+        if nnz == 0:
+            return 0.8
+        ys = np.nonzero(a.any(axis=1))[0]
+        xs = np.nonzero(a.any(axis=0))[0]
+        ly, lx = int(ys[-1]), int(xs[-1])
+        nzc = max((lx + 1) * (ly + 1) - nnz, 0)
+        esc = a[a > 1] - 1
+        esc_bits = float((2.0 * np.ceil(np.log2(esc + 1.0)) + 1.0).sum()) \
+            if esc.size else 0.0
+        gt1 = int((a > 1).sum())
+        lastpos = 2.0 * (np.log2(lx + 1.5) + np.log2(ly + 1.5)) + 2.0
+        ncg = (lx // 4 + 1) * (ly // 4 + 1) - 1
+        bits = (-0.089 * nzc + 3.798 * nnz - 0.648 * gt1 + 0.616 * esc_bits
+                + 2.275 * lastpos + 1.173 * ncg - 12.817 + 1.0)
+        return max(bits, 2.0)
+
+    def _refine_mode(self, px, py, log2, planned_mode):
+        """Re-rank this CU/PU's planned candidates on true references;
+        commits the winner's luma TU and returns (mode, cbf), or None to
+        fall back to the plain planned-mode commit."""
+        plan = self.plan
+        if plan is None:
+            return None
+        cands = plan.cands[py, px]
+        uniq = []
+        for m in cands:
+            m = int(m)
+            if m >= 0 and m not in uniq:
+                uniq.append(m)
+        if planned_mode not in uniq:
+            uniq.insert(0, planned_mode)
+        mpm = self.cenc._intra_mpm(px, py)
+        # MPMs are nearly free to signal: always worth evaluating
+        for m in mpm:
+            if m not in uniq and len(uniq) < 5:
+                uniq.append(m)
+        if len(uniq) <= 1:
+            return None
+        size = 1 << log2
+        scr = getattr(self, "_refine_scr", None)
+        if scr is None:
+            scr = self._refine_scr = {}
+        bufs = scr.get(size)
+        if bufs is None:
+            bufs = scr[size] = (np.zeros((size, size), np.int32),
+                                np.zeros((size, size), np.int32))
+        rec_s, lvl_s = bufs
+        x0, y0 = px * 4, py * 4
+        orig = self.orig[0][y0:y0 + size, x0:x0 + size]
+        best = None
+        for mode in uniq:
+            cbf = self._native_intra_code_tu(
+                px, py, log2, 0, mode,
+                out=(lvl_s.ctypes.data, size, rec_s.ctypes.data, size))
+            if cbf < 0:
+                return None          # native path unavailable
+            d = (orig - rec_s).astype(np.float64).ravel()
+            dist = float(np.dot(d, d))
+            mb = (2.0, 3.0, 3.0)[mpm.index(mode)] if mode in mpm else 6.0
+            bits = (self._res_bits_est(lvl_s) if cbf else 0.8) + mb
+            cost = dist + self.lam * bits
+            if best is None or cost < best[0]:
+                best = (cost, mode)
+        mode = best[1]
+        cbf = self._native_intra_code_tu(px, py, log2, 0, mode)
+        if cbf < 0:
+            return None
+        return mode, cbf
 
     def _encode_cu(self, px, py, log2):
         pic, sps = self.pic, self.sps
@@ -1366,10 +1464,13 @@ class CtuSearch:
             pred + rec_resi, 0, (1 << bd) - 1)
         return cbf
 
-    def _native_intra_code_tu(self, px, py, log2, comp, mode) -> int:
+    def _native_intra_code_tu(self, px, py, log2, comp, mode,
+                              out=None) -> int:
         """Fused C++ intra TU: reference assembly + smoothing + prediction
         + transform/quant/recon in one call (the AI hot loop); returns cbf
-        or -1 when unavailable / outside the fast-availability path."""
+        or -1 when unavailable / outside the fast-availability path.
+        out=(lvl_ptr, lvl_stride, rec_ptr, rec_stride) redirects the
+        outputs to scratch buffers (trial coding without commitment)."""
         from hm16_2_tpu import native
         lib = native.get_dsp()
         pic = self.pic
@@ -1412,6 +1513,12 @@ class CtuSearch:
         scan = self._sbh_scan(size, comp, int(mode))
         scan_p = scan.ctypes.data_as(ctypes.c_void_p) if scan is not None \
             else None
+        blob = self._rdoq_blob(comp, size,
+                               self._mdcs_scan_type(size, comp, int(mode)),
+                               qp)
+        if out is None:
+            out = (cptr0 + 4 * (y0 * cstride + x0), cstride,
+                   rptr0 + 4 * (y0 * rstride + x0), rstride)
         return lib.intra_code_tu(
             rptr0, rstride, rstride, rh, kptr, kstride, pic.w, pic.h,
             sx if comp else 0, sy if comp else 0,
@@ -1419,8 +1526,7 @@ class CtuSearch:
             strong, smooth_dis, cfmt,
             optr0 + 4 * (y0 * ostride + x0), ostride, qp,
             1 if use_dst else 0, 1,
-            cptr0 + 4 * (y0 * cstride + x0), cstride,
-            rptr0 + 4 * (y0 * rstride + x0), rstride, scan_p)
+            out[0], out[1], out[2], out[3], scan_p, blob)
 
     def _native_code_tu(self, comp, x0, y0, size, log2_tr, bd, qp, use_dst,
                         is_intra, pred, mode_for_scan=-1) -> int:
@@ -1449,15 +1555,138 @@ class CtuSearch:
         scan = self._sbh_scan(size, comp, mode_for_scan)
         scan_p = scan.ctypes.data_as(ctypes.c_void_p) if scan is not None \
             else None
+        blob = self._rdoq_blob(comp, size,
+                               self._mdcs_scan_type(size, comp,
+                                                    mode_for_scan), qp)
         return lib.code_tu(
             ctypes.c_void_p(optr), orig.shape[1],
             pred32.ctypes.data_as(ctypes.c_void_p), size,
             size, log2_tr, bd, qp, 1 if use_dst else 0,
             1 if is_intra else 0,
             ctypes.c_void_p(cptr), coeff.shape[1],
-            ctypes.c_void_p(rptr), rec.shape[1], scan_p)
+            ctypes.c_void_p(rptr), rec.shape[1], scan_p, blob)
+
+    # ------------------------------------------------------------------
+    # RDOQ support: per-slice context bit-cost tables + per-(component,
+    # size, scan, qp) parameter blobs for the native rate-distortion
+    # optimized quantizer (dsp_core rdoq_quant; HM xRateDistOptQuant,
+    # TComTrQuant.cpp:1974-2547)
+    # ------------------------------------------------------------------
+
+    def _rdoq_tables(self):
+        tabs = getattr(self, "_rdoq_tab", None)
+        if tabs is not None:
+            return tabs
+        from hm16_2_tpu.common.cabac_data import ENTROPY_BITS
+        from hm16_2_tpu.decode.ctu_dec import (
+            CBF_CTX_START, CTX_SET_START, SIG_CTX_CHANNEL_OFFSET)
+        ctx = ContextSet()
+        ctx.reset(self.sh.slice_type, min(max(self.sh.qp, 0), 51))
+
+        def pair(name, i):
+            st = int(ctx.state[ctx.idx(name, i)])
+            return (float(ENTROPY_BITS[st ^ 0]) / 32768.0,
+                    float(ENTROPY_BITS[st ^ 1]) / 32768.0)
+
+        def arr(name, base, cnt):
+            out = np.empty((cnt, 2), np.float64)
+            for k in range(cnt):
+                out[k] = pair(name, base + k)
+            return out
+
+        tabs = {}
+        for chan in (0, 1):
+            tabs[chan] = dict(
+                sig=arr("sig", SIG_CTX_CHANNEL_OFFSET[chan],
+                        28 if chan == 0 else 16),
+                one=arr("one", 4 * CTX_SET_START[chan],
+                        16 if chan == 0 else 8),
+                abs=arr("abs", CTX_SET_START[chan], 4 if chan == 0 else 2),
+                cg=arr("sig_cg", 2 * chan, 2),
+                lastx=arr("last", 15 * chan, 15),
+                lasty=arr("last_y", 15 * chan, 15),
+                cbf=pair("qt_cbf", CBF_CTX_START[chan] + (1 - chan)))
+        self._rdoq_tab = tabs
+        return tabs
+
+    def _rdoq_blob(self, comp, size, scan_type, qp):
+        """ctypes RdoqBlob pointer for this TU class, or None (disabled)."""
+        if not getattr(self, "rdoq", False) or not self.rdo:
+            return None
+        cache = getattr(self, "_rdoq_blobs", None)
+        if cache is None:
+            cache = self._rdoq_blobs = {}
+        chan = 0 if comp == 0 else 1
+        key = (chan, size, scan_type, qp)
+        ent = cache.get(key)
+        if ent is not None:
+            return ent[0]
+        import ctypes
+
+        from hm16_2_tpu import native
+        from hm16_2_tpu.common.tables import QUANT_SCALES, get_scan
+        from hm16_2_tpu.decode.ctu_dec import (
+            NON_DIAG_8x8_CTX_OFFSET, SIG_CTX_SET_START)
+        t = self._rdoq_tables()[chan]
+        log2n = size.bit_length() - 1
+        bd = self.bit_depth[comp]
+        tshift = 15 - bd - log2n
+        qscale = float(QUANT_SCALES[qp % 6])
+        blob = native.RdoqBlob()
+        blob.lambda_ = self.lam if comp == 0 else self.lam / self.chroma_weight
+        blob.err_scale = (2.0 ** (-2.0 * tshift)) / (qscale * qscale)
+        blob.cbf_bits0, blob.cbf_bits1 = t["cbf"]
+        blob.chan = chan
+        blob.scan_type = scan_type
+        if size == 4:
+            blob.first_sig_ctx = SIG_CTX_SET_START[chan][0]
+        elif size == 8:
+            blob.first_sig_ctx = SIG_CTX_SET_START[chan][1] + \
+                (NON_DIAG_8x8_CTX_OFFSET[chan] if scan_type else 0)
+        else:
+            blob.first_sig_ctx = SIG_CTX_SET_START[chan][2]
+        blob.single_ctx = 0
+        blob.sbh = int(self.pps.sign_data_hiding)
+        cw = log2n - 2
+        if chan == 0:
+            blob.off_x = blob.off_y = cw * 3 + ((cw + 1) >> 2)
+            blob.shift_x = blob.shift_y = (cw + 3) >> 2
+        else:
+            blob.off_x = blob.off_y = 0
+            blob.shift_x = blob.shift_y = cw
+        blob.has_cbf = 1
+        scan = np.ascontiguousarray(
+            get_scan(size, size, scan_type, grouped=True), dtype=np.int32)
+        cg = max(size // 4, 1)
+        scan_cg = np.ascontiguousarray(
+            get_scan(cg, cg, scan_type, grouped=False), dtype=np.int32)
+        keep = (t["sig"], t["one"], t["abs"], t["cg"], t["lastx"], t["lasty"],
+                scan, scan_cg)
+        blob.sig_bits = t["sig"].ctypes.data
+        blob.one_bits = t["one"].ctypes.data
+        blob.abs_bits = t["abs"].ctypes.data
+        blob.cg_bits = t["cg"].ctypes.data
+        blob.lastx_bits = t["lastx"].ctypes.data
+        blob.lasty_bits = t["lasty"].ctypes.data
+        blob.scan = scan.ctypes.data
+        blob.scan_cg = scan_cg.ctypes.data
+        ptr = ctypes.byref(blob)
+        cache[key] = (ptr, blob, keep)
+        return ptr
 
     _sbh_scan_cache: dict = {}
+
+    @staticmethod
+    def _mdcs_scan_type(size, comp, mode):
+        """Mode-dependent coefficient scan (the entropy coder's MDCS rule)."""
+        from hm16_2_tpu.ops.intra_ref import HOR_IDX, VER_IDX
+        max_mdcs = 8 if comp == 0 else 4
+        if mode >= 0 and size <= max_mdcs:
+            if abs(mode - VER_IDX) <= 4:
+                return 1
+            if abs(mode - HOR_IDX) <= 4:
+                return 2
+        return 0
 
     def _sbh_scan(self, size, comp, mode):
         """Coding-scan raster positions for sign-bit hiding, or None when
@@ -1465,14 +1694,7 @@ class CtuSearch:
         if not self.pps.sign_data_hiding:
             return None
         from hm16_2_tpu.common.tables import get_scan
-        from hm16_2_tpu.ops.intra_ref import HOR_IDX, VER_IDX
-        scan_type = 0
-        max_mdcs = 8 if comp == 0 else 4
-        if mode >= 0 and size <= max_mdcs:
-            if abs(mode - VER_IDX) <= 4:
-                scan_type = 1
-            elif abs(mode - HOR_IDX) <= 4:
-                scan_type = 2
+        scan_type = self._mdcs_scan_type(size, comp, mode)
         key = (size, scan_type)
         arr = self._sbh_scan_cache.get(key)
         if arr is None:

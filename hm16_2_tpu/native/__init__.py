@@ -43,6 +43,34 @@ class EncState(ctypes.Structure):
                 ("frac_bits", ctypes.c_int64)]
 
 
+class RdoqBlob(ctypes.Structure):
+    """Per-(component, TU size, scan) RDOQ parameters (dsp_core RdoqBlob)."""
+    _fields_ = [("lambda_", ctypes.c_double),
+                ("err_scale", ctypes.c_double),
+                ("cbf_bits0", ctypes.c_double),
+                ("cbf_bits1", ctypes.c_double),
+                ("chan", ctypes.c_int32),
+                ("scan_type", ctypes.c_int32),
+                ("first_sig_ctx", ctypes.c_int32),
+                ("single_ctx", ctypes.c_int32),
+                ("sbh", ctypes.c_int32),
+                ("off_x", ctypes.c_int32),
+                ("off_y", ctypes.c_int32),
+                ("shift_x", ctypes.c_int32),
+                ("shift_y", ctypes.c_int32),
+                ("has_cbf", ctypes.c_int32),
+                ("pad_", ctypes.c_int32),
+                ("pad2_", ctypes.c_int32),
+                ("sig_bits", ctypes.c_void_p),
+                ("one_bits", ctypes.c_void_p),
+                ("abs_bits", ctypes.c_void_p),
+                ("cg_bits", ctypes.c_void_p),
+                ("lastx_bits", ctypes.c_void_p),
+                ("lasty_bits", ctypes.c_void_p),
+                ("scan", ctypes.c_void_p),
+                ("scan_cg", ctypes.c_void_p)]
+
+
 class ResParams(ctypes.Structure):
     _fields_ = [(n, ctypes.c_int32) for n in (
         "width", "chan", "scan_type", "first_sig_ctx", "single_ctx",
@@ -128,7 +156,7 @@ def get_dsp():
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
-        ctypes.c_int64, ctypes.c_void_p]
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
     lib.code_tu.restype = ctypes.c_int
 
     from hm16_2_tpu.common.tables import (
@@ -148,7 +176,7 @@ def get_dsp():
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_void_p, ctypes.c_int64,
-        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
     lib.intra_code_tu.restype = ctypes.c_int
     lib.set_intra_tables.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     from hm16_2_tpu.common.tables import ANG_TABLE, INV_ANG_TABLE

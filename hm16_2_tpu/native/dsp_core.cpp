@@ -161,12 +161,375 @@ static void sbh_adjust(int32_t *levels, int64_t lvl_stride,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Rate-distortion optimized quantization (HM xRateDistOptQuant,
+// TComTrQuant.cpp:1974-2547; flat scaling lists, Main/Main10 path).
+//
+// Context bit costs are supplied by the Python side as per-context
+// (bits-for-0, bits-for-1) double pairs derived from the slice-initial
+// CABAC states — the classic fixed-estimate approximation of HM's
+// estBitsSbac tables.  Scan tables, context-index geometry, and channel
+// bases come in an RdoqBlob prepared once per (component, size, scan).
+// ---------------------------------------------------------------------------
+
+struct RdoqBlob {
+  double lambda;        // SSE per bit (per-component)
+  double err_scale;     // (levelDouble err)^2 -> SSE:  2^(-2*tshift)/qscale^2
+  double cbf_bits0, cbf_bits1;   // block cbf flag cost (0 => skip decision)
+  int32_t chan;         // 0 luma / 1 chroma
+  int32_t scan_type;    // 0 diag / 1 hor / 2 ver
+  int32_t first_sig_ctx;
+  int32_t single_ctx;
+  int32_t sbh;          // sign-bit hiding enabled
+  int32_t off_x, off_y, shift_x, shift_y;   // last-position ctx geometry
+  int32_t has_cbf;      // use the block-level cbf decision
+  int32_t pad_;
+  const double *sig_bits;    // [n_sig_chan][2] channel-local sig ctx costs
+  const double *one_bits;    // [16|8][2] channel-local greater1 costs
+  const double *abs_bits;    // [4|2][2] channel-local greater2 costs
+  const double *cg_bits;     // [2][2] channel-local coded-group flag costs
+  const double *lastx_bits;  // [15][2] channel-local last-x prefix ctx costs
+  const double *lasty_bits;  // [15][2]
+  const int32_t *scan;       // CG-grouped coding scan, n*n raster positions
+  const int32_t *scan_cg;    // CG scan, (n/4)^2 raster CG positions
+};
+
+static const int RD_GROUP_IDX[32] = {0, 1, 2, 3, 4, 4, 5, 5, 6, 6, 6,
+                                     6, 7, 7, 7, 7, 8, 8, 8, 8, 8, 8,
+                                     8, 8, 9, 9, 9, 9, 9, 9, 9, 9};
+static const int RD_MIN_IN_GROUP[10] = {0, 1, 2, 3, 4, 6, 8, 12, 16, 24};
+static const int RD_CTX_IND_MAP_4x4[16] = {0, 1, 4, 5, 2, 3, 4, 5,
+                                           6, 6, 8, 8, 7, 7, 8, 8};
+static const int RD_NOT_FIRST_GROUP_OFF[2] = {3, 0};
+
+// significant_coeff_flag context (TComTrQuant::getSigCtxInc), channel-local
+static inline int rd_sig_ctx(int pattern, int raster, int log2w, int chan,
+                             int first_ctx, int single_ctx) {
+  if (single_ctx) return first_ctx;
+  int pos_y = raster >> log2w;
+  int pos_x = raster - (pos_y << log2w);
+  if (pos_x + pos_y == 0) return 0;
+  int offset;
+  if (log2w == 2) {
+    offset = RD_CTX_IND_MAP_4x4[4 * pos_y + pos_x];
+  } else {
+    int cnt;
+    switch (pattern) {
+      case 0: {
+        int t = (pos_x & 3) + (pos_y & 3);
+        cnt = (t >= 3) ? 0 : (t >= 1 ? 1 : 2);
+      } break;
+      case 1: {
+        int py = pos_y & 3;
+        cnt = (py >= 2) ? 0 : (py >= 1 ? 1 : 2);
+      } break;
+      case 2: {
+        int px = pos_x & 3;
+        cnt = (px >= 2) ? 0 : (px >= 1 ? 1 : 2);
+      } break;
+      default:
+        cnt = 2;
+        break;
+    }
+    int not_first = ((pos_x >> 2) + (pos_y >> 2)) > 0;
+    offset = (not_first ? RD_NOT_FIRST_GROUP_OFF[chan] : 0) + cnt;
+  }
+  return first_ctx + offset;
+}
+
+// escape-coded level bits (xGetICRate, golomb-rice + gt1/gt2 flags),
+// including the sign bypass bin
+static double rd_level_bits(const RdoqBlob *B, int absLevel, int goRice,
+                            int c1Idx, int c2Idx, int oneIdx, int absIdx) {
+  double rate = 1.0;  // sign (bypass)
+  int baseLevel = (c1Idx < 8) ? (2 + (c2Idx < 1 ? 1 : 0)) : 1;
+  if (absLevel >= baseLevel) {
+    int symbol = absLevel - baseLevel;
+    if (symbol < (3 << goRice)) {
+      rate += (symbol >> goRice) + 1 + goRice;
+    } else {
+      int length = goRice;
+      symbol -= (3 << goRice);
+      while (symbol >= (1 << length)) {
+        symbol -= (1 << length);
+        length++;
+      }
+      rate += 3 + length + 1 - goRice + length;
+    }
+    if (c1Idx < 8) {
+      rate += B->one_bits[2 * oneIdx + 1];
+      if (c2Idx < 1) rate += B->abs_bits[2 * absIdx + 1];
+    }
+  } else if (absLevel == 1) {
+    rate += B->one_bits[2 * oneIdx + 0];
+  } else if (absLevel == 2) {
+    rate += B->one_bits[2 * oneIdx + 1] + B->abs_bits[2 * absIdx + 0];
+  } else {
+    rate = 0.0;  // absLevel 0
+  }
+  return rate;
+}
+
+// last_sig_coeff_x/y bits for a raster position (prefix ctx bins + suffix)
+static double rd_last_bits(const RdoqBlob *B, int n, int pos_x, int pos_y) {
+  if (B->scan_type == 2) {
+    int t = pos_x;
+    pos_x = pos_y;
+    pos_y = t;
+  }
+  double bits = 0.0;
+  const int gmax = RD_GROUP_IDX[n - 1];
+  int gx = RD_GROUP_IDX[pos_x], gy = RD_GROUP_IDX[pos_y];
+  for (int i = 0; i < gx; i++)
+    bits += B->lastx_bits[2 * (B->off_x + (i >> B->shift_x)) + 1];
+  if (gx < gmax)
+    bits += B->lastx_bits[2 * (B->off_x + (gx >> B->shift_x)) + 0];
+  for (int i = 0; i < gy; i++)
+    bits += B->lasty_bits[2 * (B->off_y + (i >> B->shift_y)) + 1];
+  if (gy < gmax)
+    bits += B->lasty_bits[2 * (B->off_y + (gy >> B->shift_y)) + 0];
+  if (gx > 3) bits += (gx - 2) >> 1;
+  if (gy > 3) bits += (gy - 2) >> 1;
+  return bits;
+}
+
+// Optimal level for one position (xGetCodedLevel): zero baseline (when
+// allowed) vs {maxAbs, maxAbs-1}, each with distortion + sig + level bits.
+static inline int rd_coded_level(const RdoqBlob *B, double *costCoeff,
+                                 double *costCoeff0, double *costSig,
+                                 int64_t levelDouble, int maxAbs, int sigIdx,
+                                 int oneIdx, int absIdx, int goRice, int c1Idx,
+                                 int c2Idx, int qbits, int isLast) {
+  double lam = B->lambda;
+  int best = 0;
+  double c0 = (double)levelDouble * (double)levelDouble * B->err_scale;
+  *costCoeff0 = c0;
+  double currCostSig = 0.0;
+  if (!isLast && maxAbs < 3) {
+    *costSig = lam * B->sig_bits[2 * sigIdx + 0];
+    *costCoeff = c0 + *costSig;
+    if (maxAbs == 0) return 0;
+  } else {
+    *costCoeff = 1e300;
+  }
+  if (!isLast) currCostSig = lam * B->sig_bits[2 * sigIdx + 1];
+  int minAbs = maxAbs > 1 ? maxAbs - 1 : 1;
+  for (int lvl = maxAbs; lvl >= minAbs; lvl--) {
+    double dErr = (double)(levelDouble - ((int64_t)lvl << qbits));
+    double cost = dErr * dErr * B->err_scale +
+                  lam * rd_level_bits(B, lvl, goRice, c1Idx, c2Idx, oneIdx,
+                                      absIdx) +
+                  currCostSig;
+    if (cost < *costCoeff) {
+      best = lvl;
+      *costCoeff = cost;
+      *costSig = currCostSig;
+    }
+  }
+  return best;
+}
+
+// Full-TU RDOQ: writes levels (signed) and deltaU (for the subsequent
+// sign-bit-hiding pass); returns 1 if any nonzero level survives.
+static int rdoq_quant(const RdoqBlob *B, const int64_t *coef, int n, int log2n,
+                      int qp, int bit_depth, int32_t *levels,
+                      int64_t lvl_stride, int64_t *deltaU) {
+  const int per = qp / 6, rem = qp % 6;
+  const int tshift = 15 - bit_depth - log2n;
+  const int qbits = 14 + per + tshift;
+  const int64_t qscale = g_qscale[rem];
+  const int num = n * n;
+  const int wg = n >> 2 ? n >> 2 : 1, hg = wg;
+  const int num_cg = (num + 15) >> 4;
+
+  double costCoeff[1024], costSig[1024], costCoeff0[1024];
+  double costCG[64];
+  int32_t absOut[1024];
+  int64_t levelDbl[1024];
+  uint8_t sigCG[64];
+  for (int i = 0; i < num_cg; i++) sigCG[i] = 0;
+  for (int i = 0; i < num; i++) absOut[i] = 0;
+  for (int i = 0; i < num_cg; i++) costCG[i] = 0.0;
+
+  // pass 1: level-double magnitudes + last candidate position
+  int lastScanPos = -1;
+  for (int sp = num - 1; sp >= 0; sp--) {
+    int bp = B->scan[sp];
+    int64_t c = coef[bp];
+    int64_t ld = (c < 0 ? -c : c) * qscale;
+    levelDbl[sp] = ld;
+    if (lastScanPos < 0 && ((ld + ((int64_t)1 << (qbits - 1))) >> qbits) > 0)
+      lastScanPos = sp;
+  }
+  if (lastScanPos < 0) {
+    for (int i = 0; i < n; i++)
+      for (int j = 0; j < n; j++) levels[i * lvl_stride + j] = 0;
+    return 0;
+  }
+
+  double baseCost = 0.0, blockUncoded = 0.0;
+  // positions above the last candidate: uncoded distortion on both sides
+  for (int sp = num - 1; sp > lastScanPos; sp--) {
+    double d = (double)levelDbl[sp];
+    double c0 = d * d * B->err_scale;
+    costCoeff[sp] = costCoeff0[sp] = c0;
+    costSig[sp] = 0.0;
+    baseCost += c0;
+    blockUncoded += c0;
+    deltaU[B->scan[sp]] = 0;
+  }
+
+  const int lastCG = lastScanPos >> 4;
+  int c1 = 1, prev_c1 = 1;
+  for (int cg = lastCG; cg >= 0; cg--) {
+    const int cg_blk = B->scan_cg[cg];
+    const int cg_y = cg_blk / wg, cg_x = cg_blk % wg;
+    // neighbor-CG significance pattern (calcPatternSigCtx)
+    int right = (cg_x < wg - 1) ? (sigCG[cg_y * wg + cg_x + 1] != 0) : 0;
+    int lower = (cg_y < hg - 1) ? (sigCG[(cg_y + 1) * wg + cg_x] != 0) : 0;
+    const int pattern = right + 2 * lower;
+    const int cg_ctx = (right || lower) ? 1 : 0;
+
+    // one/abs context set for this CG (getContextSetIndex)
+    const int ctxSet =
+        ((B->chan == 0 && cg > 0) ? 2 : 0) + (prev_c1 == 0 ? 1 : 0);
+    c1 = 1;
+    int c1Idx = 0, c2Idx = 0, goRice = 0;
+    double cgSigCost = 0.0, cgSigCost0 = 0.0, cgCodedDist = 0.0,
+           cgUncodedDist = 0.0;
+    int nnzBeforePos0 = 0;
+
+    const int top = (cg == lastCG) ? (lastScanPos & 15) : 15;
+    for (int k = top; k >= 0; k--) {
+      const int sp = (cg << 4) + k;
+      const int bp = B->scan[sp];
+      const int isLast = (sp == lastScanPos);
+      const int64_t ld = levelDbl[sp];
+      int maxAbs = (int)((ld + ((int64_t)1 << (qbits - 1))) >> qbits);
+      if (maxAbs > 32767) maxAbs = 32767;
+      const int sigIdx =
+          rd_sig_ctx(pattern, bp, log2n, B->chan, B->first_sig_ctx,
+                     B->single_ctx);
+      const int oneIdx = 4 * ctxSet + c1;
+      const int lvl = rd_coded_level(B, &costCoeff[sp], &costCoeff0[sp],
+                                     &costSig[sp], ld, maxAbs, sigIdx, oneIdx,
+                                     ctxSet, goRice, c1Idx, c2Idx, qbits,
+                                     isLast);
+      absOut[sp] = lvl;
+      deltaU[bp] = (ld - ((int64_t)lvl << qbits)) >> (qbits - 8);
+      baseCost += costCoeff[sp];
+      blockUncoded += costCoeff0[sp];
+      cgSigCost += costSig[sp];
+      if (k == 0) cgSigCost0 = costSig[sp];
+      if (lvl) {
+        sigCG[cg_blk] = 1;
+        cgCodedDist += costCoeff[sp] - costSig[sp];
+        cgUncodedDist += costCoeff0[sp];
+        if (k != 0) nnzBeforePos0++;
+      }
+      // adaptive state updates (mirror the entropy coder)
+      if (lvl >= 1) c1Idx++;
+      if (lvl > 1) {
+        c1 = 0;
+        c2Idx++;
+      } else if (c1 < 3 && c1 > 0 && lvl) {
+        c1++;
+      }
+      if (lvl >= (3 << goRice)) goRice = goRice < 4 ? goRice + 1 : 4;
+    }
+    prev_c1 = c1;
+
+    // coded-group flag decision (zero the CG when cheaper)
+    if (cg > 0) {
+      if (sigCG[cg_blk] == 0) {
+        double r = B->lambda * B->cg_bits[2 * cg_ctx + 0];
+        baseCost += r - cgSigCost;
+        costCG[cg] = r;
+      } else if (cg < lastCG) {
+        if (nnzBeforePos0 == 0) {
+          baseCost -= cgSigCost0;
+          cgSigCost -= cgSigCost0;
+        }
+        double costZero = baseCost + cgUncodedDist - cgCodedDist - cgSigCost +
+                          B->lambda * B->cg_bits[2 * cg_ctx + 0];
+        baseCost += B->lambda * B->cg_bits[2 * cg_ctx + 1];
+        costCG[cg] = B->lambda * B->cg_bits[2 * cg_ctx + 1];
+        if (costZero < baseCost) {
+          sigCG[cg_blk] = 0;
+          baseCost = costZero;
+          costCG[cg] = B->lambda * B->cg_bits[2 * cg_ctx + 0];
+          for (int k = 15; k >= 0; k--) {
+            int sp = (cg << 4) + k;
+            if (absOut[sp]) {
+              absOut[sp] = 0;
+              costCoeff[sp] = costCoeff0[sp];
+              costSig[sp] = 0.0;
+            }
+          }
+        }
+      }
+    } else {
+      sigCG[cg_blk] = 1;
+    }
+  }
+
+  // last-position sweep (best place to truncate the coded region)
+  double bestCost = blockUncoded + B->lambda * B->cbf_bits0;
+  baseCost += B->lambda * B->cbf_bits1;
+  if (!B->has_cbf) bestCost = 1e300;
+  int bestLastP1 = 0;
+  bool found = false;
+  for (int cg = lastCG; cg >= 0 && !found; cg--) {
+    const int cg_blk = B->scan_cg[cg];
+    if (!sigCG[cg_blk]) {
+      baseCost -= costCG[cg];
+      continue;
+    }
+    const int top = (cg == lastCG) ? (lastScanPos & 15) : 15;
+    for (int k = top; k >= 0; k--) {
+      const int sp = (cg << 4) + k;
+      const int bp = B->scan[sp];
+      if (absOut[sp]) {
+        const int py = bp >> log2n, px = bp - (py << log2n);
+        double total =
+            baseCost + B->lambda * rd_last_bits(B, n, px, py) - costSig[sp];
+        if (total < bestCost) {
+          bestCost = total;
+          bestLastP1 = sp + 1;
+        }
+        if (absOut[sp] > 1) {
+          found = true;
+          break;
+        }
+        baseCost -= costCoeff[sp];
+        baseCost += costCoeff0[sp];
+      } else {
+        baseCost -= costSig[sp];
+      }
+    }
+  }
+
+  // emit signed levels up to the chosen last position
+  int cbf = 0;
+  for (int i = 0; i < n; i++)
+    for (int j = 0; j < n; j++) levels[i * lvl_stride + j] = 0;
+  for (int sp = 0; sp < bestLastP1; sp++) {
+    int bp = B->scan[sp];
+    int32_t lvl = absOut[sp];
+    if (!lvl) continue;
+    cbf = 1;
+    levels[(bp >> log2n) * lvl_stride + (bp & (n - 1))] =
+        coef[bp] < 0 ? -lvl : lvl;
+  }
+  return cbf;
+}
+
 extern "C" int code_tu(const int32_t *orig, int64_t orig_stride,
                        const int32_t *pred, int64_t pred_stride, int n,
                        int log2n, int bit_depth, int qp, int use_dst,
                        int is_intra, int32_t *levels, int64_t lvl_stride,
                        int32_t *rec, int64_t rec_stride,
-                       const int32_t *sbh_scan) {
+                       const int32_t *sbh_scan, const void *rdoq_blob) {
   if (log2n < 2 || log2n > 5) return -1;
   const int32_t *t = (use_dst && n == 4) ? g_dst4 : g_dct[log2n];
   if (!t) return -1;
@@ -202,24 +565,37 @@ extern "C" int code_tu(const int32_t *orig, int64_t orig_stride,
   int64_t qadd = (int64_t)(is_intra ? 171 : 85) << (q_bits - 9);
   int cbf = 0;
   int64_t deltaU[32 * 32];
-  for (int i = 0; i < n; i++)
-    for (int j = 0; j < n; j++) {
-      int64_t c = buf_2[i * n + j];
-      int64_t mag = (c < 0 ? -c : c);
-      int64_t tmp = mag * scale;
-      int64_t lvl = (tmp + qadd) >> q_bits;
-      lvl = clip64(lvl, 0, 32767);
-      deltaU[i * n + j] = (tmp - (lvl << q_bits)) >> (q_bits - 8);
-      if (c < 0) lvl = -lvl;
-      levels[i * lvl_stride + j] = (int32_t)lvl;
-      if (lvl) cbf = 1;
+  if (rdoq_blob) {
+    const RdoqBlob *B = (const RdoqBlob *)rdoq_blob;
+    cbf = rdoq_quant(B, buf_2, n, log2n, qp, bit_depth, levels, lvl_stride,
+                     deltaU);
+    if (cbf && B->sbh) {
+      sbh_adjust(levels, lvl_stride, buf_2, deltaU, n, B->scan);
+      cbf = 0;
+      for (int i = 0; i < n; i++)
+        for (int j = 0; j < n; j++)
+          if (levels[i * lvl_stride + j]) cbf = 1;
     }
-  if (cbf && sbh_scan) {
-    sbh_adjust(levels, lvl_stride, buf_2, deltaU, n, sbh_scan);
-    cbf = 0;
+  } else {
     for (int i = 0; i < n; i++)
-      for (int j = 0; j < n; j++)
-        if (levels[i * lvl_stride + j]) cbf = 1;
+      for (int j = 0; j < n; j++) {
+        int64_t c = buf_2[i * n + j];
+        int64_t mag = (c < 0 ? -c : c);
+        int64_t tmp = mag * scale;
+        int64_t lvl = (tmp + qadd) >> q_bits;
+        lvl = clip64(lvl, 0, 32767);
+        deltaU[i * n + j] = (tmp - (lvl << q_bits)) >> (q_bits - 8);
+        if (c < 0) lvl = -lvl;
+        levels[i * lvl_stride + j] = (int32_t)lvl;
+        if (lvl) cbf = 1;
+      }
+    if (cbf && sbh_scan) {
+      sbh_adjust(levels, lvl_stride, buf_2, deltaU, n, sbh_scan);
+      cbf = 0;
+      for (int i = 0; i < n; i++)
+        for (int j = 0; j < n; j++)
+          if (levels[i * lvl_stride + j]) cbf = 1;
+    }
   }
   for (int i = 0; i < n; i++)
     for (int j = 0; j < n; j++) buf_r[i * n + j] = levels[i * lvl_stride + j];
@@ -300,7 +676,8 @@ extern "C" int intra_code_tu(
     int is_luma, int strong_smoothing, int smoothing_disabled,
     int chroma_fmt, const int32_t *orig, int64_t orig_stride, int qp,
     int use_dst, int is_intra, int32_t *levels, int64_t lvl_stride,
-    int32_t *rec_out, int64_t rec_out_stride, const int32_t *sbh_scan) {
+    int32_t *rec_out, int64_t rec_out_stride, const int32_t *sbh_scan,
+    const void *rdoq_blob) {
   if (!g_ang_table || size > 32) return -1;
   const int s = size;
   const int unit_w = 4 >> sx, unit_h = 4 >> sy;
@@ -516,5 +893,5 @@ extern "C" int intra_code_tu(
   for (int t = s; t > 1; t >>= 1) log2n++;
   return code_tu(orig, orig_stride, pred, s, s, log2n, bit_depth, qp,
                  use_dst, is_intra, levels, lvl_stride, rec_out,
-                 rec_out_stride, sbh_scan);
+                 rec_out_stride, sbh_scan, rdoq_blob);
 }

@@ -90,6 +90,10 @@ NXN_OVERHEAD_BITS = 4.0   # part_size flag + extra cbf/TU flags vs 2Nx2N
                           # (per-PU mode bits are counted per 4x4 candidate)
 SPLIT_OVERHEAD_BITS = 3.0  # split flag + per-child mode overhead delta
 TUSPLIT_SIZES = (8, 16, 32)
+TUSPLIT_EXTRA_BITS = 16.0  # subdiv flag + extra per-TU cbf/last overhead;
+                           # deliberately high: the children are scored on
+                           # original-pixel references at the TU boundary,
+                           # which flatters the split (measured on-content)
 # HM's fast-mode-decision candidate counts per TU size (numModesForFullRD,
 # TEncSearch.cpp:2306 / g_aucIntraModeNumFast)
 NUM_RD_CANDS = {4: 8, 8: 8, 16: 3, 32: 3}
@@ -391,8 +395,9 @@ def plan_frame(orig, sps, qp, lam, chroma_weight, chroma_qps, device=None):
                   ).reshape(2 * nby, 2 * nbx)
             q = cc
             tusplit_s[s] = (q[0::2, 0::2] + q[0::2, 1::2] + q[1::2, 0::2]
-                            + q[1::2, 1::2]) + lamf * (1.0 + mbits_s[s])
-            # (tu-split flag + the CU's mode bits once)
+                            + q[1::2, 1::2]) \
+                + lamf * (TUSPLIT_EXTRA_BITS + mbits_s[s])
+            # (subdiv flag + 3 extra luma cbf flags + the mode bits once)
 
         # chroma mode RD folded into each luma CU size: evaluate the five
         # HEVC chroma candidates {planar, ver, hor, dc, DM} shared between

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from hm16_2_tpu.ops.sao_ref import _ctu_avail, _eo_classify
+from hm16_2_tpu.ops.sao_ref import _EO_NEIGHBORS, _ctu_avail, _eo_classify
 
 # edge_type value -> offsets4 slot (value 2 is category 0: no offset)
 _EDGE_TO_SLOT = {0: 0, 1: 1, 3: 2, 4: 3}
@@ -108,8 +108,177 @@ def _delta_for_params(stats, type_idx, offs4, band):
     return d
 
 
+def _frame_stats(pic, orig, comp):
+    """Whole-plane vectorized statistics for one component: returns
+    (S_eo (n_ctu,4,4), N_eo, S_bo (n_ctu,32), N_bo).  Valid when every
+    CTU neighbor is available (single slice+tile): the per-pixel edge
+    classification then only depends on plane boundaries, so the per-CTU
+    loop collapses to one classification + block-sum per EO class."""
+    sx, sy = pic.comp_shift[comp]
+    P = pic.rec[comp]
+    ph, pw = P.shape
+    cb_h, cb_w = pic.ctb >> sy, pic.ctb >> sx
+    w, h = pic.w >> sx, pic.h >> sy
+    n_ctu = pic.w_ctbs * pic.h_ctbs
+    Pl = P.astype(np.int64)
+    diffp = np.zeros((ph, pw), dtype=np.float64)
+    diffp[:h, :w] = orig[comp][:h, :w].astype(np.float64) - Pl[:h, :w]
+    inside = np.zeros((ph, pw), dtype=bool)
+    inside[:h, :w] = True
+
+    def block_sum(a):
+        return a.reshape(ph // cb_h, cb_h, pw // cb_w, cb_w) \
+            .sum(axis=(1, 3)).ravel()
+
+    S_eo = np.zeros((n_ctu, 4, 4))
+    N_eo = np.zeros((n_ctu, 4, 4), dtype=np.int64)
+    for t, ((d1y, d1x), (d2y, d2x)) in _EO_NEIGHBORS.items():
+        et = np.full((ph, pw), -1, dtype=np.int8)
+        y0v, y1v = max(d1y, d2y, 0), ph + min(d1y, d2y, 0)
+        x0v, x1v = max(d1x, d2x, 0), pw + min(d1x, d2x, 0)
+        c = Pl[y0v:y1v, x0v:x1v]
+        v1 = Pl[y0v + d1y:y1v + d1y, x0v + d1x:x1v + d1x]
+        v2 = Pl[y0v + d2y:y1v + d2y, x0v + d2x:x1v + d2x]
+        et[y0v:y1v, x0v:x1v] = (np.sign(c - v1) + np.sign(c - v2) + 2) \
+            .astype(np.int8)
+        et[~inside] = -1
+        for ev, slot in _EDGE_TO_SLOT.items():
+            m = et == ev
+            S_eo[:, t, slot] = block_sum(diffp * m)
+            N_eo[:, t, slot] = block_sum(m.astype(np.int64))
+
+    bd = pic.sps.bit_depth_luma if comp == 0 else pic.sps.bit_depth_chroma
+    ctu_id = (np.arange(ph)[:, None] // cb_h) * pic.w_ctbs + \
+        (np.arange(pw)[None, :] // cb_w)
+    bins = (ctu_id * 32 + (P >> (bd - 5)))[inside].ravel()
+    S_bo = np.bincount(bins, weights=diffp[inside].ravel(),
+                       minlength=n_ctu * 32).reshape(n_ctu, 32)
+    N_bo = np.bincount(bins, minlength=n_ctu * 32).reshape(n_ctu, 32)
+    return S_eo, N_eo, S_bo, N_bo
+
+
+def estimate_sao_fast(pic, orig, lam):
+    """Vectorized estimate_sao for the every-neighbor-available case."""
+    n_ctu = pic.w_ctbs * pic.h_ctbs
+    pic.sao_merge = np.zeros(n_ctu, dtype=np.int8)
+    bd_max = [(1 << (min((pic.sps.bit_depth_luma if c == 0 else
+                          pic.sps.bit_depth_chroma), 10) - 5)) - 1
+              for c in range(3)]
+    stats = [_frame_stats(pic, orig, c) for c in range(pic.num_comps)]
+
+    # per-channel NEW-mode decision across all CTUs at once
+    nc = pic.num_comps
+    chan_comps = [(0, [0])] + ([(1, [1, 2])] if nc > 1 else [])
+    best_cost = {}
+    best_type = {}
+    best_offs = {}
+    best_band = {}
+    for chan, comps in chan_comps:
+        costs = np.full((n_ctu, 5), np.inf)
+        offs = np.zeros((n_ctu, 5, len(comps), 4), dtype=np.int64)
+        bands = np.zeros((n_ctu, 5, len(comps)), dtype=np.int64)
+        for t in range(5):
+            tot = np.full(n_ctu, lam * 4.0)
+            for ci, c in enumerate(comps):
+                S_eo, N_eo, S_bo, N_bo = stats[c]
+                mx = bd_max[c]
+                if t == 4:
+                    ob, cb = _best_offsets_vec(S_bo, N_bo, -mx, mx, lam)
+                    win = cb + np.roll(cb, -1, 1) + np.roll(cb, -2, 1) \
+                        + np.roll(cb, -3, 1)
+                    bb = np.argmin(win, axis=1)
+                    tot += np.take_along_axis(win, bb[:, None], 1)[:, 0] \
+                        + lam * 5
+                    idx = (bb[:, None] + np.arange(4)[None, :]) % 32
+                    offs[:, t, ci] = np.take_along_axis(ob, idx, 1)
+                    bands[:, t, ci] = bb
+                else:
+                    o_pos, c_pos = _best_offsets_vec(
+                        S_eo[:, t, :2], N_eo[:, t, :2], 0, mx, lam)
+                    o_neg, c_neg = _best_offsets_vec(
+                        S_eo[:, t, 2:], N_eo[:, t, 2:], -mx, 0, lam)
+                    tot += c_pos.sum(1) + c_neg.sum(1)
+                    offs[:, t, ci, :2] = o_pos
+                    offs[:, t, ci, 2:] = o_neg
+            costs[:, t] = tot
+        bt = np.argmin(costs, axis=1)
+        bc = np.take_along_axis(costs, bt[:, None], 1)[:, 0]
+        off_cost = lam * 1.0
+        best_cost[chan] = np.where(bc < off_cost, bc, off_cost)
+        best_type[chan] = np.where(bc < off_cost, bt, 0)
+        best_offs[chan] = offs[np.arange(n_ctu), bt]
+        best_band[chan] = bands[np.arange(n_ctu), bt]
+        best_type[chan] = np.where(bc < off_cost, bt, -1)   # -1 = OFF
+
+    def delta_for(c, rs, type_idx, offs4, band):
+        S_eo, N_eo, S_bo, N_bo = stats[c]
+        d = 0.0
+        for i in range(4):
+            o = int(offs4[i])
+            if type_idx == 4:
+                idx = (band + i) % 32
+                d += N_bo[rs, idx] * o * o - 2.0 * o * S_bo[rs, idx]
+            else:
+                d += N_eo[rs, type_idx, i] * o * o \
+                    - 2.0 * o * S_eo[rs, type_idx, i]
+        return d
+
+    for cy in range(pic.h_ctbs):
+        for cx in range(pic.w_ctbs):
+            rs = cy * pic.w_ctbs + cx
+
+            def merge_cost(src_rs):
+                tot = 0.0
+                for c in range(nc):
+                    if pic.sao_mode[src_rs, c] == 0:
+                        continue
+                    tot += delta_for(c, rs, int(pic.sao_type[src_rs, c]),
+                                     pic.sao_offsets[src_rs, c],
+                                     int(pic.sao_band[src_rs, c]))
+                return tot + lam * 1.0
+
+            new_cost = sum(best_cost[ch][rs] for ch, _ in chan_comps)
+            best_merge, best_merge_cost = 0, None
+            if cx > 0:
+                cml = merge_cost(rs - 1)
+                if best_merge_cost is None or cml < best_merge_cost:
+                    best_merge, best_merge_cost = 1, cml
+            if cy > 0:
+                cmu = merge_cost(rs - pic.w_ctbs)
+                if best_merge_cost is None or cmu < best_merge_cost:
+                    best_merge, best_merge_cost = 2, cmu
+            if best_merge_cost is not None and best_merge_cost < new_cost:
+                src_rs = rs - 1 if best_merge == 1 else rs - pic.w_ctbs
+                pic.sao_merge[rs] = best_merge
+                pic.sao_mode[rs] = pic.sao_mode[src_rs]
+                pic.sao_type[rs] = pic.sao_type[src_rs]
+                pic.sao_offsets[rs] = pic.sao_offsets[src_rs]
+                pic.sao_band[rs] = pic.sao_band[src_rs]
+                continue
+            for chan, comps in chan_comps:
+                t = int(best_type[chan][rs])
+                for ci, c in enumerate(comps):
+                    if t < 0:
+                        pic.sao_mode[rs, c] = 0
+                        pic.sao_type[rs, c] = 0
+                    else:
+                        pic.sao_mode[rs, c] = 1
+                        pic.sao_type[rs, c] = t
+                        pic.sao_offsets[rs, c] = best_offs[chan][rs, ci]
+                        pic.sao_band[rs, c] = best_band[chan][rs, ci]
+
+
 def estimate_sao(pic, orig, lam):
     """Fill pic.sao_mode/type/offsets/band (+ pic.sao_merge) for all CTUs."""
+    # fast full-frame path: one slice, one tile, loop filter across
+    # boundaries on -> every CTU neighbor is available everywhere
+    if len(pic.slices) == 1 and \
+            pic.slices[0].loop_filter_across_slices and \
+            len(pic.tiles.col_bounds) == 2 and \
+            len(pic.tiles.row_bounds) == 2 and \
+            pic.rec[0].shape[0] % pic.ctb == 0 and \
+            pic.rec[0].shape[1] % pic.ctb == 0:
+        return estimate_sao_fast(pic, orig, lam)
     src = [p.copy() for p in pic.rec]        # deblocked, pre-SAO
     n_ctu = pic.w_ctbs * pic.h_ctbs
     pic.sao_merge = np.zeros(n_ctu, dtype=np.int8)

@@ -494,6 +494,18 @@ class CtuSearch:
         pic = self.pic
         parts = pic.ctb // 4
         if self.plan is not None:
+            # native commit engine for fully-covered interior CTUs
+            if (cx + 1) * pic.ctb <= pic.w and (cy + 1) * pic.ctb <= pic.h \
+                    and self.plan.cov[cy * parts:(cy + 1) * parts,
+                                      cx * parts:(cx + 1) * parts].all():
+                cctx = self._commit_ctx()
+                if cctx is not None:
+                    import ctypes
+
+                    from hm16_2_tpu import native
+                    if native.get_dsp().commit_plan_ctu(
+                            ctypes.byref(cctx), cx, cy) == 0:
+                        return
             self._commit_plan_tree(cx * parts, cy * parts, pic.log2_ctb)
             return
         self._allowed_depths = None
@@ -898,6 +910,113 @@ class CtuSearch:
         if pic.num_comps > 1:
             pic.cbf[1][sl] = self._code_tu(px, py, 3, 1, cmode)
             pic.cbf[2][sl] = self._code_tu(px, py, 3, 2, cmode)
+
+    def _commit_ctx(self):
+        """ctypes CommitCtx for the native plan-commit engine, or None
+        when the fast path's preconditions don't hold."""
+        cctx = getattr(self, "_cctx", None)
+        if cctx is not False and cctx is not None:
+            return cctx
+        if cctx is False:
+            return None
+        import ctypes
+        import os
+
+        from hm16_2_tpu import native
+        pic, sps, pps = self.pic, self.sps, self.pps
+        lib = native.get_dsp()
+        ok = (lib is not None and self.rdoq and self.plan is not None
+              and not pps.constrained_intra_pred
+              and sps.chroma_format_idc in (0, 1)
+              and len(pic.tiles.col_bounds) == 2
+              and len(pic.tiles.row_bounds) == 2
+              and not os.environ.get("HM16_NO_COMMIT_ENGINE"))
+        if not ok:
+            self._cctx = False
+            return None
+        from hm16_2_tpu.decode.picture import (
+            MODE_INTRA, SIZE_2Nx2N, SIZE_NxN)
+        C = native.CommitCtx()
+        C.pic_w, C.pic_h = pic.w, pic.h
+        C.parts_w = pic.pw
+        C.plan_w = self.plan.w4
+        C.ctb_log2 = pic.log2_ctb
+        C.num_comps = pic.num_comps
+        C.chroma_fmt = sps.chroma_format_idc
+        C.slice_qp = self.sh.qp
+        C.strong_smoothing = 1 if sps.strong_intra_smoothing else 0
+        C.smoothing_disabled = 1 if sps.intra_smoothing_disabled else 0
+        C.mode_intra = MODE_INTRA
+        C.size_2nx2n = SIZE_2Nx2N
+        C.size_nxn = SIZE_NxN
+        C.dm_chroma_idx = DM_CHROMA_IDX
+        C.lam = float(self.lam)
+        for c in range(pic.num_comps):
+            C.bd[c] = self.bit_depth[c]
+        # the qp part-array isn't filled yet at plan time: derive TU qps
+        # from the slice qp directly (no dQP in the planned path)
+        qpy = self.sh.qp
+        C.qp_comp[0] = qpy + 6 * (sps.bit_depth_luma - 8)
+        if pic.num_comps > 1:
+            from hm16_2_tpu.common.tables import CHROMA_QP_SCALE
+            bd_off = 6 * (sps.bit_depth_chroma - 8)
+            for comp in (1, 2):
+                off = (pps.cb_qp_offset + self.sh.cb_qp_offset) if comp == 1 \
+                    else (pps.cr_qp_offset + self.sh.cr_qp_offset)
+                base = int(np.clip(qpy + off, -bd_off, 57))
+                C.qp_comp[comp] = base + bd_off if base < 0 else \
+                    int(CHROMA_QP_SCALE[sps.chroma_format_idc][base]) + bd_off
+        keep = []
+        for c in range(pic.num_comps):
+            orig = self.orig[c]
+            if orig.dtype != np.int32 or not orig.flags.c_contiguous:
+                orig = np.ascontiguousarray(orig, dtype=np.int32)
+                self.orig[c] = orig
+            C.orig_p[c] = orig.ctypes.data
+            C.rec_p[c] = pic.rec[c].ctypes.data
+            C.coeff_p[c] = pic.coeff[c].ctypes.data
+            C.orig_stride[c] = orig.shape[1]
+            C.plane_stride[c] = pic.rec[c].shape[1]
+            C.plane_h[c] = pic.rec[c].shape[0]
+        assert pic.coded.dtype == np.bool_
+        C.coded = pic.coded.ctypes.data
+        C.depth = pic.depth.ctypes.data
+        C.part_size = pic.part_size.ctypes.data
+        C.pred_mode = pic.pred_mode.ctypes.data
+        C.intra_luma = pic.intra_luma.ctypes.data
+        C.intra_chroma = pic.intra_chroma.ctypes.data
+        C.qp_arr = pic.qp.ctypes.data
+        C.slice_id = pic.slice_id.ctypes.data
+        C.tr_idx = pic.tr_idx.ctypes.data
+        for c in range(3):
+            C.cbf[c] = pic.cbf[c].ctypes.data
+        plan = self.plan
+        cands = np.ascontiguousarray(plan.cands)
+        keep.append(cands)
+        C.plan_depth = plan.depth.ctypes.data
+        C.plan_nxn = plan.nxn.ctypes.data
+        C.plan_mode = plan.mode.ctypes.data
+        C.plan_tusplit = plan.tusplit.ctypes.data
+        C.plan_cmode = plan.cmode.ctypes.data
+        C.plan_cands = cands.ctypes.data
+        # RDOQ blobs: [chan][log2n 0..5][scan 0..2]
+        for chan, comp in ((0, 0), (1, 1)):
+            if comp >= pic.num_comps:
+                break
+            sizes = (4, 8, 16, 32) if chan == 0 else (4, 8, 16)
+            for s in sizes:
+                log2n = s.bit_length() - 1
+                scans = 3 if s <= (8 if chan == 0 else 4) else 1
+                for sc in range(scans):
+                    self._rdoq_blob(comp, s, sc, C.qp_comp[comp if chan == 0
+                                                           else 1])
+                    key = (chan, s, sc, C.qp_comp[comp if chan == 0 else 1])
+                    blob = self._rdoq_blobs[key][1]
+                    C.blobs[chan * 18 + log2n * 3 + sc] = \
+                        ctypes.addressof(blob)
+        self._cctx = C
+        self._cctx_keep = keep
+        return C
 
     # ------------------------------------------------------------------
     # commit-time candidate refinement: the batched plan ranks modes on

@@ -71,6 +71,44 @@ class RdoqBlob(ctypes.Structure):
                 ("scan_cg", ctypes.c_void_p)]
 
 
+class CommitCtx(ctypes.Structure):
+    """Mirror of dsp_core CommitCtx (native plan-commit engine)."""
+    _fields_ = [("pic_w", ctypes.c_int32), ("pic_h", ctypes.c_int32),
+                ("parts_w", ctypes.c_int32), ("plan_w", ctypes.c_int32),
+                ("ctb_log2", ctypes.c_int32),
+                ("num_comps", ctypes.c_int32), ("chroma_fmt", ctypes.c_int32),
+                ("slice_qp", ctypes.c_int32),
+                ("strong_smoothing", ctypes.c_int32),
+                ("smoothing_disabled", ctypes.c_int32),
+                ("mode_intra", ctypes.c_int32),
+                ("size_2nx2n", ctypes.c_int32), ("size_nxn", ctypes.c_int32),
+                ("dm_chroma_idx", ctypes.c_int32),
+                ("bd", ctypes.c_int32 * 3), ("qp_comp", ctypes.c_int32 * 3),
+                ("pad_", ctypes.c_int32),
+                ("lam", ctypes.c_double),
+                ("orig_p", ctypes.c_void_p * 3),
+                ("rec_p", ctypes.c_void_p * 3),
+                ("coeff_p", ctypes.c_void_p * 3),
+                ("orig_stride", ctypes.c_int64 * 3),
+                ("plane_stride", ctypes.c_int64 * 3),
+                ("plane_h", ctypes.c_int64 * 3),
+                ("coded", ctypes.c_void_p), ("depth", ctypes.c_void_p),
+                ("part_size", ctypes.c_void_p),
+                ("pred_mode", ctypes.c_void_p),
+                ("intra_luma", ctypes.c_void_p),
+                ("intra_chroma", ctypes.c_void_p),
+                ("qp_arr", ctypes.c_void_p), ("slice_id", ctypes.c_void_p),
+                ("tr_idx", ctypes.c_void_p),
+                ("cbf", ctypes.c_void_p * 3),
+                ("plan_depth", ctypes.c_void_p),
+                ("plan_nxn", ctypes.c_void_p),
+                ("plan_mode", ctypes.c_void_p),
+                ("plan_tusplit", ctypes.c_void_p),
+                ("plan_cmode", ctypes.c_void_p),
+                ("plan_cands", ctypes.c_void_p),
+                ("blobs", ctypes.c_void_p * 36)]
+
+
 class ResParams(ctypes.Structure):
     _fields_ = [(n, ctypes.c_int32) for n in (
         "width", "chan", "scan_type", "first_sig_ctx", "single_ctx",
@@ -178,6 +216,9 @@ def get_dsp():
         ctypes.c_int, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
     lib.intra_code_tu.restype = ctypes.c_int
+    lib.commit_plan_ctu.argtypes = [ctypes.POINTER(CommitCtx),
+                                    ctypes.c_int, ctypes.c_int]
+    lib.commit_plan_ctu.restype = ctypes.c_int
     lib.set_intra_tables.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     from hm16_2_tpu.common.tables import ANG_TABLE, INV_ANG_TABLE
     global _intra_tables_keepalive

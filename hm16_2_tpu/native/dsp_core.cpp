@@ -7,7 +7,10 @@
 //
 // Built with g++ -O3 -shared -fPIC by hm16_2_tpu.native.
 
+#include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 
 static const int32_t *g_dct[6] = {0, 0, 0, 0, 0, 0};  // index log2: 2..5
@@ -648,6 +651,433 @@ extern "C" int code_tu(const int32_t *orig, int64_t orig_stride,
       }
   }
   return 1;
+}
+
+// ---------------------------------------------------------------------------
+// Native plan-commit engine: walks a CTU's planned intra quadtree
+// (hm16_2_tpu/encode/intra_rd.IntraPlan) entirely in C++ — candidate
+// refinement on true reconstructed references, TU coding via
+// intra_code_tu (prediction + transform + RDOQ + SBH + reconstruction),
+// and all per-part bookkeeping.  Mirrors CtuSearch._commit_plan_tree /
+// _commit_cu / _commit_nxn / _refine_mode bit-exactly (same candidate
+// order, same cost model), eliminating the per-TU Python dispatch.
+// ---------------------------------------------------------------------------
+
+extern "C" int intra_code_tu(
+    const int32_t *rec_plane, int64_t rec_stride, int plane_w, int plane_h,
+    const uint8_t *coded, int64_t coded_stride, int pic_w, int pic_h, int sx,
+    int sy, int x0, int y0, int size, int mode, int bit_depth, int is_luma,
+    int strong_smoothing, int smoothing_disabled, int chroma_fmt,
+    const int32_t *orig, int64_t orig_stride, int qp, int use_dst,
+    int is_intra, int32_t *levels, int64_t lvl_stride, int32_t *rec_out,
+    int64_t rec_out_stride, const int32_t *sbh_scan, const void *rdoq_blob);
+
+struct CommitCtx {
+  int32_t pic_w, pic_h;       // coded luma dims
+  int32_t parts_w;            // picture part-grid row stride (elements)
+  int32_t plan_w;             // plan-array row stride (unpadded part grid)
+  int32_t ctb_log2;
+  int32_t num_comps, chroma_fmt;
+  int32_t slice_qp;
+  int32_t strong_smoothing, smoothing_disabled;
+  int32_t mode_intra, size_2nx2n, size_nxn, dm_chroma_idx;
+  int32_t bd[3], qp_comp[3];
+  int32_t pad_;
+  double lam;
+  // component planes (int32, contiguous: stride == width); the original
+  // planes are unpadded (own stride), rec/coeff are CTU-padded
+  const int32_t *orig_p[3];
+  int32_t *rec_p[3];
+  int32_t *coeff_p[3];
+  int64_t orig_stride[3];
+  int64_t plane_stride[3];
+  int64_t plane_h[3];
+  // part-grid arrays, row stride parts_w
+  uint8_t *coded;
+  int8_t *depth;
+  int8_t *part_size;
+  int8_t *pred_mode;
+  int16_t *intra_luma;
+  int16_t *intra_chroma;
+  int16_t *qp_arr;
+  int32_t *slice_id;
+  int8_t *tr_idx;
+  uint8_t *cbf[3];
+  // plan arrays, row stride parts_w (cands: parts_w*3)
+  const int8_t *plan_depth;
+  const uint8_t *plan_nxn;
+  const int8_t *plan_mode;
+  const uint8_t *plan_tusplit;
+  const int8_t *plan_cmode;
+  const int8_t *plan_cands;
+  // RDOQ blobs indexed [chan][log2n][scan_type] (log2n 2..5); null = none
+  const RdoqBlob *blobs[2][6][3];
+};
+
+static inline int cc_mdcs_scan(int size, int comp, int mode) {
+  int max_mdcs = comp == 0 ? 8 : 4;
+  if (mode >= 0 && size <= max_mdcs) {
+    int dv = mode - 26 < 0 ? 26 - mode : mode - 26;
+    if (dv <= 4) return 1;
+    int dh = mode - 10 < 0 ? 10 - mode : mode - 10;
+    if (dh <= 4) return 2;
+  }
+  return 0;
+}
+
+// numpy twin of CtuSearch._res_bits_est (levels stride == n)
+static double cc_res_bits(const int32_t *lvl, int n) {
+  int nnz = 0, gt1 = 0, lx = -1, ly = -1;
+  double esc_bits = 0.0;
+  for (int y = 0; y < n; y++)
+    for (int x = 0; x < n; x++) {
+      int a = lvl[y * n + x];
+      if (a < 0) a = -a;
+      if (a > 0) {
+        nnz++;
+        if (x > lx) lx = x;
+        if (y > ly) ly = y;
+        if (a > 1) {
+          gt1++;
+          esc_bits += 2.0 * ceil(log2((double)(a - 1) + 1.0)) + 1.0;
+        }
+      }
+    }
+  if (nnz == 0) return 0.8;
+  int nzc = (lx + 1) * (ly + 1) - nnz;
+  if (nzc < 0) nzc = 0;
+  double lastpos = 2.0 * (log2(lx + 1.5) + log2(ly + 1.5)) + 2.0;
+  int ncg = (lx / 4 + 1) * (ly / 4 + 1) - 1;
+  double bits = -0.089 * nzc + 3.798 * nnz - 0.648 * gt1 +
+                0.616 * esc_bits + 2.275 * lastpos + 1.173 * ncg - 12.817 +
+                1.0;
+  return bits > 2.0 ? bits : 2.0;
+}
+
+// getIntraDirPredictor (decode/ctu_dec._intra_mpm), single-slice fast path
+static void cc_mpm(const CommitCtx *C, int px, int py, int out[3]) {
+  const int DC = 1, PLANAR = 0, VER = 26;
+  int left = DC, above = DC;
+  if (px > 0 && (px - 1) * 4 < C->pic_w && py * 4 < C->pic_h &&
+      C->coded[py * C->parts_w + px - 1] &&
+      C->pred_mode[py * C->parts_w + px - 1] == C->mode_intra)
+    left = C->intra_luma[py * C->parts_w + px - 1];
+  int parts = 1 << (C->ctb_log2 - 2);
+  if (py % parts != 0 && py > 0 && px * 4 < C->pic_w &&
+      (py - 1) * 4 < C->pic_h && C->coded[(py - 1) * C->parts_w + px] &&
+      C->pred_mode[(py - 1) * C->parts_w + px] == C->mode_intra)
+    above = C->intra_luma[(py - 1) * C->parts_w + px];
+  if (left == above) {
+    if (left > 1) {
+      out[0] = left;
+      out[1] = ((left + 29) % 32) + 2;
+      out[2] = ((left - 1) % 32) + 2;
+    } else {
+      out[0] = PLANAR;
+      out[1] = DC;
+      out[2] = VER;
+    }
+  } else {
+    out[0] = left;
+    out[1] = above;
+    out[2] = (left && above) ? PLANAR : (left + above < 2 ? VER : DC);
+  }
+}
+
+// code one intra TU into the picture planes (or scratch when out set)
+static int cc_code_tu(const CommitCtx *C, int px, int py, int log2, int comp,
+                      int mode, int32_t *scratch_lvl, int32_t *scratch_rec) {
+  int sx = comp ? (C->chroma_fmt == 1 || C->chroma_fmt == 2 ? 1 : 0) : 0;
+  int sy = comp ? (C->chroma_fmt == 1 ? 1 : 0) : 0;
+  int size = (1 << log2) >> sx;
+  int x0 = (px * 4) >> sx, y0 = (py * 4) >> sy;
+  int bd = C->bd[comp];
+  int qp = C->qp_comp[comp];
+  int use_dst = (comp == 0 && size == 4) ? 1 : 0;
+  int log2n = 0;
+  for (int t = size; t > 1; t >>= 1) log2n++;
+  int chan = comp == 0 ? 0 : 1;
+  const RdoqBlob *blob =
+      C->blobs[chan][log2n][cc_mdcs_scan(size, comp, mode)];
+  int64_t st = C->plane_stride[comp];
+  int32_t *lvl_out, *rec_out;
+  int64_t lvl_stride, rec_out_stride;
+  if (scratch_lvl) {
+    lvl_out = scratch_lvl;
+    rec_out = scratch_rec;
+    lvl_stride = rec_out_stride = size;
+  } else {
+    lvl_out = C->coeff_p[comp] + y0 * st + x0;
+    rec_out = C->rec_p[comp] + y0 * st + x0;
+    lvl_stride = rec_out_stride = st;
+  }
+  int64_t ost = C->orig_stride[comp];
+  return intra_code_tu(
+      C->rec_p[comp], st, (int)st, (int)C->plane_h[comp], C->coded,
+      C->parts_w, C->pic_w, C->pic_h, sx, sy, x0, y0, size, mode, bd,
+      comp == 0 ? 1 : 0, C->strong_smoothing, C->smoothing_disabled,
+      C->chroma_fmt, C->orig_p[comp] + y0 * ost + x0, ost, qp, use_dst, 1,
+      lvl_out, lvl_stride, rec_out, rec_out_stride, 0, blob);
+}
+
+// CtuSearch._refine_mode: re-rank plan candidates + MPMs on true refs;
+// codes the winner's luma TU into the planes, returns (mode<<1)|cbf or -1
+static int cc_refine(const CommitCtx *C, int px, int py, int log2,
+                     int planned) {
+  int cands[5], ncand = 0;
+  const int8_t *pc = C->plan_cands + (py * C->plan_w + px) * 3;
+  for (int i = 0; i < 3; i++) {
+    int m = pc[i];
+    if (m < 0) continue;
+    bool dup = false;
+    for (int j = 0; j < ncand; j++)
+      if (cands[j] == m) dup = true;
+    if (!dup) cands[ncand++] = m;
+  }
+  bool has_planned = false;
+  for (int j = 0; j < ncand; j++)
+    if (cands[j] == planned) has_planned = true;
+  if (!has_planned) {
+    for (int j = ncand; j > 0; j--) cands[j] = cands[j - 1];
+    cands[0] = planned;
+    ncand++;
+  }
+  int mpm[3];
+  cc_mpm(C, px, py, mpm);
+  for (int i = 0; i < 3 && ncand < 5; i++) {
+    bool dup = false;
+    for (int j = 0; j < ncand; j++)
+      if (cands[j] == mpm[i]) dup = true;
+    if (!dup) cands[ncand++] = mpm[i];
+  }
+  int size = 1 << log2;
+  int best_mode = planned;
+  if (ncand > 1) {
+    int32_t lvl_s[32 * 32], rec_s[32 * 32];
+    const int32_t *orig =
+        C->orig_p[0] + (py * 4) * C->orig_stride[0] + px * 4;
+    double best_cost = 0.0;
+    bool first = true;
+    for (int ci = 0; ci < ncand; ci++) {
+      int mode = cands[ci];
+      int cbf = cc_code_tu(C, px, py, log2, 0, mode, lvl_s, rec_s);
+      if (cbf < 0) return -1;
+      double dist = 0.0;
+      for (int y = 0; y < size; y++)
+        for (int x = 0; x < size; x++) {
+          double d = (double)(orig[y * C->orig_stride[0] + x] -
+                              rec_s[y * size + x]);
+          dist += d * d;
+        }
+      double mb = 6.0;
+      if (mode == mpm[0]) mb = 2.0;
+      else if (mode == mpm[1] || mode == mpm[2]) mb = 3.0;
+      double bits = (cbf ? cc_res_bits(lvl_s, size) : 0.8) + mb;
+      double cost = dist + C->lam * bits;
+      if (getenv("HM16_CC_DEBUG"))
+        fprintf(stderr, "ccref %d,%d l%d m%d d%.1f b%.2f c%.1f\n", px, py,
+                log2, mode, dist, bits, cost);
+      if (first || cost < best_cost) {
+        first = false;
+        best_cost = cost;
+        best_mode = mode;
+      }
+    }
+  }
+  int cbf = cc_code_tu(C, px, py, log2, 0, best_mode, 0, 0);
+  if (cbf < 0) return -1;
+  return (best_mode << 1) | cbf;
+}
+
+static void cc_fill(const CommitCtx *C, int px, int py, int n, int8_t *arr,
+                    int8_t v) {
+  for (int y = 0; y < n; y++)
+    for (int x = 0; x < n; x++) arr[(py + y) * C->parts_w + px + x] = v;
+}
+
+static void cc_mark_cu(const CommitCtx *C, int px, int py, int log2,
+                       int part_size) {
+  int n = (1 << log2) >> 2;
+  cc_fill(C, px, py, n, C->depth, (int8_t)(C->ctb_log2 - log2));
+  cc_fill(C, px, py, n, C->pred_mode, (int8_t)C->mode_intra);
+  cc_fill(C, px, py, n, C->part_size, (int8_t)part_size);
+  cc_fill(C, px, py, n, C->tr_idx, 0);
+  for (int y = 0; y < n; y++)
+    for (int x = 0; x < n; x++) {
+      C->qp_arr[(py + y) * C->parts_w + px + x] = (int16_t)C->slice_qp;
+      C->slice_id[(py + y) * C->parts_w + px + x] = 0;
+    }
+}
+
+// CtuSearch._plan_chroma: resolve the planned chroma candidate index
+static void cc_chroma_mode(const CommitCtx *C, int px, int py, int luma_mode,
+                           int *stored, int *actual) {
+  int ci = C->plan_cmode[py * C->plan_w + px];
+  if (ci == 4 || ci < 0) {
+    *stored = C->dm_chroma_idx;
+    *actual = luma_mode;
+    return;
+  }
+  static const int base[4] = {0, 26, 10, 1};
+  int b = base[ci];
+  *stored = (b == luma_mode) ? 34 : b;
+  *actual = *stored;
+}
+
+static int cc_commit_cu(const CommitCtx *C, int px, int py, int log2,
+                        int mode, int tusplit) {
+  int n = (1 << log2) >> 2;
+  cc_mark_cu(C, px, py, log2, C->size_2nx2n);
+  int W = C->parts_w;
+  if (!tusplit) {
+    int r = cc_refine(C, px, py, log2, mode);
+    if (r < 0) return -1;
+    mode = r >> 1;
+    int cbf_y = r & 1;
+    int stored, cmode;
+    cc_chroma_mode(C, px, py, mode, &stored, &cmode);
+    for (int y = 0; y < n; y++)
+      for (int x = 0; x < n; x++) {
+        C->intra_luma[(py + y) * W + px + x] = (int16_t)mode;
+        C->intra_chroma[(py + y) * W + px + x] = (int16_t)stored;
+        C->coded[(py + y) * W + px + x] = 1;
+        C->cbf[0][(py + y) * W + px + x] = (uint8_t)cbf_y;
+      }
+    if (C->num_comps > 1) {
+      int cb = cc_code_tu(C, px, py, log2, 1, cmode, 0, 0);
+      int cr = cc_code_tu(C, px, py, log2, 2, cmode, 0, 0);
+      if (cb < 0 || cr < 0) return -1;
+      for (int y = 0; y < n; y++)
+        for (int x = 0; x < n; x++) {
+          C->cbf[1][(py + y) * W + px + x] = (uint8_t)cb;
+          C->cbf[2][(py + y) * W + px + x] = (uint8_t)cr;
+        }
+    }
+    return 0;
+  }
+  // shared-mode one-level TU split
+  int stored, cmode;
+  cc_chroma_mode(C, px, py, mode, &stored, &cmode);
+  for (int y = 0; y < n; y++)
+    for (int x = 0; x < n; x++) {
+      C->intra_luma[(py + y) * W + px + x] = (int16_t)mode;
+      C->intra_chroma[(py + y) * W + px + x] = (int16_t)stored;
+      C->tr_idx[(py + y) * W + px + x] = 1;
+      C->coded[(py + y) * W + px + x] = 0;
+    }
+  int half = n / 2 > 0 ? n / 2 : 1;
+  for (int sub = 0; sub < 4; sub++) {
+    int cx = px + (sub & 1) * half;
+    int cy = py + (sub >> 1) * half;
+    int cbf = cc_code_tu(C, cx, cy, log2 - 1, 0, mode, 0, 0);
+    if (cbf < 0) return -1;
+    int cb = -2, cr = -2;
+    if (C->num_comps > 1 && log2 > 3) {
+      cb = cc_code_tu(C, cx, cy, log2 - 1, 1, cmode, 0, 0);
+      cr = cc_code_tu(C, cx, cy, log2 - 1, 2, cmode, 0, 0);
+      if (cb < 0 || cr < 0) return -1;
+    }
+    for (int y = 0; y < half; y++)
+      for (int x = 0; x < half; x++) {
+        int idx = (cy + y) * W + cx + x;
+        C->cbf[0][idx] = (uint8_t)(cbf << 1);
+        if (cb >= 0) {
+          C->cbf[1][idx] = (uint8_t)(cb << 1);
+          C->cbf[2][idx] = (uint8_t)(cr << 1);
+        }
+        C->coded[idx] = 1;
+      }
+  }
+  if (C->num_comps > 1) {
+    if (log2 == 3) {
+      int cb = cc_code_tu(C, px, py, 3, 1, cmode, 0, 0);
+      int cr = cc_code_tu(C, px, py, 3, 2, cmode, 0, 0);
+      if (cb < 0 || cr < 0) return -1;
+      for (int y = 0; y < n; y++)
+        for (int x = 0; x < n; x++) {
+          C->cbf[1][(py + y) * W + px + x] = (uint8_t)cb;
+          C->cbf[2][(py + y) * W + px + x] = (uint8_t)cr;
+        }
+    } else {
+      for (int comp = 1; comp < 3; comp++) {
+        int root = 0;
+        for (int y = 0; y < n && !root; y++)
+          for (int x = 0; x < n; x++)
+            if (C->cbf[comp][(py + y) * W + px + x] & 2) {
+              root = 1;
+              break;
+            }
+        if (root)
+          for (int y = 0; y < n; y++)
+            for (int x = 0; x < n; x++)
+              C->cbf[comp][(py + y) * W + px + x] |= 1;
+      }
+    }
+  }
+  return 0;
+}
+
+static int cc_commit_nxn(const CommitCtx *C, int px, int py) {
+  int W = C->parts_w;
+  cc_mark_cu(C, px, py, 3, C->size_nxn);
+  for (int y = 0; y < 2; y++)
+    for (int x = 0; x < 2; x++) {
+      C->tr_idx[(py + y) * W + px + x] = 1;
+      C->coded[(py + y) * W + px + x] = 0;
+    }
+  for (int oy = 0; oy < 2; oy++)
+    for (int ox = 0; ox < 2; ox++) {
+      int planned = C->plan_mode[(py + oy) * C->plan_w + px + ox];
+      int r = cc_refine(C, px + ox, py + oy, 2, planned);
+      if (r < 0) return -1;
+      C->intra_luma[(py + oy) * W + px + ox] = (int16_t)(r >> 1);
+      C->cbf[0][(py + oy) * W + px + ox] = (uint8_t)((r & 1) << 1);
+      C->coded[(py + oy) * W + px + ox] = 1;
+    }
+  int stored, cmode;
+  cc_chroma_mode(C, px, py, C->intra_luma[py * W + px], &stored, &cmode);
+  for (int y = 0; y < 2; y++)
+    for (int x = 0; x < 2; x++)
+      C->intra_chroma[(py + y) * W + px + x] = (int16_t)stored;
+  if (C->num_comps > 1) {
+    int cb = cc_code_tu(C, px, py, 3, 1, cmode, 0, 0);
+    int cr = cc_code_tu(C, px, py, 3, 2, cmode, 0, 0);
+    if (cb < 0 || cr < 0) return -1;
+    for (int y = 0; y < 2; y++)
+      for (int x = 0; x < 2; x++) {
+        C->cbf[1][(py + y) * W + px + x] = (uint8_t)cb;
+        C->cbf[2][(py + y) * W + px + x] = (uint8_t)cr;
+      }
+  }
+  return 0;
+}
+
+static int cc_walk(const CommitCtx *C, int px, int py, int log2) {
+  int depth = C->ctb_log2 - log2;
+  int pd = C->plan_depth[py * C->plan_w + px];
+  if (pd == depth) {
+    if (log2 == 3 && C->plan_nxn[py * C->plan_w + px])
+      return cc_commit_nxn(C, px, py);
+    return cc_commit_cu(C, px, py, log2, C->plan_mode[py * C->plan_w + px],
+                        C->plan_tusplit[py * C->plan_w + px]);
+  }
+  if (pd < depth || log2 <= 3) {
+    if (getenv("HM16_CC_DEBUG"))
+      fprintf(stderr, "ccfail walk %d,%d l%d pd%d depth%d\n", px, py, log2,
+              pd, depth);
+    return -1;   // plan inconsistency
+  }
+  int half = 1 << (log2 - 3);
+  for (int sub = 0; sub < 4; sub++)
+    if (cc_walk(C, px + (sub & 1) * half, py + (sub >> 1) * half, log2 - 1) <
+        0)
+      return -1;
+  return 0;
+}
+
+extern "C" int commit_plan_ctu(const CommitCtx *C, int cx, int cy) {
+  int parts = 1 << (C->ctb_log2 - 2);
+  return cc_walk(C, cx * parts, cy * parts, C->ctb_log2);
 }
 
 // ---------------------------------------------------------------------------

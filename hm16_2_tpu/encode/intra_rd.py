@@ -89,14 +89,20 @@ BITS_SCALE = 1.0          # residual-bits model scale (calibrated)
 NXN_OVERHEAD_BITS = 4.0   # part_size flag + extra cbf/TU flags vs 2Nx2N
                           # (per-PU mode bits are counted per 4x4 candidate)
 SPLIT_OVERHEAD_BITS = 3.0  # split flag + per-child mode overhead delta
-TUSPLIT_SIZES = (8, 16, 32)
+# intra RQT level-1 candidates; empty by default: with the high split
+# price below, the TU-split almost never wins (measured 5.07% vs 5.2%
+# AI BD-rate) and its fixed-mode child evaluation costs ~30% of the
+# frame-plan compute.  64x64 CUs still force-split to four TU32s.
+TUSPLIT_SIZES = ()
 TUSPLIT_EXTRA_BITS = 16.0  # subdiv flag + extra per-TU cbf/last overhead;
                            # deliberately high: the children are scored on
                            # original-pixel references at the TU boundary,
                            # which flatters the split (measured on-content)
-# HM's fast-mode-decision candidate counts per TU size (numModesForFullRD,
-# TEncSearch.cpp:2306 / g_aucIntraModeNumFast)
-NUM_RD_CANDS = {4: 8, 8: 8, 16: 3, 32: 3}
+# plan-stage candidate counts per TU size (HM uses 8/8/3/3 for its one
+# full-RD stage, TEncSearch.cpp:2306; here the commit pass re-ranks the
+# top-3 + MPMs on true references, so a smaller plan-stage k measures
+# BETTER: 4.8% vs 5.2% AI BD-rate — and is faster)
+NUM_RD_CANDS = {4: 4, 8: 4, 16: 3, 32: 3}
 
 
 def _bits_estimate(lvl):
@@ -148,29 +154,36 @@ def _bits_estimate(lvl):
 # per-size candidate evaluation
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("s", "bd", "is_luma"))
-def _size_satd(bufs, blocks, s: int, bd: int, is_luma: bool = True):
-    """All-35-mode SATD for N blocks of one size -> (N, 35)."""
-    preds = analysis.predict_all_modes(bufs, s, is_luma, bd)
-    diffs = preds.astype(jnp.int32) - blocks[:, None].astype(jnp.int32)
-    return analysis.batched_satd(diffs)
+def _topk_argmin(x, k):
+    """Indices of the k smallest entries per row, ascending — iterative
+    masked argmin (XLA's general sort is pathologically slow on CPU for
+    these tiny rows; k reductions are far cheaper)."""
+    cols = jnp.arange(x.shape[1])[None, :]
+    idxs = []
+    for _ in range(k):
+        i = jnp.argmin(x, axis=1)
+        idxs.append(i)
+        x = jnp.where(cols == i[:, None], jnp.inf, x)
+    return jnp.stack(idxs, axis=1)
 
 
 @partial(jax.jit, static_argnames=("s", "bd", "k", "qp", "is_luma",
-                                   "use_dst"))
-def _size_rd(bufs, blocks, satd, mode_bits, lam, s: int, bd: int, k: int,
-             qp: int, is_luma: bool = True, use_dst: bool = False):
-    """Best mode + RD cost for N blocks of one size.
+                                   "use_dst", "want_satd"))
+def _size_rd(bufs, blocks, lam, s: int, bd: int, k: int,
+             qp: int, is_luma: bool = True, use_dst: bool = False,
+             want_satd: bool = False):
+    """Best mode + RD cost for N blocks of one size (fused kernel: one
+    35-mode prediction pass feeds both the SATD preselection and the
+    top-k candidate RD).
 
-    bufs: (N, 2, 4s+1) refs; blocks: (N, s, s) originals; satd: (N, 35)
-    from _size_satd; mode_bits: (N, 35) signalling-bit estimates (MPM
-    aware).  Candidate preselection by SATD + sqrt(lam)*mode_bits (HM's
-    Hadamard cost), final choice by true RD with the planned mode bits.
-    Returns (best_mode (N,), cost (N,), dist (N,), bits (N,))."""
+    bufs: (N, 2, 4s+1) refs; blocks: (N, s, s) originals.  Candidate
+    preselection by SATD (HM's Hadamard cost stage), final choice by
+    dist + lam*(estimated residual bits + flat mode bits).
+    Returns (best_mode (N,), cost (N,), top3 (N, 3), satd (N,35)|None)."""
     preds = analysis.predict_all_modes(bufs, s, is_luma, bd)
-    pre_cost = satd + jnp.sqrt(lam) * mode_bits
-    order = jnp.argsort(pre_cost, axis=1)
-    topk = order[:, :k]                                     # (N, k)
+    diffs = preds.astype(jnp.int32) - blocks[:, None].astype(jnp.int32)
+    satd = analysis.batched_satd(diffs)
+    topk = _topk_argmin(satd.astype(jnp.float32), k)        # (N, k)
     cand = jnp.take_along_axis(preds, topk[:, :, None, None], axis=1)
     resi = blocks[:, None].astype(jnp.int32) - cand
     log2 = s.bit_length() - 1
@@ -181,48 +194,14 @@ def _size_rd(bufs, blocks, satd, mode_bits, lam, s: int, bd: int, k: int,
     rec = jnp.clip(cand + rres, 0, (1 << bd) - 1)
     d = (blocks[:, None] - rec).astype(jnp.float32)
     dist = (d * d).sum(axis=(-1, -2))
-    cand_mbits = jnp.take_along_axis(mode_bits, topk, axis=1)
-    bits = BITS_SCALE * _bits_estimate(lvl) + cand_mbits
+    bits = BITS_SCALE * _bits_estimate(lvl) + 6.0           # + mode bits
     cost = dist + lam * bits
-    rd_order = jnp.argsort(cost, axis=1)
-    top3 = jnp.take_along_axis(topk, rd_order[:, :3], axis=1)  # RD-ranked
-    kb = rd_order[:, :1]
-    take = lambda arr: jnp.take_along_axis(arr, kb, axis=1)[:, 0]
-    return (top3[:, 0], take(cost), take(dist), take(bits), top3)
+    rd_order = _topk_argmin(cost, 3)
+    top3 = jnp.take_along_axis(topk, rd_order, axis=1)      # RD-ranked
+    best_cost = jnp.take_along_axis(cost, rd_order[:, :1], axis=1)[:, 0]
+    return (top3[:, 0], best_cost, top3, satd if want_satd else None)
 
 
-def _mpm_mode_bits(best_grid):
-    """(nby, nbx, 35) estimated intra-mode signalling bits from HEVC's
-    most-probable-mode derivation, using each block's grid neighbors'
-    best-SATD modes as the MPM sources (the commit pass signals with the
-    true neighbors; this steers the plan toward codable modes).
-    MPM candidates cost {2, 3, 3} bins, others 6 (flag + 5 fixed bits)."""
-    nby, nbx = best_grid.shape
-    left = np.empty_like(best_grid)
-    left[:, 1:] = best_grid[:, :-1]
-    left[:, 0] = 1                       # DC when unavailable
-    above = np.empty_like(best_grid)
-    above[1:, :] = best_grid[:-1, :]
-    above[0, :] = 1
-    eq = left == above
-    # equal & angular: {m, 2+((m+29)%32), 2+((m-1)%32)}
-    m = left
-    mpm0 = np.where(eq & (m < 2), 0, m)
-    mpm1 = np.where(eq, np.where(m < 2, 1, 2 + ((m + 29) % 32)), above)
-    mpm2_eq = np.where(m < 2, 26, 2 + ((m - 1) % 32))
-    # unequal: third is planar / dc / ver-26, first not among {left, above}
-    neither = lambda v: (left != v) & (above != v)
-    mpm2_ne = np.where(neither(0), 0, np.where(neither(1), 1, 26))
-    mpm2 = np.where(eq, mpm2_eq, mpm2_ne)
-    bits = np.full((nby, nbx, 35), 6.0, dtype=np.float32)
-    idx_y, idx_x = np.mgrid[0:nby, 0:nbx]
-    bits[idx_y, idx_x, mpm2] = 3.0
-    bits[idx_y, idx_x, mpm1] = 3.0
-    bits[idx_y, idx_x, mpm0] = 2.0
-    return bits
-
-
-@partial(jax.jit, static_argnames=("s", "bd", "qp"))
 def _chroma_rd5(bufs, blocks, modes5, lam, s: int, bd: int, qp: int):
     """Per-candidate (dist, bits) for 5 chroma modes per block.
 
@@ -356,11 +335,9 @@ def plan_frame(orig, sps, qp, lam, chroma_weight, chroma_qps, device=None):
                 continue
             sub_bufs[s], sub_blocks[s] = bufs, blocks
             jb, jblk = jnp.asarray(bufs), jnp.asarray(blocks)
-            satd = _size_satd(jb, jblk, s, bd, True)
-            mbits = jnp.full((len(bufs), 35), 6.0, jnp.float32)
             k = NUM_RD_CANDS[s]
-            m, c, d, b, c3 = _size_rd(jb, jblk, satd, mbits,
-                                      lamf, s, bd, k, int(qp), True, s == 4)
+            m, c, c3, satd = _size_rd(jb, jblk, lamf, s, bd, k, int(qp),
+                                      True, s == 4, s == 32)
             mode_s[s] = np.asarray(m).reshape(nby, nbx)
             cost_s[s] = np.asarray(c, dtype=np.float64).reshape(nby, nbx)
             mbits_s[s] = 6.0

@@ -105,10 +105,10 @@ def _band_rd(plane_band, halo_top, halo_bot, band_first, s, bd, k, qp,
     bufs = jnp.stack([buf_u, buf_f], axis=1)
     blocks = plane_band[:nby * s, :nbx * s].reshape(nby, s, nbx, s) \
         .swapaxes(1, 2).reshape(n, s, s).astype(jnp.int32)
-    mode, cost, dist, bits, satd = intra_rd._size_rd(
-        bufs, blocks, lam, s, bd, k, qp, True, s == 4)
+    mode, cost, top3, satd = intra_rd._size_rd(
+        bufs, blocks, lam, s, bd, k, qp, True, s == 4, True)
     return (mode.reshape(nby, nbx), cost.reshape(nby, nbx),
-            satd.reshape(nby, nbx, 35))
+            top3.reshape(nby, nbx, 3), satd.reshape(nby, nbx, 35))
 
 
 def sharded_size_rd(mesh: Mesh, plane: np.ndarray, s: int, bd: int, k: int,
@@ -123,7 +123,8 @@ def sharded_size_rd(mesh: Mesh, plane: np.ndarray, s: int, bd: int, k: int,
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P("row", None),),
-             out_specs=(P("row", None), P("row", None), P("row", None)),
+             out_specs=(P("row", None), P("row", None), P("row", None),
+                        P("row", None)),
              check_rep=False)
     def step(band):
         # halos over ICI: last row of the band above moves down one device,
@@ -139,9 +140,9 @@ def sharded_size_rd(mesh: Mesh, plane: np.ndarray, s: int, bd: int, k: int,
 
     arr = jax.device_put(jnp.asarray(plane, jnp.int32),
                          NamedSharding(mesh, P("row", None)))
-    mode, cost, satd = step(arr)
+    mode, cost, top3, satd = step(arr)
     return (np.asarray(mode), np.asarray(cost, dtype=np.float64),
-            np.asarray(satd))
+            np.asarray(top3), np.asarray(satd))
 
 
 def sharded_plan_frame(mesh, orig, sps, qp, lam, chroma_weight, chroma_qps):
@@ -160,24 +161,26 @@ def sharded_plan_frame(mesh, orig, sps, qp, lam, chroma_weight, chroma_qps):
     for s in (4, 8, 16, 32):
         rows = (h // s) * s
         if rows and rows % (n_dev * s) == 0:
-            k = 3 if s <= 16 else 2
-            mode, cost, satd = sharded_size_rd(
+            k = intra_rd.NUM_RD_CANDS[s]
+            mode, cost, top3, satd = sharded_size_rd(
                 mesh, np.ascontiguousarray(y[:rows]), s, bd, k, int(qp_luma),
                 float(lam), strong, h)
-            overrides[s] = (mode, cost, satd)
+            overrides[s] = (mode, cost, top3, satd)
 
     orig_rd = intra_rd._size_rd
 
     def patched(bufs, blocks, lam_, s, bd_, k_, qp_, is_luma=True,
-                use_dst=False):
+                use_dst=False, want_satd=False):
         if is_luma and s in overrides:
-            m, c, sa = overrides[s]
+            m, c, c3, sa = overrides[s]
             if bufs.shape[0] == m.size:
-                z = jnp.zeros(m.size, jnp.float32)
                 return (jnp.asarray(m.reshape(-1)),
-                        jnp.asarray(c.reshape(-1)), z, z,
-                        jnp.asarray(sa.reshape(m.size, 35)))
-        return orig_rd(bufs, blocks, lam_, s, bd_, k_, qp_, is_luma, use_dst)
+                        jnp.asarray(c.reshape(-1)),
+                        jnp.asarray(c3.reshape(m.size, 3)),
+                        jnp.asarray(sa.reshape(m.size, 35))
+                        if want_satd else None)
+        return orig_rd(bufs, blocks, lam_, s, bd_, k_, qp_, is_luma,
+                       use_dst, want_satd)
 
     intra_rd._size_rd = patched
     try:

@@ -86,6 +86,19 @@ RA8_GOP = [
     dict(poc=7, qpoff=4, qpfac=0.68,   refs=(-1, -7, 1)),
 ]
 
+# Low-delay P GOP-4 structure: per-slot QP offsets/factors and 4-reference
+# RPS sets mirroring cfg/encoder_lowdelay_P_main.cfg:23-27 of the reference
+LDP_GOP = [
+    dict(poc=1, qpoff=5, qpfac=0.4624, refs=(-1, -5, -9, -13), type="P",
+         n_active=4),
+    dict(poc=2, qpoff=4, qpfac=0.4624, refs=(-1, -2, -6, -10), type="P",
+         n_active=4),
+    dict(poc=3, qpoff=5, qpfac=0.4624, refs=(-1, -3, -7, -11), type="P",
+         n_active=4),
+    dict(poc=4, qpoff=1, qpfac=0.578,  refs=(-1, -4, -8, -12), type="P",
+         n_active=4),
+]
+
 
 def build_sps_pps(cfg: EncoderConfig):
     sps = SPS()
@@ -101,7 +114,7 @@ def build_sps_pps(cfg: EncoderConfig):
     sps.max_tr_hierarchy_depth_intra = 3
     sps.amp_enabled = 1
     sps.sao_enabled = 1 if cfg.sao else 0
-    sps.temporal_mvp_enabled = 0      # round-1 encoder: spatial MVP only
+    sps.temporal_mvp_enabled = 1      # TMVP (shared derivation w/ decoder)
     sps.strong_intra_smoothing = 1
     sps.max_dec_pic_buffering = [9 if cfg.gop == "ra8" else 5]
     sps.num_reorder_pics = [7 if cfg.gop == "ra8" else 0]
@@ -143,6 +156,10 @@ class Encoder:
             self.gop_table = cfg.gop_table
         elif cfg.gop == "ra8":
             self.gop_table = RA8_GOP
+        elif cfg.gop == "ld" and cfg.intra_period == 0:
+            # low-delay with the HM cfg's QP ladder + 4-ref RPS sets
+            # (push_frame API; encode_frame keeps the flat-QP 1-ref path)
+            self.gop_table = LDP_GOP
         else:
             self.gop_table = None
         self._reordered = self.gop_table is not None and any(
@@ -173,6 +190,9 @@ class Encoder:
             sh.rps = sps.rps_list[0]
             sh.num_ref_idx = [1, 0]
             sh.max_num_merge_cand = 5
+            sh.temporal_mvp_enabled = 1
+            sh.collocated_from_l0 = 1
+            sh.collocated_ref_idx = 0
         sh.qp = cfg.qp
         rc_lam = self._rc_begin(planes, sh, 0)
         return self._encode_one(planes, poc, sh, rc_lam=rc_lam)
@@ -265,6 +285,10 @@ class Encoder:
         if sh.slice_type == P_SLICE:
             sh.num_ref_idx[1] = 0
         sh.max_num_merge_cand = 5
+        if total:
+            sh.temporal_mvp_enabled = 1
+            sh.collocated_from_l0 = 1
+            sh.collocated_ref_idx = 0
         rc_lam = self._rc_begin(planes, sh, gop_id)
         return self._encode_one(planes, poc, sh, qp_factor=slot["qpfac"],
                                 rc_lam=rc_lam)
@@ -1169,40 +1193,62 @@ class CtuSearch:
             if best is None or cost < best[0]:
                 best = (cost, "merge", (m_idx, cand))
 
-        # per-list motion estimation: integer full search around the AMVP
-        # predictor, then half/quarter-pel refinement
-        # (TEncSearch::xPatternSearchFracDIF)
+        # per-list, per-reference motion estimation: integer full search
+        # around the AMVP predictor (plus a zero-MV center on the nearest
+        # reference), then half/quarter-pel refinement
+        # (TEncSearch::xPatternSearchFracDIF; adaptive range per ref like
+        # TEncSearch.cpp:3816's search-range scaling)
         uni = {}
         for lx in ((0, 1) if is_b else (0,)):
             if sh.num_ref_idx[lx] <= 0 or not rc.ref_lists[lx]:
                 continue
-            ref = rc.ref_lists[lx][0]
-            amvp = self.mvp.amvp_candidates(x0, y0, size, size, lx, 0)
-            mv_int, _ = self._int_me(orig, ref.rec[0], x0, y0, size,
-                                     (amvp[0][0] >> 2, amvp[0][1] >> 2))
-            mv_q, satd_c = self._subpel_refine(orig, ref.rec[0], x0, y0,
-                                               size, mv_int)
-            mvd_bits = []
-            for k in range(2):
-                d = (mv_q[0] - amvp[k][0], mv_q[1] - amvp[k][1])
-                mvd_bits.append((abs(d[0]).bit_length()
-                                 + abs(d[1]).bit_length() + 4, k, d))
-            mvd_bits.sort()
-            bits_k, mvp_idx, mvd = mvd_bits[0]
-            uni[lx] = (mv_q, mvd, mvp_idx, bits_k)
-            cost = satd_c + lam * (bits_k + 2 + (2 if is_b else 0))
+            n_refs = min(sh.num_ref_idx[lx], len(rc.ref_lists[lx]))
+            best_u = None
+            for r_idx in range(n_refs):
+                ref = rc.ref_lists[lx][r_idx]
+                amvp = self.mvp.amvp_candidates(x0, y0, size, size, lx,
+                                                r_idx)
+                rng = 8 if r_idx == 0 else 4
+                mv_int, sad = self._int_me(
+                    orig, ref.rec[0], x0, y0, size,
+                    (amvp[0][0] >> 2, amvp[0][1] >> 2), rng=rng)
+                if r_idx == 0 and (amvp[0][0] >> 2 or amvp[0][1] >> 2):
+                    mv_z, sad_z = self._int_me(orig, ref.rec[0], x0, y0,
+                                               size, (0, 0), rng=rng)
+                    if sad_z < sad:
+                        mv_int = mv_z
+                mv_q, satd_c = self._subpel_refine(orig, ref.rec[0], x0, y0,
+                                                   size, mv_int)
+                mvd_bits = []
+                for k in range(2):
+                    d = (mv_q[0] - amvp[k][0], mv_q[1] - amvp[k][1])
+                    mvd_bits.append((abs(d[0]).bit_length()
+                                     + abs(d[1]).bit_length() + 4, k, d))
+                mvd_bits.sort()
+                bits_k, mvp_idx, mvd = mvd_bits[0]
+                # ref_idx signalling: truncated unary against n_refs
+                bits_r = bits_k + (min(r_idx + 1, n_refs - 1) if n_refs > 1
+                                   else 0)
+                cost = satd_c + lam * (bits_r + 2 + (2 if is_b else 0))
+                if best_u is None or cost < best_u[0]:
+                    best_u = (cost, r_idx, mv_q, mvd, mvp_idx, bits_r)
+            if best_u is None:
+                continue
+            uni[lx] = best_u
+            cost, r_idx, mv_q, mvd, mvp_idx, _ = best_u
             if best is None or cost < best[0]:
-                best = (cost, "uni", (lx, mv_q, mvd, mvp_idx))
+                best = (cost, "uni", (lx, r_idx, mv_q, mvd, mvp_idx))
         if is_b and 0 in uni and 1 in uni:
             bd = self.bit_depth[0]
-            p0 = interp_ref.mc_block(rc.ref_lists[0][0].rec[0], x0, y0, size,
-                                     size, uni[0][0][0], uni[0][0][1], 2, 2,
+            u0, u1 = uni[0], uni[1]
+            p0 = interp_ref.mc_block(rc.ref_lists[0][u0[1]].rec[0], x0, y0,
+                                     size, size, u0[2][0], u0[2][1], 2, 2,
                                      True, bd, True)
-            p1 = interp_ref.mc_block(rc.ref_lists[1][0].rec[0], x0, y0, size,
-                                     size, uni[1][0][0], uni[1][0][1], 2, 2,
+            p1 = interp_ref.mc_block(rc.ref_lists[1][u1[1]].rec[0], x0, y0,
+                                     size, size, u1[2][0], u1[2][1], 2, 2,
                                      True, bd, True)
             bpred = interp_ref.bi_average(p0, p1, bd)
-            cost = satd_block(orig - bpred) + lam * (uni[0][3] + uni[1][3] + 6)
+            cost = satd_block(orig - bpred) + lam * (u0[5] + u1[5] + 6)
             if best is None or cost < best[0]:
                 best = (cost, "bi", None)
         if best is None:
@@ -1240,14 +1286,14 @@ class CtuSearch:
                 pic.ref_poc[lx][sl] = rc.ref_poc(lx, r_idx)
         else:
             parts = ({payload[0]: payload[1:]} if kind == "uni"
-                     else {0: uni[0][:3], 1: uni[1][:3]})
+                     else {0: uni[0][1:5], 1: uni[1][1:5]})
             inter_dir = sum(1 << lx for lx in parts)
-            for lx, (mv_q, mvd, mvp_idx) in parts.items():
-                pic.ref_idx[lx][sl] = 0
+            for lx, (r_idx, mv_q, mvd, mvp_idx) in parts.items():
+                pic.ref_idx[lx][sl] = r_idx
                 pic.mv[lx][sl] = mv_q
                 pic.mvd[lx][sl] = mvd
                 pic.mvp_idx[lx][sl] = mvp_idx
-                pic.ref_poc[lx][sl] = rc.ref_poc(lx, 0)
+                pic.ref_poc[lx][sl] = rc.ref_poc(lx, r_idx)
         pic.inter_dir[sl] = inter_dir
 
         # exact prediction through the shared decoder MC path (incl.

@@ -76,8 +76,10 @@ def encode_ours(frames, w, h, qp, mode, **cfg_kw):
     elif mode == "ldp":
         cfg = EncoderConfig(w, h, qp=qp, intra_period=0, gop="ld", **cfg_kw)
         enc = Encoder(cfg)
-        aus = [enc.encode_frame([p.copy() for p in f], i)
-               for i, f in enumerate(frames)]
+        aus = []
+        for i, f in enumerate(frames):
+            aus += enc.push_frame([p.copy() for p in f], i)
+        aus += enc.flush()
     else:
         cfg = EncoderConfig(w, h, qp=qp, intra_period=0, gop="ra8", **cfg_kw)
         enc = Encoder(cfg)

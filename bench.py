@@ -60,17 +60,21 @@ def measure_hm_fps(n=8):
     return n / (time.time() - t0)
 
 
-def measure_bdrate():
-    """AI BD-rate vs HM at QP 27/32/37 on the same content (2 frames)."""
+def measure_bdrate(mode="ai", frames=2, qps=(27, 32, 37)):
+    """BD-rate vs HM on the same content (negative = we beat HM)."""
     if not os.path.exists(HM_ENC):
         return None
     try:
         src = "/tmp/bench416.yuv"
+        if not os.path.exists(src):
+            from make_fixtures import make_yuv, write_yuv
+            write_yuv(src, make_yuv(416, 240, 9, seed=42))
         from hm16_2_tpu.tools import bdrate as bdr
-        bd, _ = bdr.run(src, 416, 240, 2, "ai", [27, 32, 37], verbose=False)
+        bd, _ = bdr.run(src, 416, 240, frames, mode, list(qps),
+                        verbose=False)
         return round(bd, 2)
     except Exception as e:
-        print(f"bdrate skipped: {e}", file=sys.stderr)
+        print(f"bdrate {mode} skipped: {e}", file=sys.stderr)
         return None
 
 
@@ -87,9 +91,15 @@ def main():
         "hm_fps_same_content": round(baseline, 4),
         "hm_measured_live": bool(hm_fps),
     }
-    bd = measure_bdrate()
+    bd = measure_bdrate("ai", 2, (27, 32, 37))
     if bd is not None:
         out["ai_bdrate_pct_vs_hm"] = bd
+    bd = measure_bdrate("ldp", 4, (32, 37))
+    if bd is not None:
+        out["ldp_bdrate_pct_vs_hm"] = bd
+    bd = measure_bdrate("ra", 9, (32, 37))
+    if bd is not None:
+        out["ra_bdrate_pct_vs_hm"] = bd
     print(json.dumps(out))
 
 

@@ -76,27 +76,27 @@ class EncoderConfig:
 # mirrors the JCT-VC common-test-condition table in
 # cfg/encoder_randomaccess_main.cfg:24-32 of the reference).
 RA8_GOP = [
-    dict(poc=8, qpoff=1, qpfac=0.442,  refs=(-8, -16)),
-    dict(poc=4, qpoff=2, qpfac=0.3536, refs=(-4, 4)),
-    dict(poc=2, qpoff=3, qpfac=0.3536, refs=(-2, 2, 6)),
-    dict(poc=1, qpoff=4, qpfac=0.68,   refs=(-1, 1, 3, 7)),
-    dict(poc=3, qpoff=4, qpfac=0.68,   refs=(-1, -3, 1, 5)),
-    dict(poc=6, qpoff=3, qpfac=0.3536, refs=(-2, -6, 2)),
-    dict(poc=5, qpoff=4, qpfac=0.68,   refs=(-1, -5, 1, 3)),
-    dict(poc=7, qpoff=4, qpfac=0.68,   refs=(-1, -7, 1)),
+    dict(poc=8, qpoff=1, qpfac=0.442,  refs=(-8, -16), depth=0),
+    dict(poc=4, qpoff=2, qpfac=0.3536, refs=(-4, 4), depth=1),
+    dict(poc=2, qpoff=3, qpfac=0.3536, refs=(-2, 2, 6), depth=2),
+    dict(poc=1, qpoff=4, qpfac=0.68,   refs=(-1, 1, 3, 7), depth=3),
+    dict(poc=3, qpoff=4, qpfac=0.68,   refs=(-1, -3, 1, 5), depth=3),
+    dict(poc=6, qpoff=3, qpfac=0.3536, refs=(-2, -6, 2), depth=2),
+    dict(poc=5, qpoff=4, qpfac=0.68,   refs=(-1, -5, 1, 3), depth=3),
+    dict(poc=7, qpoff=4, qpfac=0.68,   refs=(-1, -7, 1), depth=3),
 ]
 
 # Low-delay P GOP-4 structure: per-slot QP offsets/factors and 4-reference
 # RPS sets mirroring cfg/encoder_lowdelay_P_main.cfg:23-27 of the reference
 LDP_GOP = [
     dict(poc=1, qpoff=5, qpfac=0.4624, refs=(-1, -5, -9, -13), type="P",
-         n_active=4),
+         n_active=4, depth=2),
     dict(poc=2, qpoff=4, qpfac=0.4624, refs=(-1, -2, -6, -10), type="P",
-         n_active=4),
+         n_active=4, depth=1),
     dict(poc=3, qpoff=5, qpfac=0.4624, refs=(-1, -3, -7, -11), type="P",
-         n_active=4),
+         n_active=4, depth=2),
     dict(poc=4, qpoff=1, qpfac=0.578,  refs=(-1, -4, -8, -12), type="P",
-         n_active=4),
+         n_active=4, depth=0),
 ]
 
 
@@ -1357,6 +1357,41 @@ class CtuSearch:
                         cpred + rec_resi, 0, (1 << bd) - 1)
             pic.cbf[comp][sl] = cbf
             any_cbf |= cbf
+
+        # RD test of the zero-residual alternative (merge-skip /
+        # rqt_root_cbf=0, TEncCu::xCheckDQP + TEncSearch residual-zero
+        # path): at the higher hierarchy QPs the no-residual CU usually
+        # wins, which is where HM's B frames get their skip density
+        if any_cbf:
+            dist_c = dist_z = 0.0
+            bits_c = 1.0
+            for comp in range(pic.num_comps):
+                sx, sy = pic.comp_shift[comp]
+                cx0, cy0 = x0 >> sx, y0 >> sy
+                cs = size >> sx
+                w = 1.0 if comp == 0 else self.chroma_weight
+                co = self.orig[comp][cy0:cy0 + cs, cx0:cx0 + cs]
+                dc = (co - pic.rec[comp][cy0:cy0 + cs,
+                                         cx0:cx0 + cs]).astype(np.float64)
+                bdc = self.bit_depth[comp]
+                pz = np.clip(preds[comp], 0, (1 << bdc) - 1)
+                dz = (co - pz).astype(np.float64)
+                dist_c += w * float(np.dot(dc.ravel(), dc.ravel()))
+                dist_z += w * float(np.dot(dz.ravel(), dz.ravel()))
+                lv = pic.coeff[comp][cy0:cy0 + cs, cx0:cx0 + cs]
+                if np.any(lv):
+                    bits_c += self._res_bits_est(lv)
+            if dist_z + self.lam * 1.0 < dist_c + self.lam * bits_c:
+                for comp in range(pic.num_comps):
+                    sx, sy = pic.comp_shift[comp]
+                    cx0, cy0 = x0 >> sx, y0 >> sy
+                    cs = size >> sx
+                    bdc = self.bit_depth[comp]
+                    pic.coeff[comp][cy0:cy0 + cs, cx0:cx0 + cs] = 0
+                    pic.rec[comp][cy0:cy0 + cs, cx0:cx0 + cs] = np.clip(
+                        preds[comp], 0, (1 << bdc) - 1)
+                    pic.cbf[comp][sl] = 0
+                any_cbf = 0
 
         pic.skip[sl] = 1 if (kind == "merge" and not any_cbf) else 0
         return True

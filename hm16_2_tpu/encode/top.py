@@ -28,8 +28,8 @@ from hm16_2_tpu.decode.top import picture_md5
 from hm16_2_tpu.encode.ctu_enc import CtuEncoder
 from hm16_2_tpu.headers import write as W
 from hm16_2_tpu.headers.params import (
-    B_SLICE, I_SLICE, P_SLICE, NAL_IDR_W_RADL, NAL_TRAIL_R, PPS, SPS,
-    ShortTermRPS, SliceHeader, VPS)
+    B_SLICE, I_SLICE, P_SLICE, NAL_CRA, NAL_IDR_N_LP, NAL_IDR_W_RADL,
+    NAL_RASL_R, NAL_TRAIL_R, PPS, SPS, ShortTermRPS, SliceHeader, VPS)
 from hm16_2_tpu.ops import interp_ref, intra_ref, transforms_ref
 from hm16_2_tpu.ops.intra_ref import DM_CHROMA_IDX
 from hm16_2_tpu.ops.satd import satd_block
@@ -151,6 +151,7 @@ class Encoder:
         self._reorder = {}
         self._next_coded = 0
         self._gop_start = 0
+        self.last_ira = 0            # POC of the last CRA/IDR coded
         # active GOP structure (cfg table wins over the built-ins)
         if cfg.gop_table:
             self.gop_table = cfg.gop_table
@@ -249,10 +250,28 @@ class Encoder:
             if all(p in buf for p in gop_pocs):
                 if self.rc is not None:
                     self.rc.begin_gop(gsize)
+                # periodic CRA refresh (DecodingRefreshType 1,
+                # TEncGOP.cpp:2462-2512): the GOP's depth-0 picture at an
+                # intra-period boundary is coded as a CRA I picture; the
+                # GOP's remaining pictures precede it in output order and
+                # become its RASL leading pictures
+                ip = self.cfg.intra_period
+                cra_poc = None
+                if ip and ip > 1 and self.cfg.gop != "ld":
+                    top = self._gop_start + gsize
+                    if top % ip == 0 and top > 0:
+                        cra_poc = top
                 for gop_id, slot in enumerate(table):
                     p = self._gop_start + slot["poc"]
+                    if p == cra_poc:
+                        aus.append(self._encode_cra(buf.pop(p), p, slot,
+                                                    gop_id))
+                        continue
+                    nal = NAL_RASL_R if (self.last_ira > 0
+                                         and p < self.last_ira) \
+                        else NAL_TRAIL_R
                     aus.append(self._encode_ra_picture(buf.pop(p), p, slot,
-                                                       gop_id))
+                                                       gop_id, nal_type=nal))
                 self._gop_start += gsize
                 self._next_coded = self._gop_start + 1
                 continue
@@ -265,12 +284,42 @@ class Encoder:
             break
         return aus
 
-    def _encode_ra_picture(self, planes, poc, slot, gop_id=0) -> bytes:
+    def _encode_cra(self, planes, poc, slot, gop_id=0) -> bytes:
+        """Clean-random-access I picture: POC continues, DPB keeps the
+        pictures its RASL leading pictures will reference (RPS entries
+        with used_by_curr = 0, TEncGOP's CRA RPS construction)."""
         sh = SliceHeader()
-        sh.nal_type = NAL_TRAIL_R
+        sh.nal_type = NAL_CRA
+        sh.slice_type = I_SLICE
+        sh.qp = int(np.clip(self.cfg.qp + slot["qpoff"], 0, 51))
+        gsize = len(self.gop_table)
+        pre = sorted({s["poc"] + d - gsize for s in self.gop_table
+                      for d in s["refs"]
+                      if s["poc"] != gsize and s["poc"] + d <= 0},
+                     reverse=True)
+        pre = [d for d in pre if self.dpb.get(poc + d) is not None]
+        sh.rps_idx = -1
+        sh.rps = ShortTermRPS(num_negative=len(pre), num_positive=0,
+                              delta_poc=pre, used=[0] * len(pre))
+        self.last_ira = poc
+        rc_lam = self._rc_begin(planes, sh, gop_id)
+        return self._encode_one(planes, poc, sh, qp_factor=slot["qpfac"],
+                                rc_lam=rc_lam)
+
+    def _encode_ra_picture(self, planes, poc, slot, gop_id=0,
+                           nal_type=NAL_TRAIL_R) -> bytes:
+        sh = SliceHeader()
+        sh.nal_type = nal_type
         sh.slice_type = B_SLICE
         sh.qp = int(np.clip(self.cfg.qp + slot["qpoff"], 0, 51))
+        # trailing pictures after a CRA must not reference pictures that
+        # precede it (they are absent after a tune-in); RASL leading
+        # pictures may
+        is_rasl = nal_type == NAL_RASL_R
+        min_ref = -(10 ** 9) if (is_rasl or poc <= self.last_ira) \
+            else self.last_ira
         neg = sorted([d for d in slot["refs"] if d < 0 and
+                      poc + d >= min_ref and
                       self.dpb.get(poc + d) is not None], reverse=True)
         pos = sorted([d for d in slot["refs"] if d > 0 and
                       self.dpb.get(poc + d) is not None])
@@ -296,7 +345,7 @@ class Encoder:
     def _encode_one(self, planes, poc, sh, qp_factor=None,
                     rc_lam=None) -> bytes:
         cfg, sps, pps = self.cfg, self.sps, self.pps
-        is_idr = sh.slice_type == I_SLICE
+        is_idr = sh.nal_type in (NAL_IDR_W_RADL, NAL_IDR_N_LP)
         if is_idr:
             self.dpb.clear()
         elif sh.rps is not None:
@@ -333,7 +382,7 @@ class Encoder:
             search.plan = intra_rd.plan_frame(
                 planes, sps, qp_luma, search.lam,
                 getattr(search, "chroma_weight", 1.0), cqps)
-        if not is_idr:
+        if sh.slice_type != I_SLICE:
             ref_lists = build_ref_lists(sh, self.dpb)
             rc = RefCtx(sh, ref_lists)
             search.mvp = MvPredictor(pic, rc, 0)
@@ -460,7 +509,7 @@ class Encoder:
                                 pred_mode=pic.pred_mode.copy(),
                                 depth=pic.depth.copy(),
                                 col_depth=col_depth,
-                                is_intra=is_idr))
+                                is_intra=sh.slice_type == I_SLICE))
         au = write_annexb(nals)
         self.bits_per_frame.append(len(au) * 8)
         if self.rc is not None:

@@ -179,7 +179,12 @@ def _size_rd(bufs, blocks, lam, s: int, bd: int, k: int,
     bufs: (N, 2, 4s+1) refs; blocks: (N, s, s) originals.  Candidate
     preselection by SATD (HM's Hadamard cost stage), final choice by
     dist + lam*(estimated residual bits + flat mode bits).
-    Returns (best_mode (N,), cost (N,), top3 (N, 3), satd (N,35)|None)."""
+    Returns (best_mode (N,), cost (N,), top3 (N, 3), satd (N,35)|None).
+
+    Distortion is accumulated as exact int32 (fits for bit depth <= 10:
+    1023^2 * 1024 < 2^31) so results are bit-identical between program
+    variants (sharded / unsharded / fused) regardless of XLA reduction
+    order."""
     preds = analysis.predict_all_modes(bufs, s, is_luma, bd)
     diffs = preds.astype(jnp.int32) - blocks[:, None].astype(jnp.int32)
     satd = analysis.batched_satd(diffs)
@@ -192,8 +197,8 @@ def _size_rd(bufs, blocks, lam, s: int, bd: int, k: int,
     deq = batched_dequant(lvl, qp, bd, log2)
     rres = batched_inv_transform(deq, bd, use_dst)
     rec = jnp.clip(cand + rres, 0, (1 << bd) - 1)
-    d = (blocks[:, None] - rec).astype(jnp.float32)
-    dist = (d * d).sum(axis=(-1, -2))
+    d = blocks[:, None] - rec
+    dist = (d * d).sum(axis=(-1, -2)).astype(jnp.float32)
     bits = BITS_SCALE * _bits_estimate(lvl) + 6.0           # + mode bits
     cost = dist + lam * bits
     rd_order = _topk_argmin(cost, 3)
@@ -216,8 +221,8 @@ def _chroma_rd5(bufs, blocks, modes5, lam, s: int, bd: int, qp: int):
     deq = batched_dequant(lvl, qp, bd, log2)
     rres = batched_inv_transform(deq, bd, False)
     rec = jnp.clip(cand + rres, 0, (1 << bd) - 1)
-    d = (blocks[:, None] - rec).astype(jnp.float32)
-    dist = (d * d).sum(axis=(-1, -2))
+    d = blocks[:, None] - rec
+    dist = (d * d).sum(axis=(-1, -2)).astype(jnp.float32)
     bits = _bits_estimate(lvl)
     return dist, bits
 
@@ -237,8 +242,8 @@ def _size_rd_fixed_mode(bufs, blocks, modes, lam, s: int, bd: int, qp: int,
     deq = batched_dequant(lvl, qp, bd, log2)
     rres = batched_inv_transform(deq, bd, use_dst)
     rec = jnp.clip(cand + rres, 0, (1 << bd) - 1)
-    d = (blocks - rec).astype(jnp.float32)
-    dist = (d * d).sum(axis=(-1, -2))
+    d = blocks - rec
+    dist = (d * d).sum(axis=(-1, -2)).astype(jnp.float32)
     bits = _bits_estimate(lvl)
     return dist, bits
 
@@ -307,266 +312,329 @@ class IntraPlan:
         self.cands = np.full((h4, w4, 3), -1, dtype=np.int8)
 
 
-def plan_frame(orig, sps, qp, lam, chroma_weight, chroma_qps, device=None):
-    """Stage 1 + 2: batched candidate RD + quadtree DP over a whole frame.
+def _jnp_ref_buffers(plane, s: int, bd: int, strong: bool, h: int, w: int):
+    """Device twin of _ref_buffers: (N, 2, 4s+1) reference buffers plus
+    (N, s, s) original blocks for all aligned s-blocks fully inside
+    (h, w), assembled with gathers so the whole plan stays on-device."""
+    nby, nbx = h // s, w // s
+    ph, pw = plane.shape
+    x0s = jnp.tile(jnp.arange(nbx) * s, nby)
+    y0s = jnp.repeat(jnp.arange(nby) * s, nbx)
+    rng = jnp.arange(-1, 2 * s)
+    tops = plane[jnp.clip(y0s - 1, 0, None)[:, None],
+                 jnp.clip(x0s[:, None] + rng[None, :], 0, pw - 1)]
+    lrng = jnp.concatenate([jnp.array([-1]), jnp.arange(0, 2 * s)])
+    lefts = plane[jnp.clip(y0s[:, None] + lrng[None, :], 0, ph - 1),
+                  jnp.clip(x0s - 1, 0, None)[:, None]]
+    lefts = lefts.at[:, 0].set(tops[:, 0])
+    n = nby * nbx
+    tops = tops.astype(jnp.int32)
+    lefts = lefts.astype(jnp.int32)
+    buf_u = jnp.concatenate(
+        [lefts[:, 1:][:, ::-1], tops[:, :1], tops[:, 1:]], axis=1)
+    buf_f = buf_u.at[:, 1:-1].set(
+        (buf_u[:, 2:] + 2 * buf_u[:, 1:-1] + buf_u[:, :-2] + 2) >> 2)
+    if s == 32 and strong:
+        thr = 1 << (bd - 5)
+        c0, cs_, c2s = buf_u[:, 2 * s], buf_u[:, 3 * s], buf_u[:, 4 * s]
+        l0, ls_, l2s = buf_u[:, 2 * s], buf_u[:, s], buf_u[:, 0]
+        use = (jnp.abs(c0 + c2s - 2 * cs_) < thr) & \
+              (jnp.abs(l0 + l2s - 2 * ls_) < thr)
+        i = jnp.arange(1, 2 * s)
+        top_bl = ((2 * s - i)[None, :] * c0[:, None]
+                  + i[None, :] * c2s[:, None] + s) >> 6
+        left_bl = ((2 * s - i)[None, :] * l0[:, None]
+                   + i[None, :] * l2s[:, None] + s) >> 6
+        sb = buf_u.at[:, 2 * s + 1: 4 * s].set(top_bl)
+        sb = sb.at[:, 1: 2 * s].set(left_bl[:, ::-1])
+        buf_f = jnp.where(use[:, None], sb, buf_f)
+    blocks = plane[:nby * s, :nbx * s].reshape(nby, s, nbx, s) \
+        .swapaxes(1, 2).reshape(n, s, s).astype(jnp.int32)
+    return jnp.stack([buf_u, buf_f], axis=1), blocks
 
-    orig: [Y, Cb, Cr] int32 planes.  Returns an IntraPlan covering every
-    part whose CTU is fully inside the picture; uncovered parts fall back
-    to the caller's per-CU path."""
+
+def _up(a, f):
+    """Upsample a grid by f x f (nearest)."""
+    return jnp.repeat(jnp.repeat(a, f, axis=0), f, axis=1)
+
+
+def _pad_to(a, hh, ww, fill):
+    return jnp.pad(a, ((0, hh - a.shape[0]), (0, ww - a.shape[1])),
+                   constant_values=fill)
+
+
+def _quad(a):
+    """Sum 2x2 neighbourhoods (truncating odd edges)."""
+    hh, ww = (a.shape[0] // 2) * 2, (a.shape[1] // 2) * 2
+    q = a[:hh, :ww]
+    return q[0::2, 0::2] + q[0::2, 1::2] + q[1::2, 0::2] + q[1::2, 1::2]
+
+
+@partial(jax.jit, static_argnames=("h", "w", "bd", "cbd", "strong", "qp",
+                                   "cqp0", "cqp1", "chroma", "use_stage1"))
+def _plan_device(y, cb, cr, lam, cweight, stage1, *, h: int, w: int,
+                 bd: int, cbd: int, strong: bool, qp: int, cqp0: int,
+                 cqp1: int, chroma: bool, use_stage1: bool):
+    """The whole frame plan as ONE device program: per-size candidate RD
+    (ref assembly + 35-mode prediction + SATD + top-k transform RD),
+    chroma mode RD, the 64x64 level, the bottom-up quadtree DP, and the
+    dense plan emission.  One dispatch per frame; only the compact plan
+    arrays come back to the host.
+
+    stage1: optional per-size (mode, cost, top3, satd32) grids computed
+    elsewhere (the row-sharded multi-device path) — must be numerically
+    identical to the in-program evaluation, which holds because every
+    cross-block reduction is integer."""
+    lamf = lam.astype(jnp.float32)
+    sizes = (4, 8, 16, 32)
+    mode_s, cost_s, cand_s = {}, {}, {}
+    satd32 = None
+    shape_s = {s: (h // s, w // s) for s in (4, 8, 16, 32, 64)}
+    for i, s in enumerate(sizes):
+        nby, nbx = shape_s[s]
+        if nby == 0 or nbx == 0:
+            mode_s[s] = jnp.zeros((nby, nbx), jnp.int32)
+            cost_s[s] = jnp.zeros((nby, nbx), jnp.float32)
+            cand_s[s] = jnp.zeros((nby, nbx, 3), jnp.int32)
+            continue
+        if use_stage1:
+            m, c, c3, sa = stage1[i]
+            m = m.reshape(nby, nbx)
+            c = c.reshape(nby, nbx).astype(jnp.float32)
+            c3 = c3.reshape(nby, nbx, 3)
+            if s == 32:
+                satd32 = sa.reshape(nby, nbx, 35)
+        else:
+            bufs, blocks = _jnp_ref_buffers(y, s, bd, strong, h, w)
+            m, c, c3, sa = _size_rd(bufs, blocks, lamf, s, bd,
+                                    NUM_RD_CANDS[s], qp, True, s == 4,
+                                    s == 32)
+            m = m.reshape(nby, nbx)
+            c = c.reshape(nby, nbx)
+            c3 = c3.reshape(nby, nbx, 3)
+            if s == 32:
+                satd32 = sa.reshape(nby, nbx, 35)
+        mode_s[s], cost_s[s], cand_s[s] = m, c, c3
+
+    # chroma mode RD folded into each luma CU size: the five HEVC chroma
+    # candidates {planar, ver, hor, dc, DM} shared between Cb and Cr
+    # (estIntraPredChromaQT TEncSearch.cpp:2698)
+    cmode_s, chroma_add = {}, {}
+    if chroma:
+        for s in (8, 16, 32):
+            cs = s // 2
+            nby, nbx = shape_s[s]
+            if nby == 0 or nbx == 0:
+                continue
+            dm = mode_s[s].reshape(-1)
+            base = (0, 26, 10, 1)
+            cols = [jnp.where(dm == m, 34, m) for m in base] + [dm]
+            modes5 = jnp.stack(cols, axis=1)
+            mode_bits = jnp.asarray([4.0, 4.0, 4.0, 4.0, 1.0], jnp.float32)
+            tot = lamf * mode_bits[None, :]
+            for comp, cplane, cqp in ((1, cb, cqp0), (2, cr, cqp1)):
+                bufs, blocks = _jnp_ref_buffers(cplane, cs, cbd, False,
+                                                h // 2, w // 2)
+                d, b = _chroma_rd5(bufs, blocks, modes5, lamf, cs, cbd, cqp)
+                tot = tot + d * cweight + lamf * b
+            best = jnp.argmin(tot, axis=1)
+            add = jnp.take_along_axis(tot, best[:, None], axis=1)[:, 0] \
+                .reshape(nby, nbx)
+            cost_s[s] = cost_s[s] + add
+            chroma_add[s] = add
+            cmode_s[s] = best.reshape(nby, nbx).astype(jnp.int32)
+
+    # 64x64 intra CUs: one shared mode, TU forced-split to four TU32s.
+    # Mode from the summed child SATD; cost via fixed-mode TU32 eval.
+    nby64, nbx64 = shape_s[64]
+    cost64 = mode64 = None
+    if nby64 and nbx64 and satd32 is not None:
+        ss = satd32[:nby64 * 2, :nbx64 * 2]
+        quad_satd = (ss[0::2, 0::2] + ss[0::2, 1::2]
+                     + ss[1::2, 0::2] + ss[1::2, 1::2])
+        mode64 = jnp.argmin(quad_satd, axis=2).astype(jnp.int32)
+        bufs32, blocks32 = _jnp_ref_buffers(y, 32, bd, strong, h, w)
+        cby, cbx = shape_s[32]
+        idx = (jnp.arange(2 * nby64)[:, None] * cbx
+               + jnp.arange(2 * nbx64)[None, :]).reshape(-1)
+        pm64 = _up(mode64, 2)
+        d, b = _size_rd_fixed_mode(
+            bufs32[idx], blocks32[idx], pm64.reshape(-1), lamf, 32, bd,
+            qp, True, False)
+        cc = (d + lamf * b).reshape(2 * nby64, 2 * nbx64)
+        cost64 = _quad(cc) + lamf * 8.0
+        if 32 in chroma_add:
+            cost64 = cost64 + _quad(chroma_add[32][:nby64 * 2, :nbx64 * 2])
+
+    # ---- bottom-up quadtree DP ----
+    nby8, nbx8 = shape_s[8]
+    nby16, nbx16 = shape_s[16]
+    nby32, nbx32 = shape_s[32]
+    cu8 = cost_s[8]
+    nxn_g = jnp.zeros((nby8, nbx8), bool)
+    if nby8 and cost_s[4].size:
+        quad4 = _quad(cost_s[4])[:nby8, :nbx8] + lamf * NXN_OVERHEAD_BITS
+        nxn_g = quad4 < cu8
+        cu8 = jnp.minimum(cu8, quad4)
+    cu16 = cost_s[16]
+    split16 = jnp.zeros((nby16, nbx16), bool)
+    if nby16 and cu8.size:
+        quad = _quad(cu8)[:nby16, :nbx16] + lamf * SPLIT_OVERHEAD_BITS
+        split16 = quad < cu16
+        cu16 = jnp.minimum(cu16, quad)
+    cu32 = cost_s[32]
+    split32 = jnp.zeros((nby32, nbx32), bool)
+    if nby32 and cu16.size:
+        quad = _quad(cu16)[:nby32, :nbx32] + lamf * SPLIT_OVERHEAD_BITS
+        split32 = quad < cu32
+        cu32 = jnp.minimum(cu32, quad)
+    if cost64 is not None:
+        c64_chosen = cost64 < (_quad(cu32)[:nby64, :nbx64]
+                               + lamf * SPLIT_OVERHEAD_BITS)
+    else:
+        c64_chosen = jnp.zeros((nby64, nbx64), bool)
+
+    # ---- dense plan emission (the recursion of the old host `mark`
+    # expressed as per-level masks + upsampling) ----
+    h4, w4 = h // 4, w // 4
+    covered64_32 = _pad_to(_up(c64_chosen, 2), nby32, nbx32, False)
+    leaf32 = ~covered64_32 & ~split32
+    desc32 = ~covered64_32 & split32
+    r16 = np.arange(nby16)[:, None]
+    c16 = np.arange(nbx16)[None, :]
+    border16 = jnp.asarray((r16 >= 2 * nby32) | (c16 >= 2 * nbx32))
+    active16 = _pad_to(_up(desc32, 2), nby16, nbx16, False) | border16
+    leaf16 = active16 & ~split16
+    desc16 = active16 & split16
+    r8 = np.arange(nby8)[:, None]
+    c8 = np.arange(nbx8)[None, :]
+    border8 = jnp.asarray((r8 >= 2 * nby16) | (c8 >= 2 * nbx16))
+    active8 = _pad_to(_up(desc16, 2), nby8, nbx8, False) | border8
+    leaf8 = active8 & ~nxn_g
+    leafN = active8 & nxn_g
+
+    m64 = _pad_to(_up(c64_chosen, 16), h4, w4, False)
+    m32 = _pad_to(_up(leaf32, 8), h4, w4, False)
+    m16 = _pad_to(_up(leaf16, 4), h4, w4, False)
+    m8 = _pad_to(_up(leaf8, 2), h4, w4, False)
+    mN = _pad_to(_up(leafN, 2), h4, w4, False)
+
+    def up_val(grid, f, fill):
+        return _pad_to(_up(grid, f), h4, w4, fill)
+
+    neg = jnp.full((h4, w4), -1, jnp.int32)
+    depth = jnp.where(m64, 0, jnp.where(m32, 1, jnp.where(
+        m16, 2, jnp.where(m8 | mN, 3, neg))))
+    mode4p = _pad_to(mode_s[4], h4, w4, -1) if cost_s[4].size else neg
+    mode = neg
+    if cost64 is not None:
+        mode = jnp.where(m64, up_val(mode64, 16, -1), mode)
+    mode = jnp.where(m32, up_val(mode_s[32], 8, -1), mode)
+    mode = jnp.where(m16, up_val(mode_s[16], 4, -1), mode)
+    mode = jnp.where(m8, up_val(mode_s[8], 2, -1), mode)
+    mode = jnp.where(mN, mode4p, mode)
+    cov = m64 | m32 | m16 | m8 | mN
+    iy = np.arange(h4)[:, None]
+    ix = np.arange(w4)[None, :]
+
+    def origin(f):
+        return jnp.asarray((iy % f == 0) & (ix % f == 0))
+
+    nxn_plan = mN & origin(2)
+    tusplit = m64 & origin(16)
+    # RD-ranked top-3 candidates at CU/PU origins for commit-time
+    # re-ranking (at 4x4 granularity the grid IS the part grid)
+    cands = jnp.full((h4, w4, 3), -1, jnp.int32)
+    for s, m_, f in ((32, m32, 8), (16, m16, 4), (8, m8, 2)):
+        if not cost_s[s].size:
+            continue
+        c3u = jnp.repeat(jnp.repeat(cand_s[s], f, axis=0), f, axis=1)
+        c3u = jnp.pad(c3u, ((0, h4 - c3u.shape[0]),
+                            (0, w4 - c3u.shape[1]), (0, 0)),
+                      constant_values=-1)
+        sel = (m_ & origin(f))[:, :, None]
+        cands = jnp.where(sel, c3u, cands)
+    if cost_s[4].size:
+        c4u = jnp.pad(cand_s[4], ((0, h4 - cand_s[4].shape[0]),
+                                  (0, w4 - cand_s[4].shape[1]), (0, 0)),
+                      constant_values=-1)
+        cands = jnp.where(mN[:, :, None], c4u, cands)
+    cmode = jnp.full((h4, w4), 4, jnp.int32)
+    for s, m_, f in ((32, m32, 8), (16, m16, 4), (8, m8, 2)):
+        if s in cmode_s:
+            cmode = jnp.where(m_, up_val(cmode_s[s], f, 4), cmode)
+
+    flags = (nxn_plan.astype(jnp.int8) | (cov.astype(jnp.int8) << 1)
+             | (tusplit.astype(jnp.int8) << 2))
+    return jnp.stack(
+        [depth.astype(jnp.int8), mode.astype(jnp.int8),
+         cmode.astype(jnp.int8), cands[:, :, 0].astype(jnp.int8),
+         cands[:, :, 1].astype(jnp.int8), cands[:, :, 2].astype(jnp.int8),
+         flags])
+
+
+def submit_plan(orig, sps, qp, lam, chroma_weight, chroma_qps, device=None,
+                stage1=None):
+    """Dispatch the fused frame-plan program; returns the packed device
+    array WITHOUT blocking (JAX async dispatch) so the accelerator can
+    compute this frame's plan while the host commits the previous one."""
     bd = sps.bit_depth_luma
     strong = bool(sps.strong_intra_smoothing)
     h, w = sps.pic_height, sps.pic_width
-    y = orig[0]
     if device is None:
         device = _pick_device()
-    lamf = float(lam)
-
-    sizes = (4, 8, 16, 32)
-    mode_s, cost_s, shape_s, mbits_s, cand_s = {}, {}, {}, {}, {}
-    chroma_add = {}
-    sub_bufs, sub_blocks = {}, {}
+    chroma = len(orig) > 1 and sps.chroma_format_idc == 1
     with jax.default_device(device):
-        for s in sizes:
-            bufs, blocks, nby, nbx = _ref_buffers(y, s, bd, strong, h, w)
-            if nby == 0 or nbx == 0:
-                mode_s[s] = np.zeros((0, 0), np.int32)
-                cost_s[s] = np.zeros((0, 0), np.float32)
-                shape_s[s] = (0, 0)
-                continue
-            sub_bufs[s], sub_blocks[s] = bufs, blocks
-            jb, jblk = jnp.asarray(bufs), jnp.asarray(blocks)
-            k = NUM_RD_CANDS[s]
-            m, c, c3, satd = _size_rd(jb, jblk, lamf, s, bd, k, int(qp),
-                                      True, s == 4, s == 32)
-            mode_s[s] = np.asarray(m).reshape(nby, nbx)
-            cost_s[s] = np.asarray(c, dtype=np.float64).reshape(nby, nbx)
-            mbits_s[s] = 6.0
-            cand_s[s] = np.asarray(c3, dtype=np.int8).reshape(nby, nbx, 3)
-            shape_s[s] = (nby, nbx)
-            if s == 32:
-                satd32 = np.asarray(satd).reshape(nby, nbx, 35)
-
-        # shared-mode TU split (intra RQT, one level): residual of the CU
-        # coded as four half-size TUs predicted per-TU but with the CU's
-        # single intra mode (xRecurIntraCodingQT split branch)
-        tusplit_s = {}
-        for s in TUSPLIT_SIZES:
-            nby, nbx = shape_s[s]
-            cs = s // 2
-            cby, cbx = shape_s[cs]
-            if not nby or not cby:
-                continue
-            pm = np.repeat(np.repeat(mode_s[s], 2, 0), 2, 1)
-            # children of fully-evaluated parents only (the child grid can
-            # extend further into the picture than 2x the parent grid)
-            rows = np.arange(2 * nby)
-            cols = np.arange(2 * nbx)
-            idx = (rows[:, None] * cbx + cols[None, :]).ravel()
-            d, b = _size_rd_fixed_mode(
-                jnp.asarray(sub_bufs[cs][idx]),
-                jnp.asarray(sub_blocks[cs][idx]),
-                jnp.asarray(pm.ravel().astype(np.int32)), lamf, cs, bd,
-                int(qp), True, cs == 4)
-            cc = (np.asarray(d, dtype=np.float64)
-                  + lamf * BITS_SCALE * np.asarray(b, dtype=np.float64)
-                  ).reshape(2 * nby, 2 * nbx)
-            q = cc
-            tusplit_s[s] = (q[0::2, 0::2] + q[0::2, 1::2] + q[1::2, 0::2]
-                            + q[1::2, 1::2]) \
-                + lamf * (TUSPLIT_EXTRA_BITS + mbits_s[s])
-            # (subdiv flag + 3 extra luma cbf flags + the mode bits once)
-
-        # chroma mode RD folded into each luma CU size: evaluate the five
-        # HEVC chroma candidates {planar, ver, hor, dc, DM} shared between
-        # Cb and Cr (estIntraPredChromaQT TEncSearch.cpp:2698)
-        cmode_s = {}
-        if len(orig) > 1 and sps.chroma_format_idc == 1:
-            for s in (8, 16, 32):
-                cs = s // 2
-                nby, nbx = shape_s[s]
-                if nby == 0:
-                    continue
-                dm = mode_s[s]
-                modes5 = None
-                mode_bits = [4.0, 4.0, 4.0, 4.0, 1.0]
-                comp_costs = []
-                for comp in (1, 2):
-                    bufs, blocks, cby, cbx = _ref_buffers(
-                        orig[comp], cs, sps.bit_depth_chroma, False,
-                        h // 2, w // 2)
-                    cby, cbx = min(cby, nby), min(cbx, nbx)
-                    if cby == 0 or cbx == 0:
-                        break
-                    n = cby * cbx
-                    luma = dm[:cby, :cbx].ravel().astype(np.int32)
-                    if modes5 is None:
-                        base = (0, 26, 10, 1)
-                        cols = [np.where(luma == m, 34, m) for m in base]
-                        cols.append(luma)                       # DM
-                        modes5 = np.stack(cols, axis=1).astype(np.int32)
-                    d, b = _chroma_rd5(
-                        jnp.asarray(bufs[:n]), jnp.asarray(blocks[:n]),
-                        jnp.asarray(modes5), lamf, cs,
-                        sps.bit_depth_chroma, int(chroma_qps[comp - 1]))
-                    costs = (np.asarray(d, dtype=np.float64).T * chroma_weight
-                             + lamf * np.asarray(b, dtype=np.float64).T)
-                    comp_costs.append(costs)
-                if len(comp_costs) < 2:
-                    continue
-                tot = comp_costs[0] + comp_costs[1] + lamf * np.asarray(
-                    mode_bits)[:, None]
-                best = np.argmin(tot, axis=0)
-                add = np.take_along_axis(tot, best[None], axis=0)[0]
-                cost_s[s][:cby, :cbx] += add.reshape(cby, cbx)
-                ca = chroma_add.setdefault(s, np.zeros_like(cost_s[s]))
-                ca[:cby, :cbx] += add.reshape(cby, cbx)
-                cm = np.full((nby, nbx), 4, dtype=np.int8)
-                cm[:cby, :cbx] = best.reshape(cby, cbx)
-                cmode_s[s] = cm
-
-        # 64x64 intra CUs: one shared mode, TU forced-split to four TU32s
-        # (the dominant smooth-area choice in HM's AI streams).  Mode from
-        # the summed 35-mode SATD of the children; cost via fixed-mode
-        # evaluation of the four TU32s.
-        nby64, nbx64 = h // 64, w // 64
-        cost64 = mode64 = None
-        if nby64 and nbx64 and shape_s[32][0] >= nby64 * 2:
-            ss = satd32[:nby64 * 2, :nbx64 * 2]
-            quad_satd = (ss[0::2, 0::2] + ss[0::2, 1::2]
-                         + ss[1::2, 0::2] + ss[1::2, 1::2])
-            mode64 = np.argmin(quad_satd, axis=2).astype(np.int32)
-            cby, cbx = shape_s[32]
-            rows = np.arange(2 * nby64)
-            cols = np.arange(2 * nbx64)
-            idx = (rows[:, None] * cbx + cols[None, :]).ravel()
-            pm64 = np.repeat(np.repeat(mode64, 2, 0), 2, 1)
-            d, b = _size_rd_fixed_mode(
-                jnp.asarray(sub_bufs[32][idx]),
-                jnp.asarray(sub_blocks[32][idx]),
-                jnp.asarray(pm64.ravel().astype(np.int32)), lamf, 32, bd,
-                int(qp), True, False)
-            cc = (np.asarray(d, dtype=np.float64)
-                  + lamf * np.asarray(b, dtype=np.float64)
-                  ).reshape(2 * nby64, 2 * nbx64)
-            cost64 = (cc[0::2, 0::2] + cc[0::2, 1::2] + cc[1::2, 0::2]
-                      + cc[1::2, 1::2]) + lamf * 8.0
-            if 32 in chroma_add:
-                ca = chroma_add[32][:nby64 * 2, :nbx64 * 2]
-                cost64 += (ca[0::2, 0::2] + ca[0::2, 1::2]
-                           + ca[1::2, 0::2] + ca[1::2, 1::2])
-
-    # ---- stage 2: bottom-up DP ----
-    split_bits = SPLIT_OVERHEAD_BITS
-    tuflag = {}
-    for s in (8, 16, 32):
-        if s in tusplit_s and cost_s[s].size:
-            ts = tusplit_s[s]
-            tuflag[s] = ts < cost_s[s]
-            cost_s[s] = np.minimum(cost_s[s], ts)
+        y = jnp.asarray(orig[0], jnp.int32)
+        if chroma:
+            cbp = jnp.asarray(orig[1], jnp.int32)
+            crp = jnp.asarray(orig[2], jnp.int32)
         else:
-            tuflag[s] = np.zeros_like(cost_s[s], dtype=bool)
-    # cu8: 2Nx2N vs NxN (4 PUs with own 4x4 TUs; ~3 extra mode signal bits)
-    nby8, nbx8 = shape_s[8]
-    c4 = cost_s[4]
-    nxn = np.zeros((nby8, nbx8), dtype=bool)
-    cu8 = cost_s[8].copy()
-    if nby8 and c4.size:
-        q = c4[:nby8 * 2, :nbx8 * 2]
-        quad4 = (q[0::2, 0::2] + q[0::2, 1::2] + q[1::2, 0::2]
-                 + q[1::2, 1::2])[:nby8, :nbx8] + lamf * NXN_OVERHEAD_BITS
-        nxn = quad4 < cu8
-        cu8 = np.minimum(cu8, quad4)
-    nby16, nbx16 = shape_s[16]
-    cu16 = cost_s[16].copy()
-    split16 = np.zeros((nby16, nbx16), dtype=bool)
-    if nby16 and cu8.size:
-        q = cu8[:nby16 * 2, :nbx16 * 2]
-        quad = (q[0::2, 0::2] + q[0::2, 1::2] + q[1::2, 0::2]
-                + q[1::2, 1::2])[:nby16, :nbx16] + lamf * split_bits
-        split16 = quad < cu16
-        cu16 = np.minimum(cu16, quad)
-    nby32, nbx32 = shape_s[32]
-    cu32 = cost_s[32].copy()
-    split32 = np.zeros((nby32, nbx32), dtype=bool)
-    if nby32 and cu16.size:
-        q = cu16[:nby32 * 2, :nbx32 * 2]
-        quad = (q[0::2, 0::2] + q[0::2, 1::2] + q[1::2, 0::2]
-                + q[1::2, 1::2])[:nby32, :nbx32] + lamf * split_bits
-        split32 = quad < cu32
-        cu32 = np.minimum(cu32, quad)
+            cbp = crp = jnp.zeros((1, 1), jnp.int32)
+        return _plan_device(
+            y, cbp, crp, jnp.float32(lam), jnp.float32(chroma_weight),
+            stage1, h=h, w=w, bd=bd, cbd=sps.bit_depth_chroma,
+            strong=strong, qp=int(qp), cqp0=int(chroma_qps[0]),
+            cqp1=int(chroma_qps[1]), chroma=chroma,
+            use_stage1=stage1 is not None)
 
-    # ---- emit dense plan ----
+
+def fetch_plan(packed, h, w):
+    """Materialize a submitted plan (one blocking fetch per frame)."""
+    pi8 = np.asarray(packed)
     plan = IntraPlan(h // 4, w // 4)
-
-    def mark(by, bx, s):
-        if s == 8 and nxn[by, bx]:
-            py, px = by * 2, bx * 2
-            plan.depth[py:py + 2, px:px + 2] = 3
-            plan.nxn[py, px] = True
-            plan.mode[py:py + 2, px:px + 2] = \
-                mode_s[4][py:py + 2, px:px + 2]
-            plan.cands[py:py + 2, px:px + 2] = \
-                cand_s[4][py:py + 2, px:px + 2]
-            plan.cov[py:py + 2, px:px + 2] = True
-            return
-        if s == 16 and split16[by, bx]:
-            for sub in range(4):
-                mark(by * 2 + (sub >> 1), bx * 2 + (sub & 1), 8)
-            return
-        if s == 32 and split32[by, bx]:
-            for sub in range(4):
-                mark(by * 2 + (sub >> 1), bx * 2 + (sub & 1), 16)
-            return
-        n = s // 4
-        py, px = by * n, bx * n
-        plan.depth[py:py + n, px:px + n] = 6 - s.bit_length() + 1
-        plan.mode[py:py + n, px:px + n] = mode_s[s][by, bx]
-        plan.cands[py, px] = cand_s[s][by, bx]
-        plan.cov[py:py + n, px:px + n] = True
-        if tuflag[s][by, bx]:
-            plan.tusplit[py, px] = True
-        if s in cmode_s:
-            plan.cmode[py:py + n, px:px + n] = cmode_s[s][by, bx]
-
-    # top level: 64x64 CU vs four 32x32 subtrees, then leftover 32s
-    done64 = np.zeros((nby32, nbx32), dtype=bool)
-    if cost64 is not None:
-        # (cost64 carries the children's chroma costs so the comparison
-        # against the four 32x32 subtrees is apples-to-apples)
-        for by in range(nby64):
-            for bx in range(nbx64):
-                sub = cu32[by * 2:by * 2 + 2, bx * 2:bx * 2 + 2]
-                if cost64[by, bx] < sub.sum() + lamf * SPLIT_OVERHEAD_BITS:
-                    n = 16
-                    py, px = by * n, bx * n
-                    plan.depth[py:py + n, px:px + n] = 0
-                    plan.mode[py:py + n, px:px + n] = mode64[by, bx]
-                    plan.cov[py:py + n, px:px + n] = True
-                    plan.tusplit[py, px] = True
-                    done64[by * 2:by * 2 + 2, bx * 2:bx * 2 + 2] = True
-    for by in range(nby32):
-        for bx in range(nbx32):
-            if not done64[by, bx]:
-                mark(by, bx, 32)
-    # 16x16 blocks inside the picture but outside the 32-aligned area
-    for by in range(nby16):
-        for bx in range(nbx16):
-            if by * 16 + 16 <= nby32 * 32 and bx * 16 + 16 <= nbx32 * 32:
-                continue
-            mark(by, bx, 16)
-    for by in range(nby8):
-        for bx in range(nbx8):
-            if by * 8 + 8 <= nby16 * 16 and bx * 8 + 8 <= nbx16 * 16:
-                continue
-            mark(by, bx, 8)
+    plan.depth[:] = pi8[0]
+    plan.mode[:] = pi8[1]
+    plan.cmode[:] = pi8[2]
+    plan.cands[:] = np.moveaxis(pi8[3:6], 0, -1)
+    flags = pi8[6]
+    plan.nxn[:] = (flags & 1) != 0
+    plan.cov[:] = (flags & 2) != 0
+    plan.tusplit[:] = (flags & 4) != 0
     return plan
 
 
+def plan_frame(orig, sps, qp, lam, chroma_weight, chroma_qps, device=None,
+               stage1=None):
+    """Stage 1 + 2 of the batched frame pipeline as a single device
+    dispatch (see _plan_device).  orig: [Y, Cb, Cr] int32 planes.
+    Returns an IntraPlan covering every part whose CTU is fully inside
+    the picture; uncovered parts fall back to the caller's per-CU path.
+
+    stage1: optional per-size (mode, cost, top3, satd) device grids from
+    the row-sharded multi-device path (parallel/frame_shard.py)."""
+    packed = submit_plan(orig, sps, qp, lam, chroma_weight, chroma_qps,
+                         device, stage1)
+    return fetch_plan(packed, sps.pic_height, sps.pic_width)
+
+
 def _pick_device():
+    """The accelerator is the production analysis device; HM16_ANALYSIS_CPU
+    pins the plan to the host backend (debug / CI without a chip)."""
     import os
-    if os.environ.get("HM16_ANALYSIS_TPU"):
-        return jax.devices()[0]
-    try:
+    if os.environ.get("HM16_ANALYSIS_CPU"):
         return jax.devices("cpu")[0]
-    except Exception:
-        return jax.devices()[0]
+    for d in jax.devices():
+        if d.platform != "cpu":
+            return d
+    return jax.devices()[0]

@@ -174,7 +174,8 @@ class Encoder:
                                cfg.total_frames, cfg.width, cfg.height,
                                gop_kind="ra8" if cfg.gop == "ra8" else "ld1")
 
-    def encode_frame(self, planes: list[np.ndarray], poc: int) -> bytes:
+    def encode_frame(self, planes: list[np.ndarray], poc: int,
+                     _plan=None) -> bytes:
         """Encode one frame (IDR at intra-period boundaries, else LD-P)."""
         cfg, sps = self.cfg, self.sps
         is_idr = cfg.intra_period == 1 or \
@@ -196,7 +197,58 @@ class Encoder:
             sh.collocated_ref_idx = 0
         sh.qp = cfg.qp
         rc_lam = self._rc_begin(planes, sh, 0)
-        return self._encode_one(planes, poc, sh, rc_lam=rc_lam)
+        return self._encode_one(planes, poc, sh, rc_lam=rc_lam,
+                                plan_packed=_plan)
+
+    def _submit_plan(self, planes):
+        """Async-dispatch the intra frame plan (AI fast path: fixed slice
+        QP, no rate control) so the accelerator overlaps the host commit
+        of the previous frame."""
+        from hm16_2_tpu.common.tables import CHROMA_QP_SCALE
+        from hm16_2_tpu.encode import intra_rd
+        cfg, sps, pps = self.cfg, self.sps, self.pps
+        qp = cfg.qp
+        lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
+        qp_luma = qp + 6 * (sps.bit_depth_luma - 8)
+        cqps = []
+        for off in (pps.cb_qp_offset, pps.cr_qp_offset):
+            base = int(np.clip(qp + off, 0, 57))
+            cqps.append(int(CHROMA_QP_SCALE[sps.chroma_format_idc][base])
+                        + 6 * (sps.bit_depth_chroma - 8))
+        if len(planes) > 1:
+            base = int(np.clip(qp + pps.cb_qp_offset, 0, 57))
+            cqp = int(CHROMA_QP_SCALE[sps.chroma_format_idc][base])
+        else:
+            cqp = qp
+        cw = 2.0 ** ((qp - cqp) / 3.0)
+        return intra_rd.submit_plan(planes, sps, qp_luma, lam, cw, cqps)
+
+    def encode_stream(self, frames):
+        """Encode an iterable of frames, yielding one Annex-B AU each.
+
+        All-intra with fixed QP runs PIPELINED: frame N+1's plan program
+        is dispatched to the accelerator before the host starts frame N's
+        commit/CABAC, hiding the device time entirely (the TPU dual of
+        TAppEncTop's read-encode loop, TAppEncTop.cpp:449-482)."""
+        pipelined = (self.cfg.intra_period == 1 and self.rc is None
+                     and self.cfg.rdo and self.gop_table is None)
+        if not pipelined:
+            for poc, planes in enumerate(frames):
+                for au in self.push_frame(planes, poc):
+                    yield au
+            for au in self.flush():
+                yield au
+            return
+        pend = None                      # (planes, poc, submitted plan)
+        for poc, planes in enumerate(frames):
+            planes = [np.ascontiguousarray(p, dtype=np.int32)
+                      for p in planes]
+            fut = self._submit_plan(planes)
+            if pend is not None:
+                yield self.encode_frame(pend[0], pend[1], _plan=pend[2])
+            pend = (planes, poc, fut)
+        if pend is not None:
+            yield self.encode_frame(pend[0], pend[1], _plan=pend[2])
 
     def _rc_begin(self, planes, sh, gop_id):
         """Picture-level rate control (TEncGOP.cpp:1068-1119): target bits
@@ -343,7 +395,7 @@ class Encoder:
                                 rc_lam=rc_lam)
 
     def _encode_one(self, planes, poc, sh, qp_factor=None,
-                    rc_lam=None) -> bytes:
+                    rc_lam=None, plan_packed=None) -> bytes:
         cfg, sps, pps = self.cfg, self.sps, self.pps
         is_idr = sh.nal_type in (NAL_IDR_W_RADL, NAL_IDR_N_LP)
         if is_idr:
@@ -373,23 +425,42 @@ class Encoder:
                 not os.environ.get("HM16_EXACT_RD"):
             from hm16_2_tpu.common.tables import CHROMA_QP_SCALE
             from hm16_2_tpu.encode import intra_rd
-            qp_luma = sh.qp + 6 * (sps.bit_depth_luma - 8)
-            cqps = []
-            for off in (pps.cb_qp_offset, pps.cr_qp_offset):
-                base = int(np.clip(sh.qp + off, 0, 57))
-                cqps.append(int(CHROMA_QP_SCALE[sps.chroma_format_idc][base])
-                            + 6 * (sps.bit_depth_chroma - 8))
-            search.plan = intra_rd.plan_frame(
-                planes, sps, qp_luma, search.lam,
-                getattr(search, "chroma_weight", 1.0), cqps)
+            if plan_packed is not None:
+                # pipelined path: the plan program was dispatched before
+                # the previous frame's commit started
+                search.plan = intra_rd.fetch_plan(plan_packed, sps.pic_height,
+                                                  sps.pic_width)
+            else:
+                qp_luma = sh.qp + 6 * (sps.bit_depth_luma - 8)
+                cqps = []
+                for off in (pps.cb_qp_offset, pps.cr_qp_offset):
+                    base = int(np.clip(sh.qp + off, 0, 57))
+                    cqps.append(
+                        int(CHROMA_QP_SCALE[sps.chroma_format_idc][base])
+                        + 6 * (sps.bit_depth_chroma - 8))
+                search.plan = intra_rd.plan_frame(
+                    planes, sps, qp_luma, search.lam,
+                    getattr(search, "chroma_weight", 1.0), cqps)
         if sh.slice_type != I_SLICE:
             ref_lists = build_ref_lists(sh, self.dpb)
             rc = RefCtx(sh, ref_lists)
             search.mvp = MvPredictor(pic, rc, 0)
             search.cenc.mvp = search.mvp
-        # pass 1: mode decisions + reconstruction (TEncSlice::compressSlice)
+        # pass 1: mode decisions + reconstruction (TEncSlice::compressSlice).
+        # Planned I-slices commit the whole frame in ONE native call (the
+        # C++ engine walks every CTU, border CTUs via implicit splits);
+        # anything it can't handle resumes per-CTU on the host.
         n_ctus = pic.w_ctbs * pic.h_ctbs
-        for ts in range(n_ctus):
+        start_ts = 0
+        if search.plan is not None:
+            cctx = search._commit_ctx()
+            if cctx is not None:
+                import ctypes
+
+                from hm16_2_tpu import native
+                rc = native.get_dsp().commit_plan_frame(ctypes.byref(cctx))
+                start_ts = n_ctus if rc == 0 else rc - 1
+        for ts in range(start_ts, n_ctus):
             rs = int(pic.tiles.ctu_ts_to_rs[ts])
             cx, cy = rs % pic.w_ctbs, rs // pic.w_ctbs
             search.decide_ctu(cx, cy)
@@ -567,18 +638,15 @@ class CtuSearch:
         pic = self.pic
         parts = pic.ctb // 4
         if self.plan is not None:
-            # native commit engine for fully-covered interior CTUs
-            if (cx + 1) * pic.ctb <= pic.w and (cy + 1) * pic.ctb <= pic.h \
-                    and self.plan.cov[cy * parts:(cy + 1) * parts,
-                                      cx * parts:(cx + 1) * parts].all():
-                cctx = self._commit_ctx()
-                if cctx is not None:
-                    import ctypes
+            # native commit engine (handles border CTUs via implicit split)
+            cctx = self._commit_ctx()
+            if cctx is not None:
+                import ctypes
 
-                    from hm16_2_tpu import native
-                    if native.get_dsp().commit_plan_ctu(
-                            ctypes.byref(cctx), cx, cy) == 0:
-                        return
+                from hm16_2_tpu import native
+                if native.get_dsp().commit_plan_ctu(
+                        ctypes.byref(cctx), cx, cy) == 0:
+                    return
             self._commit_plan_tree(cx * parts, cy * parts, pic.log2_ctb)
             return
         self._allowed_depths = None
@@ -1623,17 +1691,8 @@ class CtuSearch:
         bufs = np.stack([buf_u, buf_f], axis=1)
         blocks = yo[:nby * s, :nbx * s].reshape(nby, s, nbx, s) \
             .swapaxes(1, 2).reshape(n, s, s)
-        # frame-sized batches this small dispatch faster on the host CPU
-        # backend; HM16_ANALYSIS_TPU=1 keeps them on the accelerator
-        import os
-        if os.environ.get("HM16_ANALYSIS_TPU"):
-            dev = jax.devices()[0]
-        else:
-            try:
-                dev = jax.devices("cpu")[0]
-            except Exception:
-                dev = jax.devices()[0]
-        with jax.default_device(dev):
+        from hm16_2_tpu.encode.intra_rd import _pick_device
+        with jax.default_device(_pick_device()):
             preds = analysis.predict_all_modes(jnp.asarray(bufs), s, True, bd)
             diffs = preds.astype(jnp.int32) - \
                 jnp.asarray(blocks, jnp.int32)[:, None]

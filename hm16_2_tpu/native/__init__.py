@@ -120,7 +120,8 @@ class ResParams(ctypes.Structure):
 
 def _build():
     subprocess.run(
-        ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+        ["g++", "-O3", "-march=native", "-ffp-contract=off", "-funroll-loops", "-shared",
+         "-fPIC", "-o", _SO, _SRC],
         check=True, capture_output=True)
 
 
@@ -183,7 +184,8 @@ def get_dsp():
         if (not os.path.exists(_SO_DSP) or
                 os.path.getmtime(_SO_DSP) < os.path.getmtime(_SRC_DSP)):
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", _SO_DSP, _SRC_DSP],
+                ["g++", "-O3", "-march=native", "-ffp-contract=off", "-funroll-loops", "-shared",
+                 "-fPIC", "-o", _SO_DSP, _SRC_DSP],
                 check=True, capture_output=True)
         lib = ctypes.CDLL(_SO_DSP)
     except Exception:
@@ -219,6 +221,8 @@ def get_dsp():
     lib.commit_plan_ctu.argtypes = [ctypes.POINTER(CommitCtx),
                                     ctypes.c_int, ctypes.c_int]
     lib.commit_plan_ctu.restype = ctypes.c_int
+    lib.commit_plan_frame.argtypes = [ctypes.POINTER(CommitCtx)]
+    lib.commit_plan_frame.restype = ctypes.c_int
     lib.set_intra_tables.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     from hm16_2_tpu.common.tables import ANG_TABLE, INV_ANG_TABLE
     global _intra_tables_keepalive

@@ -1053,6 +1053,20 @@ static int cc_commit_nxn(const CommitCtx *C, int px, int py) {
 }
 
 static int cc_walk(const CommitCtx *C, int px, int py, int log2) {
+  int x0 = px * 4, y0 = py * 4, size = 1 << log2;
+  if (x0 >= C->pic_w || y0 >= C->pic_h) return 0;  // outside: z-scan skip
+  bool inside = (x0 + size <= C->pic_w) && (y0 + size <= C->pic_h);
+  if (!inside) {
+    // picture-boundary CU: implicit split (HEVC 7.4.9.4), children with
+    // origin outside the picture are skipped above
+    if (log2 <= 3) return -1;  // non-8-multiple picture: host fallback
+    int half = 1 << (log2 - 3);
+    for (int sub = 0; sub < 4; sub++)
+      if (cc_walk(C, px + (sub & 1) * half, py + (sub >> 1) * half,
+                  log2 - 1) < 0)
+        return -1;
+    return 0;
+  }
   int depth = C->ctb_log2 - log2;
   int pd = C->plan_depth[py * C->plan_w + px];
   if (pd == depth) {
@@ -1065,7 +1079,7 @@ static int cc_walk(const CommitCtx *C, int px, int py, int log2) {
     if (getenv("HM16_CC_DEBUG"))
       fprintf(stderr, "ccfail walk %d,%d l%d pd%d depth%d\n", px, py, log2,
               pd, depth);
-    return -1;   // plan inconsistency
+    return -1;   // plan inconsistency / uncovered area: host fallback
   }
   int half = 1 << (log2 - 3);
   for (int sub = 0; sub < 4; sub++)
@@ -1078,6 +1092,20 @@ static int cc_walk(const CommitCtx *C, int px, int py, int log2) {
 extern "C" int commit_plan_ctu(const CommitCtx *C, int cx, int cy) {
   int parts = 1 << (C->ctb_log2 - 2);
   return cc_walk(C, cx * parts, cy * parts, C->ctb_log2);
+}
+
+// whole-frame pass 1: every CTU in raster order through the native walk.
+// Returns 0, or 1 + the raster index of the first CTU the native engine
+// could not commit (the host re-runs that CTU and the rest in Python).
+extern "C" int commit_plan_frame(const CommitCtx *C) {
+  int parts = 1 << (C->ctb_log2 - 2);
+  int wc = (C->pic_w + (1 << C->ctb_log2) - 1) >> C->ctb_log2;
+  int hc = (C->pic_h + (1 << C->ctb_log2) - 1) >> C->ctb_log2;
+  for (int cy = 0; cy < hc; cy++)
+    for (int cx = 0; cx < wc; cx++)
+      if (cc_walk(C, cx * parts, cy * parts, C->ctb_log2) < 0)
+        return 1 + cy * wc + cx;
+  return 0;
 }
 
 // ---------------------------------------------------------------------------

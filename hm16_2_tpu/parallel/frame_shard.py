@@ -31,10 +31,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from hm16_2_tpu.encode import intra_rd
 from hm16_2_tpu.ops import analysis
 
-# captured at import time so callers may monkeypatch intra_rd.plan_frame
-# to route through sharded_plan_frame without recursing
-_PLAN_FRAME = intra_rd.plan_frame
-
 
 def make_row_mesh(devices):
     return Mesh(np.array(devices).reshape(-1), ("row",))
@@ -140,51 +136,44 @@ def sharded_size_rd(mesh: Mesh, plane: np.ndarray, s: int, bd: int, k: int,
 
     arr = jax.device_put(jnp.asarray(plane, jnp.int32),
                          NamedSharding(mesh, P("row", None)))
-    mode, cost, top3, satd = step(arr)
-    return (np.asarray(mode), np.asarray(cost, dtype=np.float64),
-            np.asarray(top3), np.asarray(satd))
+    return step(arr)
 
 
 def sharded_plan_frame(mesh, orig, sps, qp, lam, chroma_weight, chroma_qps):
     """plan_frame with the luma per-size stage-1 sweeps sharded over the
-    mesh rows where the geometry divides evenly (other sizes and chroma
-    fall back to the single-device path — results are identical either
-    way, which dryrun_multichip asserts by comparing bitstreams)."""
+    mesh rows where the geometry divides evenly (other sizes run
+    unsharded on device 0).  The per-size grids feed the same fused
+    _plan_device program as the single-device path; every cross-block
+    reduction in stage 1 is integer, so the grids — and therefore the
+    plan and the bitstream — are bit-identical either way (asserted by
+    tests and __graft_entry__.dryrun_multichip)."""
     n_dev = mesh.devices.size
     h, w = sps.pic_height, sps.pic_width
-    y = orig[0]
     bd = sps.bit_depth_luma
     strong = bool(sps.strong_intra_smoothing)
-    qp_luma = qp
 
-    overrides = {}
+    stage1 = []
     for s in (4, 8, 16, 32):
+        k = intra_rd.NUM_RD_CANDS[s]
         rows = (h // s) * s
         if rows and rows % (n_dev * s) == 0:
-            k = intra_rd.NUM_RD_CANDS[s]
             mode, cost, top3, satd = sharded_size_rd(
-                mesh, np.ascontiguousarray(y[:rows]), s, bd, k, int(qp_luma),
-                float(lam), strong, h)
-            overrides[s] = (mode, cost, top3, satd)
+                mesh, np.ascontiguousarray(orig[0][:rows]), s, bd, k,
+                int(qp), float(lam), strong, h)
+        else:
+            bufs, blocks = intra_rd._jnp_ref_buffers(
+                jnp.asarray(orig[0], jnp.int32), s, bd, strong, h, w)
+            mode, cost, top3, satd = intra_rd._size_rd(
+                bufs, blocks, jnp.float32(lam), s, bd, k, int(qp), True,
+                s == 4, True)
+        # host-materialize: the grids are tiny, and the fused plan jit
+        # wants uniformly-placed inputs (the sharded ones live spread
+        # over the mesh)
+        stage1.append((np.asarray(mode).reshape(-1),
+                       np.asarray(cost).reshape(-1),
+                       np.asarray(top3).reshape(-1, 3),
+                       np.asarray(satd).reshape(-1, 35)))
 
-    orig_rd = intra_rd._size_rd
-
-    def patched(bufs, blocks, lam_, s, bd_, k_, qp_, is_luma=True,
-                use_dst=False, want_satd=False):
-        if is_luma and s in overrides:
-            m, c, c3, sa = overrides[s]
-            if bufs.shape[0] == m.size:
-                return (jnp.asarray(m.reshape(-1)),
-                        jnp.asarray(c.reshape(-1)),
-                        jnp.asarray(c3.reshape(m.size, 3)),
-                        jnp.asarray(sa.reshape(m.size, 35))
-                        if want_satd else None)
-        return orig_rd(bufs, blocks, lam_, s, bd_, k_, qp_, is_luma,
-                       use_dst, want_satd)
-
-    intra_rd._size_rd = patched
-    try:
-        plan = _PLAN_FRAME(orig, sps, qp, lam, chroma_weight, chroma_qps)
-    finally:
-        intra_rd._size_rd = orig_rd
-    return plan
+    packed = intra_rd.submit_plan(orig, sps, qp, lam, chroma_weight,
+                                  chroma_qps, stage1=tuple(stage1))
+    return intra_rd.fetch_plan(packed, h, w)

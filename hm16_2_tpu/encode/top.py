@@ -250,6 +250,117 @@ class Encoder:
         if pend is not None:
             yield self.encode_frame(pend[0], pend[1], _plan=pend[2])
 
+    def _build_ctu_enc_ctx(self, pic, sh, enc):
+        """CtuEncCtx for the native pass-2 CTU syntax emitter, or None when
+        its preconditions don't hold (the Python emitter then runs)."""
+        import ctypes
+        import os
+
+        from hm16_2_tpu import native
+        sps, pps = self.sps, self.pps
+        lib = native.get_lib()
+        if (lib is None or sh.slice_type != I_SLICE
+                or sps.chroma_format_idc not in (0, 1)
+                or pps.transquant_bypass_enabled
+                or pps.transform_skip_enabled or sps.pcm_enabled
+                or len(pic.tiles.col_bounds) != 2     # neighbor availability
+                or len(pic.tiles.row_bounds) != 2     # is single-tile only
+                or os.environ.get("HM16_NO_CTU_SYNTAX")):
+            return None
+        from hm16_2_tpu.bitstream.cabac import CTX_OFFSET
+        from hm16_2_tpu.decode.picture import MODE_INTRA, SIZE_2Nx2N
+        from hm16_2_tpu.ops.intra_ref import DM_CHROMA_IDX
+        C = native.CtuEncCtx()
+        C.pic_w, C.pic_h = pic.w, pic.h
+        C.parts_w = pic.pw
+        C.ctb_log2 = pic.log2_ctb
+        C.num_comps = pic.num_comps
+        C.chroma_fmt = sps.chroma_format_idc
+        C.log2_min_cb = sps.log2_min_cb
+        C.log2_min_tb = sps.log2_min_tb
+        C.log2_max_tb = sps.log2_max_tb
+        C.max_tr_depth_intra = sps.max_tr_hierarchy_depth_intra
+        C.pcm_enabled = 0
+        C.size_2nx2n = SIZE_2Nx2N
+        C.mode_intra = MODE_INTRA
+        C.dm_chroma_idx = DM_CHROMA_IDX
+        C.ctx_split = CTX_OFFSET["split_flag"]
+        C.ctx_part_size = CTX_OFFSET["part_size"]
+        C.ctx_intra_mode = CTX_OFFSET["intra_pred_mode"]
+        C.ctx_chroma_mode = CTX_OFFSET["chroma_pred_mode"]
+        C.ctx_subdiv = CTX_OFFSET["trans_subdiv"]
+        C.ctx_qt_cbf = CTX_OFFSET["qt_cbf"]
+        C.coded = pic.coded.ctypes.data
+        C.depth = pic.depth.ctypes.data
+        C.part_size = pic.part_size.ctypes.data
+        C.pred_mode = pic.pred_mode.ctypes.data
+        C.intra_luma = pic.intra_luma.ctypes.data
+        C.intra_chroma = pic.intra_chroma.ctypes.data
+        for c in range(3):
+            C.cbf[c] = pic.cbf[c].ctypes.data
+        C.tr_idx = pic.tr_idx.ctypes.data
+        for c in range(pic.num_comps):
+            C.coeff[c] = pic.coeff[c].ctypes.data
+            C.coeff_stride[c] = pic.coeff[c].shape[1]
+        keep = []
+        cu = type("CU", (), {})()
+        cu.tqb = 0
+        cu.pred_mode = MODE_INTRA
+        be_valid = bool(pps.sign_data_hiding)
+        for w in (4, 8, 16, 32):
+            log2w = w.bit_length() - 1
+            for st_ in ((0, 1, 2) if w <= 8 else (0,)):
+                ti = (log2w - 2) * 3 + st_
+                scan, scan_cg = type(enc)._scan32(w, st_)
+                keep.append((scan, scan_cg))
+                C.scan[ti] = scan.ctypes.data
+                C.scan_cg[ti] = scan_cg.ctypes.data
+                for chan, comp in ((0, 0), (1, 1)):
+                    if chan == 1 and w > 16:
+                        continue
+                    p = enc._res_params(cu, log2w, comp, st_, 0, be_valid)
+                    keep.append(p)
+                    C.res_params[chan * 12 + ti] = ctypes.addressof(p)
+        # chroma w=16 diag (used by 32x32 CUs) when luma filled only w<=8
+        C.rice_stats = enc.golomb_rice_stats.ctypes.data
+        st = native.EncState()
+        out = np.zeros(1 << 20, dtype=np.uint8)
+        keep.append(out)
+        return (C, keep, st, out)
+
+    def _native_encode_ctu(self, enc, cab, ce, cx, cy, last) -> bool:
+        import ctypes
+
+        from hm16_2_tpu import native
+        lib = native.get_lib()
+        e = cab
+        if e.bw.held_bits:
+            return False
+        C, keep, st, out = ce
+        st.out = out.ctypes.data
+        st.n = 0
+        st.low = e.low
+        st.range_ = e.range
+        st.bits_left = e.bits_left
+        st.num_buffered = e.num_buffered
+        st.buffered_byte = e.buffered_byte
+        st.counting = 0
+        st.frac_bits = 0
+        ctx_state = enc.ctx.state
+        rc = lib.encode_ctu_syntax(
+            ctypes.byref(st), ctx_state.ctypes.data, ctypes.byref(C),
+            cx, cy, 1 if last else 0)
+        if rc != 0:
+            return False
+        if st.n:
+            e.bw.buf.extend(out[:st.n].tobytes())
+        e.low = int(st.low)
+        e.range = int(st.range_)
+        e.bits_left = int(st.bits_left)
+        e.num_buffered = int(st.num_buffered)
+        e.buffered_byte = int(st.buffered_byte)
+        return True
+
     def _rc_begin(self, planes, sh, gop_id):
         """Picture-level rate control (TEncGOP.cpp:1068-1119): target bits
         -> lambda -> slice QP; returns the SSE-domain lambda or None."""
@@ -488,6 +599,7 @@ class Encoder:
         tiles = pic.tiles
         ctx = ContextSet()
         ctx.reset(sh.slice_type, sh.qp)
+        ce_ctx = self._build_ctu_enc_ctx(pic, sh, enc)
         datas = []
         sbw = cab = None
         wpp_saved = None
@@ -527,7 +639,9 @@ class Encoder:
             if use_sao:
                 enc.enc_sao(rs, _syn_avail(cx - 1, cy, cx, cy),
                             _syn_avail(cx, cy - 1, cx, cy))
-            enc.encode_ctu(cx, cy, last_in_slice=(ts == n_ctus - 1))
+            if ce_ctx is None or not self._native_encode_ctu(
+                    enc, cab, ce_ctx, cx, cy, ts == n_ctus - 1):
+                enc.encode_ctu(cx, cy, last_in_slice=(ts == n_ctus - 1))
             if wpp and cx == tile_x0 + 1:
                 wpp_saved = ctx.copy()
         cab.finish()

@@ -109,6 +109,43 @@ class CommitCtx(ctypes.Structure):
                 ("blobs", ctypes.c_void_p * 36)]
 
 
+class CtuEncCtx(ctypes.Structure):
+    """Mirror of cabac_core CtuEncCtx (native pass-2 CTU syntax emitter)."""
+    _fields_ = [("pic_w", ctypes.c_int32), ("pic_h", ctypes.c_int32),
+                ("parts_w", ctypes.c_int32), ("ctb_log2", ctypes.c_int32),
+                ("num_comps", ctypes.c_int32), ("chroma_fmt", ctypes.c_int32),
+                ("log2_min_cb", ctypes.c_int32),
+                ("log2_min_tb", ctypes.c_int32),
+                ("log2_max_tb", ctypes.c_int32),
+                ("max_tr_depth_intra", ctypes.c_int32),
+                ("pcm_enabled", ctypes.c_int32),
+                ("log2_min_pcm", ctypes.c_int32),
+                ("log2_max_pcm", ctypes.c_int32),
+                ("size_2nx2n", ctypes.c_int32),
+                ("mode_intra", ctypes.c_int32),
+                ("dm_chroma_idx", ctypes.c_int32),
+                ("ctx_split", ctypes.c_int32),
+                ("ctx_part_size", ctypes.c_int32),
+                ("ctx_intra_mode", ctypes.c_int32),
+                ("ctx_chroma_mode", ctypes.c_int32),
+                ("ctx_subdiv", ctypes.c_int32),
+                ("ctx_qt_cbf", ctypes.c_int32),
+                ("pad_", ctypes.c_int32),
+                ("coded", ctypes.c_void_p), ("depth", ctypes.c_void_p),
+                ("part_size", ctypes.c_void_p),
+                ("pred_mode", ctypes.c_void_p),
+                ("intra_luma", ctypes.c_void_p),
+                ("intra_chroma", ctypes.c_void_p),
+                ("cbf", ctypes.c_void_p * 3),
+                ("tr_idx", ctypes.c_void_p),
+                ("coeff", ctypes.c_void_p * 3),
+                ("coeff_stride", ctypes.c_int64 * 3),
+                ("res_params", ctypes.c_void_p * 24),
+                ("scan", ctypes.c_void_p * 12),
+                ("scan_cg", ctypes.c_void_p * 12),
+                ("rice_stats", ctypes.c_void_p)]
+
+
 class ResParams(ctypes.Structure):
     _fields_ = [(n, ctypes.c_int32) for n in (
         "width", "chan", "scan_type", "first_sig_ctx", "single_ctx",
@@ -149,6 +186,10 @@ def get_lib():
     lib.encode_residual.restype = ctypes.c_int
 
     lib.set_entropy_table.argtypes = [ctypes.c_void_p]
+    lib.encode_ctu_syntax.argtypes = [
+        ctypes.POINTER(EncState), ctypes.c_void_p,
+        ctypes.POINTER(CtuEncCtx), ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.encode_ctu_syntax.restype = ctypes.c_int
 
     from hm16_2_tpu.common import cabac_data as CD
     global _tables_keepalive

@@ -707,4 +707,304 @@ int encode_residual(EncState *s, uint8_t *ctx, const ResParams *p,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Native pass-2 CTU syntax emitter (final bitstream pass for planned intra
+// slices).  Exact dual of encode/ctu_enc.py::encode_ctu for the supported
+// configuration: I slice, intra-only, 4:0:0/4:2:0, no transquant bypass,
+// no transform skip, no PCM use (pcm_flag 0 emitted when enabled).  The
+// Python layer keeps substream/WPP orchestration and syncs the arithmetic
+// engine + shared context state around each call.
+// Mirrors TEncSbac.cpp:423-1716 / TEncCu::xEncodeCU (TEncCu.cpp:1185).
+// ---------------------------------------------------------------------------
+
+struct CtuEncCtx {
+  int32_t pic_w, pic_h, parts_w, ctb_log2, num_comps, chroma_fmt;
+  int32_t log2_min_cb, log2_min_tb, log2_max_tb, max_tr_depth_intra;
+  int32_t pcm_enabled, log2_min_pcm, log2_max_pcm;
+  int32_t size_2nx2n, mode_intra, dm_chroma_idx;
+  // flat context base indices (ContextSet CTX_OFFSET values)
+  int32_t ctx_split, ctx_part_size, ctx_intra_mode, ctx_chroma_mode,
+          ctx_subdiv, ctx_qt_cbf;
+  int32_t pad_;
+  const uint8_t *coded;
+  const int8_t *depth;
+  const int8_t *part_size;
+  const int8_t *pred_mode;
+  const int16_t *intra_luma;
+  const int16_t *intra_chroma;
+  const uint8_t *cbf[3];
+  const int8_t *tr_idx;
+  const int32_t *coeff[3];
+  int64_t coeff_stride[3];
+  // [chan][log2w-2][scan] (component-sample block width)
+  const ResParams *res_params[24];
+  const int32_t *scan[12];
+  const int32_t *scan_cg[12];
+  int64_t *rice_stats;
+};
+
+static inline void enc_bin_trm(EncState *s, int binv) {
+  if (s->counting) { s->frac_bits += g_entropy_bits[126 ^ binv]; return; }
+  s->range_ -= 2;
+  if (binv) {
+    s->low += (uint32_t)s->range_;
+    s->low <<= 7;
+    s->range_ = 2 << 7;
+    s->bits_left -= 7;
+  } else if (s->range_ >= 256) {
+    return;
+  } else {
+    s->low <<= 1;
+    s->range_ <<= 1;
+    s->bits_left--;
+  }
+  enc_test_write(s);
+}
+
+static inline int ce_cbf_at(const CtuEncCtx *C, int comp, int px, int py,
+                            int td) {
+  if (td < 0) return 1;
+  return (C->cbf[comp][py * C->parts_w + px] >> td) & 1;
+}
+
+static int ce_min_tu_log2(const CtuEncCtx *C, int cu_log2, int nxn) {
+  int intra_split = nxn ? 1 : 0;
+  if (cu_log2 < C->log2_min_tb + C->max_tr_depth_intra - 1 + intra_split)
+    return C->log2_min_tb;
+  int v = cu_log2 - (C->max_tr_depth_intra - 1 + intra_split);
+  return v < C->log2_max_tb ? v : C->log2_max_tb;
+}
+
+// getIntraDirPredictor (decode/ctu_dec._intra_mpm; above must not cross CTU)
+static void ce_mpm(const CtuEncCtx *C, int px, int py, int out[3]) {
+  const int DC = 1, PLANAR = 0, VER = 26;
+  int left = DC, above = DC;
+  int W = C->parts_w;
+  if (px > 0 && C->coded[py * W + px - 1] &&
+      C->pred_mode[py * W + px - 1] == C->mode_intra)
+    left = C->intra_luma[py * W + px - 1];
+  int parts = 1 << (C->ctb_log2 - 2);
+  if (py % parts != 0 && py > 0 && C->coded[(py - 1) * W + px] &&
+      C->pred_mode[(py - 1) * W + px] == C->mode_intra)
+    above = C->intra_luma[(py - 1) * W + px];
+  if (left == above) {
+    if (left > 1) {
+      out[0] = left;
+      out[1] = ((left + 29) % 32) + 2;
+      out[2] = ((left - 1) % 32) + 2;
+    } else {
+      out[0] = PLANAR; out[1] = DC; out[2] = VER;
+    }
+  } else {
+    out[0] = left;
+    out[1] = above;
+    out[2] = (left && above) ? PLANAR : (left + above < 2 ? VER : DC);
+  }
+}
+
+// getCoefScanIdx (MDCS) for intra TUs
+static int ce_scan_type(const CtuEncCtx *C, int px, int py, int log2,
+                        int comp) {
+  int sx = comp ? 1 : 0;   // 4:2:0 only (enforced by the Python gate)
+  int w = comp ? ((1 << log2) >> sx) : (1 << log2);
+  int max_w = comp ? 4 : 8;
+  if (w > max_w) return 0;
+  int mode;
+  if (comp == 0) {
+    mode = C->intra_luma[py * C->parts_w + px];
+  } else {
+    mode = C->intra_chroma[py * C->parts_w + px];
+    if (mode == C->dm_chroma_idx) mode = C->intra_luma[py * C->parts_w + px];
+  }
+  int dv = mode - 26; if (dv < 0) dv = -dv;
+  if (dv <= 4) return 1;
+  int dh = mode - 10; if (dh < 0) dh = -dh;
+  if (dh <= 4) return 2;
+  return 0;
+}
+
+static int ce_residual(EncState *s, uint8_t *ctx, const CtuEncCtx *C,
+                       int px, int py, int log2, int comp) {
+  int sx = comp ? 1 : 0;
+  int w, x0, y0;
+  if (comp == 0) { w = 1 << log2; x0 = px * 4; y0 = py * 4; }
+  else { w = (1 << log2) >> sx; x0 = (px * 4) >> sx; y0 = (py * 4) >> sx; }
+  int log2w = 31 - __builtin_clz((unsigned)w);
+  int scan_type = ce_scan_type(C, px, py, log2, comp);
+  int chan = comp ? 1 : 0;
+  int ti = (log2w - 2) * 3 + scan_type;
+  const ResParams *p = C->res_params[chan * 12 + ti];
+  const int32_t *scan = C->scan[ti], *scan_cg = C->scan_cg[ti];
+  if (!p || !scan) return -1;
+  int32_t buf[32 * 32];
+  const int32_t *src = C->coeff[comp] + y0 * C->coeff_stride[comp] + x0;
+  for (int y = 0; y < w; y++)
+    memcpy(buf + y * w, src + y * C->coeff_stride[comp],
+           sizeof(int32_t) * w);
+  return encode_residual(s, ctx, p, scan, scan_cg, buf, C->rice_stats);
+}
+
+static int ce_tu_tree(EncState *s, uint8_t *ctx, const CtuEncCtx *C,
+                      int cu_log2, int nxn, int px, int py, int log2,
+                      int td) {
+  const int W = C->parts_w;
+  int chroma_ok = C->num_comps > 1;
+  int chroma_here = chroma_ok && (log2 > 2 || C->chroma_fmt == 3);
+  int min_tu = ce_min_tu_log2(C, cu_log2, nxn);
+  int subdiv = C->tr_idx[py * W + px] > td;
+  if (nxn && td == 0) { /* inferred 1 */ }
+  else if (log2 > C->log2_max_tb) { /* inferred 1 */ }
+  else if (log2 == C->log2_min_tb) { /* inferred 0 */ }
+  else if (log2 == min_tu) { /* inferred 0 */ }
+  else enc_bin(s, ctx, C->ctx_subdiv + (5 - log2), subdiv);
+
+  if (chroma_here) {
+    for (int comp = 1; comp <= 2; comp++) {
+      int parent = td ? ce_cbf_at(C, comp, px, py, td - 1) : 1;
+      if (parent)
+        enc_bin(s, ctx, C->ctx_qt_cbf + 5 + td,
+                ce_cbf_at(C, comp, px, py, td));
+    }
+  }
+  if (subdiv) {
+    int half = 1 << (log2 - 3);
+    for (int sub = 0; sub < 4; sub++)
+      if (ce_tu_tree(s, ctx, C, cu_log2, nxn, px + (sub & 1) * half,
+                     py + (sub >> 1) * half, log2 - 1, td + 1) < 0)
+        return -1;
+    return 0;
+  }
+  int cbf_y = ce_cbf_at(C, 0, px, py, td);
+  // intra: luma cbf always coded
+  enc_bin(s, ctx, C->ctx_qt_cbf + (td == 0 ? 1 : 0), cbf_y);
+
+  int cbf_cb = 0, cbf_cr = 0;
+  if (chroma_ok) {
+    if (log2 == 2) {
+      cbf_cb = ce_cbf_at(C, 1, px & ~1, py & ~1, td - 1);
+      cbf_cr = ce_cbf_at(C, 2, px & ~1, py & ~1, td - 1);
+    } else {
+      cbf_cb = ce_cbf_at(C, 1, px, py, td);
+      cbf_cr = ce_cbf_at(C, 2, px, py, td);
+    }
+  }
+  int holder = chroma_here ||
+               (chroma_ok && log2 == 2 && (px & 1) && (py & 1));
+  if (cbf_y || cbf_cb || cbf_cr) {
+    if (cbf_y && ce_residual(s, ctx, C, px, py, log2, 0) < 0) return -1;
+    if (chroma_ok) {
+      if (chroma_here) {
+        if (cbf_cb && ce_residual(s, ctx, C, px, py, log2, 1) < 0)
+          return -1;
+        if (cbf_cr && ce_residual(s, ctx, C, px, py, log2, 2) < 0)
+          return -1;
+      } else if (log2 == 2 && holder) {
+        if (cbf_cb && ce_residual(s, ctx, C, px - 1, py - 1, 3, 1) < 0)
+          return -1;
+        if (cbf_cr && ce_residual(s, ctx, C, px - 1, py - 1, 3, 2) < 0)
+          return -1;
+      }
+    }
+  }
+  return 0;
+}
+
+static void ce_intra_dirs(EncState *s, uint8_t *ctx, const CtuEncCtx *C,
+                          int px, int py, int log2, int nxn) {
+  const int W = C->parts_w;
+  int half = 1 << (log2 - 3);
+  int n = nxn ? 4 : 1;
+  int offs[4][2] = {{0, 0}, {half, 0}, {0, half}, {half, half}};
+  int preds[4][3], flags[4], modes[4];
+  for (int j = 0; j < n; j++) {
+    int ox = offs[j][0], oy = offs[j][1];
+    ce_mpm(C, px + ox, py + oy, preds[j]);
+    modes[j] = C->intra_luma[(py + oy) * W + px + ox];
+    flags[j] = (modes[j] == preds[j][0] || modes[j] == preds[j][1] ||
+                modes[j] == preds[j][2]);
+    enc_bin(s, ctx, C->ctx_intra_mode, flags[j]);
+  }
+  for (int j = 0; j < n; j++) {
+    int mode = modes[j];
+    if (flags[j]) {
+      int idx = (mode == preds[j][0]) ? 0 : (mode == preds[j][1] ? 1 : 2);
+      if (idx == 0) enc_ep1(s, 0);
+      else { enc_ep1(s, 1); enc_ep1(s, idx - 1); }
+    } else {
+      int a = preds[j][0], b = preds[j][1], c2 = preds[j][2];
+      int t;
+      if (a < b) { t = a; a = b; b = t; }
+      if (a < c2) { t = a; a = c2; c2 = t; }
+      if (b < c2) { t = b; b = c2; c2 = t; }
+      int rem = mode;
+      if (rem > a) rem--;
+      if (rem > b) rem--;
+      if (rem > c2) rem--;
+      enc_bins_ep(s, rem, 5);
+    }
+  }
+  int stored = C->intra_chroma[py * W + px];
+  if (stored == C->dm_chroma_idx) {
+    enc_bin(s, ctx, C->ctx_chroma_mode, 0);
+  } else {
+    enc_bin(s, ctx, C->ctx_chroma_mode, 1);
+    int allowed[5] = {0, 26, 10, 1, C->dm_chroma_idx};
+    int luma0 = modes[0];
+    for (int i = 0; i < 4; i++)
+      if (luma0 == allowed[i]) { allowed[i] = 34; break; }
+    int idx = 0;
+    for (int i = 0; i < 5; i++)
+      if (allowed[i] == stored) { idx = i; break; }
+    enc_bins_ep(s, idx, 2);
+  }
+}
+
+static int ce_cu(EncState *s, uint8_t *ctx, const CtuEncCtx *C, int px,
+                 int py, int log2, int cu_depth) {
+  const int W = C->parts_w;
+  int x0 = px * 4, y0 = py * 4, size = 1 << log2;
+  int boundary = !(x0 + size <= C->pic_w && y0 + size <= C->pic_h);
+  int split = C->depth[py * W + px] > cu_depth;
+  if (!boundary) {
+    if (log2 > C->log2_min_cb) {
+      int cinc = 0;
+      if (px > 0 && C->coded[py * W + px - 1])
+        cinc += C->depth[py * W + px - 1] > cu_depth;
+      if (py > 0 && C->coded[(py - 1) * W + px])
+        cinc += C->depth[(py - 1) * W + px] > cu_depth;
+      enc_bin(s, ctx, C->ctx_split + cinc, split);
+    } else {
+      split = 0;
+    }
+  }
+  if (split || boundary) {
+    int half = 1 << (log2 - 3);
+    for (int sub = 0; sub < 4; sub++) {
+      int sx2 = px + (sub & 1) * half, sy2 = py + (sub >> 1) * half;
+      if (sx2 * 4 < C->pic_w && sy2 * 4 < C->pic_h)
+        if (ce_cu(s, ctx, C, sx2, sy2, log2 - 1, cu_depth + 1) < 0)
+          return -1;
+    }
+    return 0;
+  }
+  // I slice: pred mode implicit intra
+  int nxn = C->part_size[py * W + px] != C->size_2nx2n;
+  if (log2 == C->log2_min_cb)
+    enc_bin(s, ctx, C->ctx_part_size, nxn ? 0 : 1);
+  if (C->pcm_enabled && !nxn && log2 >= C->log2_min_pcm &&
+      log2 <= C->log2_max_pcm)
+    enc_bin_trm(s, 0);   // pcm_flag: this encoder never uses PCM
+  ce_intra_dirs(s, ctx, C, px, py, log2, nxn);
+  return ce_tu_tree(s, ctx, C, log2, nxn, px, py, log2, 0);
+}
+
+int encode_ctu_syntax(EncState *s, uint8_t *ctx, const CtuEncCtx *C,
+                      int cx, int cy, int last_in_slice) {
+  int parts = 1 << (C->ctb_log2 - 2);
+  if (ce_cu(s, ctx, C, cx * parts, cy * parts, C->ctb_log2, 0) < 0)
+    return -1;
+  enc_bin_trm(s, last_in_slice ? 1 : 0);
+  return 0;
+}
+
 }  // extern "C"

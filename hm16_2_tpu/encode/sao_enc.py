@@ -114,6 +114,45 @@ def _frame_stats(pic, orig, comp):
     CTU neighbor is available (single slice+tile): the per-pixel edge
     classification then only depends on plane boundaries, so the per-CTU
     loop collapses to one classification + block-sum per EO class."""
+    nat = _frame_stats_native(pic, orig, comp)
+    if nat is not None:
+        return nat
+    return _frame_stats_np(pic, orig, comp)
+
+
+def _frame_stats_native(pic, orig, comp):
+    """dsp_core.sao_frame_stats: one C++ pass over the plane (sums are
+    integers, so the double accumulators equal numpy's float64 exactly)."""
+    from hm16_2_tpu import native
+    lib = native.get_dsp()
+    if lib is None or not hasattr(lib, "sao_frame_stats"):
+        return None
+    import ctypes
+    sx, sy = pic.comp_shift[comp]
+    P = pic.rec[comp]
+    o = orig[comp]
+    if P.dtype != np.int32 or not P.flags.c_contiguous:
+        return None
+    if o.dtype != np.int32 or not o.flags.c_contiguous:
+        o = np.ascontiguousarray(o, dtype=np.int32)
+    ph, pw = P.shape
+    cb_h, cb_w = pic.ctb >> sy, pic.ctb >> sx
+    w, h = pic.w >> sx, pic.h >> sy
+    n_ctu = pic.w_ctbs * pic.h_ctbs
+    bd = pic.sps.bit_depth_luma if comp == 0 else pic.sps.bit_depth_chroma
+    S_eo = np.zeros((n_ctu, 4, 4))
+    N_eo = np.zeros((n_ctu, 4, 4), dtype=np.int64)
+    S_bo = np.zeros((n_ctu, 32))
+    N_bo = np.zeros((n_ctu, 32), dtype=np.int64)
+    lib.sao_frame_stats(
+        P.ctypes.data, P.shape[1], ph, pw, o.ctypes.data, o.shape[1],
+        w, h, cb_w, cb_h, pic.w_ctbs, bd,
+        S_eo.ctypes.data, N_eo.ctypes.data, S_bo.ctypes.data,
+        N_bo.ctypes.data)
+    return S_eo, N_eo, S_bo, N_bo
+
+
+def _frame_stats_np(pic, orig, comp):
     sx, sy = pic.comp_shift[comp]
     P = pic.rec[comp]
     ph, pw = P.shape

@@ -264,6 +264,16 @@ def get_dsp():
     lib.commit_plan_ctu.restype = ctypes.c_int
     lib.commit_plan_frame.argtypes = [ctypes.POINTER(CommitCtx)]
     lib.commit_plan_frame.restype = ctypes.c_int
+    lib.sao_frame_stats.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.sao_apply_ctu.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
     lib.set_intra_tables.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     from hm16_2_tpu.common.tables import ANG_TABLE, INV_ANG_TABLE
     global _intra_tables_keepalive

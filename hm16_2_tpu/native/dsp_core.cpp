@@ -1353,3 +1353,144 @@ extern "C" int intra_code_tu(
                  use_dst, is_intra, levels, lvl_stride, rec_out,
                  rec_out_stride, sbh_scan, rdoq_blob);
 }
+
+// ---------------------------------------------------------------------------
+// SAO: whole-frame statistics (encoder estimate) and per-CTU apply.
+// Twins of encode/sao_enc._frame_stats and ops/sao_ref._sao_ctu_comp /
+// _eo_classify (HM TEncSampleAdaptiveOffset.cpp:910 getBlkStats,
+// TComSampleAdaptiveOffset.cpp:309 offsetBlock).  Sums are integers, so
+// the double accumulators match numpy's float64 block sums exactly.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+static const int kEoD[4][2][2] = {   // [type][neighbor][dy,dx]
+    {{0, -1}, {0, 1}},    // EO_0
+    {{-1, 0}, {1, 0}},    // EO_90
+    {{-1, -1}, {1, 1}},   // EO_135
+    {{-1, 1}, {1, -1}},   // EO_45
+};
+static const int kEdgeSlot[5] = {0, 1, -1, 2, 3};  // et -> offsets slot
+
+void sao_frame_stats(const int32_t *rec, int64_t rstride, int ph, int pw,
+                     const int32_t *org, int64_t ostride, int w, int h,
+                     int cb_w, int cb_h, int w_ctbs, int bd,
+                     double *S_eo, int64_t *N_eo, double *S_bo,
+                     int64_t *N_bo) {
+  int shift = bd - 5;
+  for (int y = 0; y < h; y++) {
+    const int32_t *rrow = rec + (int64_t)y * rstride;
+    const int32_t *orow = org + (int64_t)y * ostride;
+    int ctu_row = (y / cb_h) * w_ctbs;
+    for (int x = 0; x < w; x++) {
+      int c = rrow[x];
+      int64_t diff = (int64_t)orow[x] - c;
+      int ctu = ctu_row + x / cb_w;
+      // BO
+      int band = c >> shift;
+      S_bo[ctu * 32 + band] += (double)diff;
+      N_bo[ctu * 32 + band] += 1;
+      // EO types: neighbor range limits over the PADDED plane, exactly
+      // like the numpy fast path (valid-area border pixels may read the
+      // zero-initialised padding — identical semantics, not a bug swap)
+      for (int t = 0; t < 4; t++) {
+        int d1y = kEoD[t][0][0], d1x = kEoD[t][0][1];
+        int d2y = kEoD[t][1][0], d2x = kEoD[t][1][1];
+        int y1 = y + d1y, x1 = x + d1x, y2 = y + d2y, x2 = x + d2x;
+        if (y1 < 0 || y1 >= ph || x1 < 0 || x1 >= pw || y2 < 0 ||
+            y2 >= ph || x2 < 0 || x2 >= pw)
+          continue;
+        int v1 = rec[(int64_t)y1 * rstride + x1];
+        int v2 = rec[(int64_t)y2 * rstride + x2];
+        int et = (c > v1) - (c < v1) + (c > v2) - (c < v2) + 2;
+        int slot = kEdgeSlot[et];
+        if (slot < 0) continue;
+        int idx = (ctu * 4 + t) * 4 + slot;
+        S_eo[idx] += (double)diff;
+        N_eo[idx] += 1;
+      }
+    }
+  }
+}
+
+// avail_mask bits: 0 left, 1 right, 2 above, 3 below, 4 above-left,
+// 5 above-right, 6 below-left, 7 below-right
+void sao_apply_ctu(const int32_t *src, int64_t sstride, int64_t splane_h,
+                   int64_t splane_w, int32_t *rec, int64_t rstride, int x0,
+                   int y0, int w, int h, int bd, int type_idx,
+                   const int32_t *offs4, int band, int avail_mask) {
+  int max_val = (1 << bd) - 1;
+  if (type_idx == 4) {           // BO
+    int64_t table[32];
+    for (int i = 0; i < 32; i++) table[i] = 0;
+    for (int i = 0; i < 4; i++) table[(band + i) & 31] = offs4[i];
+    int shift = bd - 5;
+    for (int y = 0; y < h; y++) {
+      const int32_t *srow = src + (int64_t)(y0 + y) * sstride + x0;
+      int32_t *rrow = rec + (int64_t)(y0 + y) * rstride + x0;
+      for (int x = 0; x < w; x++) {
+        int v = srow[x] + (int)table[srow[x] >> shift];
+        rrow[x] = v < 0 ? 0 : (v > max_val ? max_val : v);
+      }
+    }
+    return;
+  }
+  int left = (avail_mask >> 0) & 1, right = (avail_mask >> 1) & 1;
+  int above = (avail_mask >> 2) & 1, below = (avail_mask >> 3) & 1;
+  int al = (avail_mask >> 4) & 1, ar = (avail_mask >> 5) & 1;
+  int bl = (avail_mask >> 6) & 1, br = (avail_mask >> 7) & 1;
+  int d1y = kEoD[type_idx][0][0], d1x = kEoD[type_idx][0][1];
+  int d2y = kEoD[type_idx][1][0], d2x = kEoD[type_idx][1][1];
+  int64_t offsets5[5] = {offs4[0], offs4[1], 0, offs4[2], offs4[3]};
+  for (int y = 0; y < h; y++) {
+    // per-row processable column range(s), mirroring _eo_classify
+    int xs = 0, xe = w;     // [xs, xe)
+    if (type_idx == 0) {
+      if (!left) xs = 1;
+      if (!right) xe = w - 1;
+    } else if (type_idx == 1) {
+      if ((y == 0 && !above) || (y == h - 1 && !below)) continue;
+    } else if (type_idx == 2) {
+      if (y == 0) {
+        xs = al ? 0 : 1;
+        xe = above ? (right ? w : w - 1) : 1;
+      } else if (y == h - 1) {
+        xs = below ? (left ? 0 : 1) : w - 1;
+        xe = br ? w : w - 1;
+      } else {
+        if (!left) xs = 1;
+        if (!right) xe = w - 1;
+      }
+    } else {
+      if (y == 0) {
+        xs = above ? (left ? 0 : 1) : w - 1;
+        xe = ar ? w : w - 1;
+      } else if (y == h - 1) {
+        xs = bl ? 0 : 1;
+        xe = below ? (right ? w : w - 1) : 1;
+      } else {
+        if (!left) xs = 1;
+        if (!right) xe = w - 1;
+      }
+    }
+    if (xe > w) xe = w;
+    if (xs < 0) xs = 0;
+    const int32_t *srow = src + (int64_t)(y0 + y) * sstride;
+    int32_t *rrow = rec + (int64_t)(y0 + y) * rstride;
+    for (int x = xs; x < xe; x++) {
+      int gx = x0 + x, gy = y0 + y;
+      int n1y = gy + d1y, n1x = gx + d1x, n2y = gy + d2y, n2x = gx + d2x;
+      if (n1y < 0 || n1y >= splane_h || n1x < 0 || n1x >= splane_w ||
+          n2y < 0 || n2y >= splane_h || n2x < 0 || n2x >= splane_w)
+        continue;
+      int c = srow[gx];
+      int v1 = src[(int64_t)n1y * sstride + n1x];
+      int v2 = src[(int64_t)n2y * sstride + n2x];
+      int et = (c > v1) - (c < v1) + (c > v2) - (c < v2) + 2;
+      int v = c + (int)offsets5[et];
+      rrow[gx] = v < 0 ? 0 : (v > max_val ? max_val : v);
+    }
+  }
+}
+
+}  // extern "C"

@@ -45,6 +45,9 @@ def _ctu_avail(pic: PictureState, cx, cy, dx, dy):
 
 def sao_picture(pic: PictureState):
     src = [p.copy() for p in pic.rec]
+    from hm16_2_tpu import native
+    lib = native.get_dsp()
+    native_ok = lib is not None and hasattr(lib, "sao_apply_ctu")
     for cy in range(pic.h_ctbs):
         for cx in range(pic.w_ctbs):
             ctu_rs = cy * pic.w_ctbs + cx
@@ -54,7 +57,41 @@ def sao_picture(pic: PictureState):
                 mode = int(pic.sao_mode[ctu_rs, comp])
                 if mode == 0:
                     continue
+                if native_ok and _sao_ctu_native(pic, src, ctu_rs, cx, cy,
+                                                 comp, avail, lib):
+                    continue
                 _sao_ctu_comp(pic, src, ctu_rs, cx, cy, comp, avail)
+
+
+def _sao_ctu_native(pic, src, ctu_rs, cx, cy, comp, avail, lib) -> bool:
+    """dsp_core.sao_apply_ctu fast path (bit-exact twin of
+    _sao_ctu_comp; 1x1 regions keep the numpy path — the row-rule
+    precedence differs there)."""
+    sx, sy = pic.comp_shift[comp]
+    x0 = (cx * pic.ctb) >> sx
+    y0 = (cy * pic.ctb) >> sy
+    w = min(pic.ctb >> sx, (pic.w >> sx) - x0)
+    h = min(pic.ctb >> sy, (pic.h >> sy) - y0)
+    if w <= 1 or h <= 1:
+        return False
+    s = src[comp]
+    r = pic.rec[comp]
+    if s.dtype != np.int32 or r.dtype != np.int32 or \
+            not s.flags.c_contiguous or not r.flags.c_contiguous:
+        return False
+    bd = pic.sps.bit_depth_luma if comp == 0 else pic.sps.bit_depth_chroma
+    offs4 = np.ascontiguousarray(pic.sao_offsets[ctu_rs, comp],
+                                 dtype=np.int32)
+    mask = (int(avail[(0, -1)]) | (int(avail[(0, 1)]) << 1)
+            | (int(avail[(-1, 0)]) << 2) | (int(avail[(1, 0)]) << 3)
+            | (int(avail[(-1, -1)]) << 4) | (int(avail[(-1, 1)]) << 5)
+            | (int(avail[(1, -1)]) << 6) | (int(avail[(1, 1)]) << 7))
+    lib.sao_apply_ctu(
+        s.ctypes.data, s.shape[1], s.shape[0], s.shape[1],
+        r.ctypes.data, r.shape[1], x0, y0, w, h, bd,
+        int(pic.sao_type[ctu_rs, comp]), offs4.ctypes.data,
+        int(pic.sao_band[ctu_rs, comp]), mask)
+    return True
 
 
 def _sao_ctu_comp(pic, src, ctu_rs, cx, cy, comp, avail):

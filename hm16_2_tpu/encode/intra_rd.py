@@ -591,12 +591,20 @@ def submit_plan(orig, sps, qp, lam, chroma_weight, chroma_qps, device=None,
             crp = jnp.asarray(orig[2], jnp.int32)
         else:
             cbp = crp = jnp.zeros((1, 1), jnp.int32)
-        return _plan_device(
+        packed = _plan_device(
             y, cbp, crp, jnp.float32(lam), jnp.float32(chroma_weight),
             stage1, h=h, w=w, bd=bd, cbd=sps.bit_depth_chroma,
             strong=strong, qp=int(qp), cqp0=int(chroma_qps[0]),
             cqp1=int(chroma_qps[1]), chroma=chroma,
             use_stage1=stage1 is not None)
+        # start the device->host copy in the background: by fetch time the
+        # result is already host-side (the tunnel's D2H latency otherwise
+        # shows up as a blocking wait per frame)
+        try:
+            packed.copy_to_host_async()
+        except Exception:
+            pass
+        return packed
 
 
 def fetch_plan(packed, h, w):

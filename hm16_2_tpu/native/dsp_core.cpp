@@ -1494,3 +1494,138 @@ void sao_apply_ctu(const int32_t *src, int64_t sstride, int64_t splane_h,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Deblocking per-edge pixel kernels: scalar twins of the vectorized
+// ops/deblock_ref._filter_luma_vec / _filter_chroma_vec inner loops (HM
+// TComLoopFilter xEdgeFilterLuma/Chroma, TComLoopFilter.cpp:540,656).
+// Edge selection, boundary strengths and tc/beta derivation stay in the
+// (cheap) vectorized Python layer; these do the 4-line sample filtering.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+void deblock_luma_edges(int32_t *rec, int64_t stride, int n,
+                        const int32_t *y0s, const int32_t *x0s,
+                        const int64_t *tcs, const int64_t *betas,
+                        const uint8_t *no_p, const uint8_t *no_q,
+                        int direction, int bd) {
+  const int max_val = (1 << bd) - 1;
+  for (int e = 0; e < n; e++) {
+    int y0 = y0s[e], x0 = x0s[e];
+    long tc = tcs[e], beta = betas[e];
+    int64_t m[4][8];
+    int32_t *ptr[4][8];
+    for (int line = 0; line < 4; line++)
+      for (int k = 0; k < 8; k++) {
+        int64_t off;
+        if (direction == 0)   // EDGE_VER
+          off = (int64_t)(y0 + line) * stride + (x0 + k - 4);
+        else
+          off = (int64_t)(y0 + k - 4) * stride + (x0 + line);
+        ptr[line][k] = rec + off;
+        m[line][k] = rec[off];
+      }
+    long dp0 = labs((long)(m[0][1] - 2 * m[0][2] + m[0][3]));
+    long dq0 = labs((long)(m[0][4] - 2 * m[0][5] + m[0][6]));
+    long dp3 = labs((long)(m[3][1] - 2 * m[3][2] + m[3][3]));
+    long dq3 = labs((long)(m[3][4] - 2 * m[3][5] + m[3][6]));
+    long d0 = dp0 + dq0, d3 = dp3 + dq3;
+    long d = d0 + d3;
+    int act = d < beta;
+    long side_thresh = (beta + (beta >> 1)) >> 3;
+    int filter_p = (dp0 + dp3) < side_thresh;
+    int filter_q = (dq0 + dq3) < side_thresh;
+    auto strong_line = [&](int line, long dd) -> int {
+      return (labs((long)(m[line][0] - m[line][3])) +
+                  labs((long)(m[line][7] - m[line][4])) <
+              (beta >> 3)) &&
+             (dd < (beta >> 2)) &&
+             (labs((long)(m[line][3] - m[line][4])) < ((tc * 5 + 1) >> 1));
+    };
+    int sw = strong_line(0, 2 * d0) && strong_line(3, 2 * d3);
+    for (int line = 0; line < 4; line++) {
+      const int64_t *mm = m[line];
+      int64_t out[8];
+      for (int k = 0; k < 8; k++) out[k] = mm[k];
+      if (sw) {
+        auto cl2 = [&](int64_t v, int64_t ref) {
+          int64_t lo = ref - 2 * tc, hi = ref + 2 * tc;
+          return v < lo ? lo : (v > hi ? hi : v);
+        };
+        out[3] = cl2((mm[1] + 2 * mm[2] + 2 * mm[3] + 2 * mm[4] + mm[5] + 4)
+                         >> 3, mm[3]);
+        out[4] = cl2((mm[2] + 2 * mm[3] + 2 * mm[4] + 2 * mm[5] + mm[6] + 4)
+                         >> 3, mm[4]);
+        out[2] = cl2((mm[1] + mm[2] + mm[3] + mm[4] + 2) >> 2, mm[2]);
+        out[5] = cl2((mm[3] + mm[4] + mm[5] + mm[6] + 2) >> 2, mm[5]);
+        out[1] = cl2((2 * mm[0] + 3 * mm[1] + mm[2] + mm[3] + mm[4] + 4)
+                         >> 3, mm[1]);
+        out[6] = cl2((mm[3] + mm[4] + mm[5] + 3 * mm[6] + 2 * mm[7] + 4)
+                         >> 3, mm[6]);
+      } else {
+        int64_t delta = (9 * (mm[4] - mm[3]) - 3 * (mm[5] - mm[2]) + 8) >> 4;
+        if (labs((long)delta) < tc * 10) {
+          int64_t dclip = delta < -tc ? -tc : (delta > tc ? tc : delta);
+          int64_t v3 = mm[3] + dclip;
+          out[3] = v3 < 0 ? 0 : (v3 > max_val ? max_val : v3);
+          int64_t v4 = mm[4] - dclip;
+          out[4] = v4 < 0 ? 0 : (v4 > max_val ? max_val : v4);
+          int64_t tc2 = tc >> 1;
+          if (filter_p) {
+            int64_t d1 = (((mm[1] + mm[3] + 1) >> 1) - mm[2] + dclip) >> 1;
+            d1 = d1 < -tc2 ? -tc2 : (d1 > tc2 ? tc2 : d1);
+            int64_t v2 = mm[2] + d1;
+            out[2] = v2 < 0 ? 0 : (v2 > max_val ? max_val : v2);
+          }
+          if (filter_q) {
+            int64_t d2 = (((mm[6] + mm[4] + 1) >> 1) - mm[5] - dclip) >> 1;
+            d2 = d2 < -tc2 ? -tc2 : (d2 > tc2 ? tc2 : d2);
+            int64_t v5 = mm[5] + d2;
+            out[5] = v5 < 0 ? 0 : (v5 > max_val ? max_val : v5);
+          }
+        }
+      }
+      if (!act) continue;
+      for (int k = 1; k < 7; k++) {
+        if (k < 4 && no_p[e]) continue;
+        if (k >= 4 && no_q[e]) continue;
+        *ptr[line][k] = (int32_t)out[k];
+      }
+    }
+  }
+}
+
+void deblock_chroma_edges(int32_t *rec, int64_t stride, int n,
+                          const int32_t *cy0, const int32_t *cx0,
+                          const int64_t *tcs, const uint8_t *no_p,
+                          const uint8_t *no_q, int n_lines, int direction,
+                          int bd) {
+  const int max_val = (1 << bd) - 1;
+  for (int e = 0; e < n; e++) {
+    long tc = tcs[e];
+    for (int line = 0; line < n_lines; line++) {
+      int64_t off[4];
+      for (int k = 0; k < 4; k++) {
+        if (direction == 0)
+          off[k] = (int64_t)(cy0[e] + line) * stride + (cx0[e] + k - 2);
+        else
+          off[k] = (int64_t)(cy0[e] + k - 2) * stride + (cx0[e] + line);
+      }
+      int64_t m2 = rec[off[0]], m3 = rec[off[1]];
+      int64_t m4 = rec[off[2]], m5 = rec[off[3]];
+      int64_t delta = (((m4 - m3) * 4) + m2 - m5 + 4) >> 3;
+      delta = delta < -tc ? -tc : (delta > tc ? tc : delta);
+      if (!no_p[e]) {
+        int64_t v = m3 + delta;
+        rec[off[1]] = (int32_t)(v < 0 ? 0 : (v > max_val ? max_val : v));
+      }
+      if (!no_q[e]) {
+        int64_t v = m4 - delta;
+        rec[off[2]] = (int32_t)(v < 0 ? 0 : (v > max_val ? max_val : v));
+      }
+    }
+  }
+}
+
+}  // extern "C"

@@ -357,6 +357,25 @@ def _filter_luma_vec(pic: PictureState, direction, bs, beta_off, tc_off):
     tc, beta, sl = tc[keep], beta[keep], sl[keep]
     if len(pys) == 0:
         return
+    no_p = _edge_nofilter(pic, nys, nxs)
+    no_q = _edge_nofilter(pic, pys, pxs)
+    from hm16_2_tpu import native
+    lib = native.get_dsp()
+    if lib is not None and hasattr(lib, "deblock_luma_edges") and \
+            rec.dtype == np.int32 and rec.flags.c_contiguous:
+        # keep the marshalled arrays referenced through the call
+        a_y = np.ascontiguousarray(pys * 4, dtype=np.int32)
+        a_x = np.ascontiguousarray(pxs * 4, dtype=np.int32)
+        a_tc = np.ascontiguousarray(tc, dtype=np.int64)
+        a_b = np.ascontiguousarray(beta, dtype=np.int64)
+        a_np = np.ascontiguousarray(no_p, dtype=np.uint8)
+        a_nq = np.ascontiguousarray(no_q, dtype=np.uint8)
+        lib.deblock_luma_edges(
+            rec.ctypes.data, rec.shape[1], len(pys),
+            a_y.ctypes.data, a_x.ctypes.data, a_tc.ctypes.data,
+            a_b.ctypes.data, a_np.ctypes.data, a_nq.ctypes.data,
+            0 if direction == EDGE_VER else 1, bd)
+        return
     e = len(pys)
     y0, x0 = pys * 4, pxs * 4
     # patch[e, line, k] = sample at distance k-4 from the edge on `line`
@@ -505,6 +524,21 @@ def _filter_chroma_vec(pic: PictureState, direction, bs, tc_off):
         knq = no_q[keep][:, None]
         cx0 = (kp_pxs * 4) >> sx
         cy0 = (kp_pys * 4) >> sy
+        from hm16_2_tpu import native
+        lib = native.get_dsp()
+        if lib is not None and hasattr(lib, "deblock_chroma_edges") and \
+                rec.dtype == np.int32 and rec.flags.c_contiguous:
+            a_y = np.ascontiguousarray(cy0, dtype=np.int32)
+            a_x = np.ascontiguousarray(cx0, dtype=np.int32)
+            a_tc = np.ascontiguousarray(tc[keep], dtype=np.int64)
+            a_np = np.ascontiguousarray(no_p[keep], np.uint8)
+            a_nq = np.ascontiguousarray(no_q[keep], np.uint8)
+            lib.deblock_chroma_edges(
+                rec.ctypes.data, rec.shape[1], len(kp_pys),
+                a_y.ctypes.data, a_x.ctypes.data, a_tc.ctypes.data,
+                a_np.ctypes.data, a_nq.ctypes.data,
+                int(n_lines), 0 if direction == EDGE_VER else 1, bd)
+            continue
         if direction == EDGE_VER:
             ri = cy0[:, None, None] + lines[None, :, None]
             ci = cx0[:, None, None] + ks[None, None, :]

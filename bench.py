@@ -83,9 +83,26 @@ def measure_bdrate(mode="ai", frames=8, qps=(22, 27, 32, 37), seed=1234):
         return None
 
 
+def _with_retry(fn, label, retries=2, sleep_s=90):
+    """The axon TPU tunnel occasionally drops the worker; wait and retry
+    before giving up on a phase (each phase is independent)."""
+    for attempt in range(retries + 1):
+        try:
+            return fn()
+        except Exception as e:
+            print(f"{label} attempt {attempt} failed: {e}", file=sys.stderr)
+            if attempt < retries:
+                time.sleep(sleep_s)
+    return None
+
+
 def main():
     planes = bench_content()
-    fps = bench_end_to_end(planes)
+    fps = _with_retry(lambda: bench_end_to_end(planes), "headline")
+    if fps is None:
+        os.environ["HM16_ANALYSIS_CPU"] = "1"
+        fps = bench_end_to_end(planes)
+        os.environ.pop("HM16_ANALYSIS_CPU", None)
     hm_fps = measure_hm_fps()
     baseline = hm_fps if hm_fps else HM_AI_416_FPS_STORED
     out = {
@@ -103,21 +120,26 @@ def main():
         print(f"cpu-pinned skipped: {e}", file=sys.stderr)
     finally:
         os.environ.pop("HM16_ANALYSIS_CPU", None)
+    big = bench_content(frames=5, w=1920, h=1080)
+    v = _with_retry(lambda: bench_end_to_end(big, 1920, 1080), "1080p")
+    if v is not None:
+        out["fps_1080p_ai"] = round(v, 4)
+    del big
+    # BD-rate decisions are bit-identical on any backend (integer plan
+    # costs); pin to host CPU so a dropped TPU tunnel can't kill them
+    os.environ["HM16_ANALYSIS_CPU"] = "1"
     try:
-        big = bench_content(frames=5, w=1920, h=1080)
-        out["fps_1080p_ai"] = round(bench_end_to_end(big, 1920, 1080), 4)
-        del big
-    except Exception as e:
-        print(f"1080p skipped: {e}", file=sys.stderr)
-    bd = measure_bdrate("ai", 8)
-    if bd is not None:
-        out["ai_bdrate_pct_vs_hm"] = bd
-    bd = measure_bdrate("ldp", 8)
-    if bd is not None:
-        out["ldp_bdrate_pct_vs_hm"] = bd
-    bd = measure_bdrate("ra", 9)
-    if bd is not None:
-        out["ra_bdrate_pct_vs_hm"] = bd
+        bd = measure_bdrate("ai", 8)
+        if bd is not None:
+            out["ai_bdrate_pct_vs_hm"] = bd
+        bd = measure_bdrate("ldp", 8)
+        if bd is not None:
+            out["ldp_bdrate_pct_vs_hm"] = bd
+        bd = measure_bdrate("ra", 9)
+        if bd is not None:
+            out["ra_bdrate_pct_vs_hm"] = bd
+    finally:
+        os.environ.pop("HM16_ANALYSIS_CPU", None)
     out["bdrate_qps"] = [22, 27, 32, 37]
     print(json.dumps(out))
 

@@ -154,19 +154,35 @@ class CtuEncoder(SliceDecoder):
             else:
                 e.encode_bin_ep(b)
 
+    def _enc_inter_part_size(self, mode, log2):
+        """Dual of _parse_inter_part_size (AMP signalling unsupported —
+        this encoder never chooses AMP modes)."""
+        e, c, sps = self.enc, self.ctx, self.sps
+        max_bits = 2
+        if log2 == sps.log2_min_cb and log2 > 3:
+            max_bits = 3
+        assert mode <= 3, "AMP part sizes are not emitted"
+        for ui in range(min(mode + 1, max_bits)):
+            e.encode_bin(1 if ui == mode else 0, c.idx("part_size", ui))
+        amp = sps.amp_enabled and \
+            (sps.log2_ctb - log2) < (sps.log2_ctb - sps.log2_min_cb)
+        if amp and mode in (1, 2):
+            e.encode_bin(1, c.idx("part_size", 3))   # no AMP sub-split
+
     def _enc_inter_cu(self, px, py, log2):
         pic, e, c = self.pic, self.enc, self.ctx
         sh = self.sh
         part_size = int(pic.part_size[py, px])
-        assert part_size == 0, "round-1 inter encoder emits 2Nx2N only"
-        # part size: 2Nx2N = first bin 1
-        e.encode_bin(1, c.idx("part_size", 0))
-        merged = int(pic.merge_flag[py, px])
-        e.encode_bin(merged, c.idx("merge_flag"))
-        if merged:
-            self._enc_merge_index(int(pic.mvp_idx[0, py, px]))
-        else:
-            inter_dir = int(pic.inter_dir[py, px])
+        self._enc_inter_part_size(part_size, log2)
+        rects = self.pu_rects(px, py, log2, part_size)
+        for pu_idx, (x, y, w, h) in enumerate(rects):
+            ppx, ppy = x // 4, y // 4
+            merged = int(pic.merge_flag[ppy, ppx])
+            e.encode_bin(merged, c.idx("merge_flag"))
+            if merged:
+                self._enc_merge_index(int(pic.mvp_idx[0, ppy, ppx]))
+                continue
+            inter_dir = int(pic.inter_dir[ppy, ppx])
             if sh.slice_type == 0:         # B: code inter_pred_idc
                 ctx_inc = int(pic.depth[py, px])
                 if part_size == SIZE_2Nx2N or (1 << log2) != 8:
@@ -180,16 +196,17 @@ class CtuEncoder(SliceDecoder):
                     continue
                 if not ((inter_dir >> lx) & 1):
                     continue
-                self._enc_ref_idx(lx, int(pic.ref_idx[lx, py, px]))
+                self._enc_ref_idx(lx, int(pic.ref_idx[lx, ppy, ppx]))
                 if not (sh.mvd_l1_zero and lx == 1 and inter_dir == 3):
-                    self._enc_mvd((int(pic.mvd[lx, py, px, 0]),
-                                   int(pic.mvd[lx, py, px, 1])))
-                mvp_idx = int(pic.mvp_idx[lx, py, px])
+                    self._enc_mvd((int(pic.mvd[lx, ppy, ppx, 0]),
+                                   int(pic.mvd[lx, ppy, ppx, 1])))
+                mvp_idx = int(pic.mvp_idx[lx, ppy, ppx])
                 e.encode_bin(mvp_idx, c.idx("mvp_idx"))
         # root cbf
+        merged0 = int(pic.merge_flag[py, px])
         cbfs = [self._cbf_at(comp, px, py, 0) for comp in range(pic.num_comps)]
         root = 1 if any(cbfs) else 0
-        if not (part_size == 0 and merged):
+        if not (part_size == SIZE_2Nx2N and merged0):
             e.encode_bin(root, c.idx("qt_root_cbf"))
         if root:
             cu = type("CU", (), {})()

@@ -22,7 +22,8 @@ from hm16_2_tpu.bitstream.cabac import CabacCounter, CabacEncoder, ContextSet
 from hm16_2_tpu.decode.loopfilter import apply_loop_filters
 from hm16_2_tpu.decode.mvpred import MvPredictor, RefCtx
 from hm16_2_tpu.decode.picture import (
-    MODE_INTER, MODE_INTRA, PictureState, SIZE_2Nx2N, SIZE_NxN)
+    MODE_INTER, MODE_INTRA, PictureState, SIZE_2Nx2N, SIZE_2NxN,
+    SIZE_Nx2N, SIZE_NxN)
 from hm16_2_tpu.decode.refpics import DPB, RefPicture, build_ref_lists
 from hm16_2_tpu.decode.top import picture_md5
 from hm16_2_tpu.encode.ctu_enc import CtuEncoder
@@ -165,6 +166,7 @@ class Encoder:
             self.gop_table = None
         self._reordered = self.gop_table is not None and any(
             s["poc"] != i + 1 for i, s in enumerate(self.gop_table))
+        self._prev_mv8 = None    # (h//8, w//8, 2) full-pel (dy, dx) prior
         self.rc = None
         if cfg.target_bps:
             from hm16_2_tpu.encode.ratectrl import RateCtrl
@@ -557,6 +559,17 @@ class Encoder:
             rc = RefCtx(sh, ref_lists)
             search.mvp = MvPredictor(pic, rc, 0)
             search.cenc.mvp = search.mvp
+            if cfg.rdo and not os.environ.get("HM16_NO_ME_PLAN"):
+                # frame-batched +-64 integer ME on the accelerator (one
+                # dispatch for all refs x CU sizes); prior = previous
+                # frame's motion field
+                from hm16_2_tpu.encode import inter_me
+                from hm16_2_tpu.encode.intra_rd import _pick_device
+                lam_sq = np.sqrt(0.85 * 2.0 ** ((sh.qp - 12) / 3.0))
+                fetch = inter_me.submit_me(
+                    planes[0], rc.ref_lists, self._prev_mv8, lam_sq,
+                    sps.pic_height, sps.pic_width, _pick_device())
+                search.me_plan = fetch()
         # pass 1: mode decisions + reconstruction (TEncSlice::compressSlice).
         # Planned I-slices commit the whole frame in ONE native call (the
         # C++ engine walks every CTU, border CTUs via implicit splits);
@@ -695,6 +708,12 @@ class Encoder:
                                 depth=pic.depth.copy(),
                                 col_depth=col_depth,
                                 is_intra=sh.slice_type == I_SLICE))
+        # motion-field prior for the next frame's device ME plan
+        h8, w8 = sps.pic_height // 8, sps.pic_width // 8
+        mvq = pic.mv[0][: h8 * 2: 2, : w8 * 2: 2]          # (h8, w8, 2) q-pel
+        self._prev_mv8 = np.stack(
+            [mvq[:, :, 1] >> 2, mvq[:, :, 0] >> 2], axis=-1)
+
         au = write_annexb(nals)
         self.bits_per_frame.append(len(au) * 8)
         if self.rc is not None:
@@ -1439,17 +1458,22 @@ class CtuSearch:
                 ref = rc.ref_lists[lx][r_idx]
                 amvp = self.mvp.amvp_candidates(x0, y0, size, size, lx,
                                                 r_idx)
-                rng = 8 if r_idx == 0 else 4
-                mv_int, sad = self._int_me(
-                    orig, ref.rec[0], x0, y0, size,
-                    (amvp[0][0] >> 2, amvp[0][1] >> 2), rng=rng)
-                if r_idx == 0 and (amvp[0][0] >> 2 or amvp[0][1] >> 2):
-                    mv_z, sad_z = self._int_me(orig, ref.rec[0], x0, y0,
-                                               size, (0, 0), rng=rng)
-                    if sad_z < sad:
-                        mv_int = mv_z
+                mv_int = None
+                plan = getattr(self, "me_plan", None)
+                if plan is not None:
+                    mv_int = plan.lookup(lx, r_idx, size, x0, y0)
+                if mv_int is None:
+                    rng = 8 if r_idx == 0 else 4
+                    mv_int, sad = self._int_me(
+                        orig, ref.rec[0], x0, y0, size,
+                        (amvp[0][0] >> 2, amvp[0][1] >> 2), rng=rng)
+                    if r_idx == 0 and (amvp[0][0] >> 2 or amvp[0][1] >> 2):
+                        mv_z, sad_z = self._int_me(orig, ref.rec[0], x0, y0,
+                                                   size, (0, 0), rng=rng)
+                        if sad_z < sad:
+                            mv_int = mv_z
                 mv_q, satd_c = self._subpel_refine(orig, ref.rec[0], x0, y0,
-                                                   size, mv_int)
+                                                   mv_int, size)
                 mvd_bits = []
                 for k in range(2):
                     d = (mv_q[0] - amvp[k][0], mv_q[1] - amvp[k][1])
@@ -1482,6 +1506,25 @@ class CtuSearch:
             cost = satd_block(orig - bpred) + lam * (u0[5] + u1[5] + 6)
             if best is None or cost < best[0]:
                 best = (cost, "bi", None)
+
+        # rectangular partitions 2NxN / Nx2N (TEncCu.cpp:702-812): two PUs
+        # with independent merge/AMVP motion, PU1's candidates seeing PU0.
+        # Search pass is full-pel/SATD only (fast); the winning partition
+        # is re-evaluated with subpel refinement before commit.
+        if best is not None and best[0] > lam * 16:
+            pref = [0] + [u[1] for u in uni.values()]
+            for psize in (SIZE_2NxN, SIZE_Nx2N):
+                r = self._eval_partition(px, py, log2, psize, lam, is_b,
+                                         fast=True, pref_refs=pref)
+                if r is not None and r[0] < best[0]:
+                    best = (r[0], "part", (psize, None))
+            if best[1] == "part":
+                psize = best[2][0]
+                r = self._eval_partition(px, py, log2, psize, lam, is_b,
+                                         fast=False, pref_refs=pref)
+                if r is None:
+                    return False
+                best = (r[0], "part", (psize, r[1]))
         if best is None:
             return False
 
@@ -1504,7 +1547,14 @@ class CtuSearch:
             pic.mv[lx][sl] = 0
             pic.mvd[lx][sl] = 0
             pic.ref_poc[lx][sl] = -(10 ** 9)
-        if kind == "merge":
+        if kind == "part":
+            psize, infos = payload
+            pic.part_size[sl] = psize
+            rects = self.cenc.pu_rects(px, py, log2, psize)
+            for (xr, yr, wr, hr), info in zip(rects, infos):
+                self._commit_pu_fields(xr, yr, wr, hr, info)
+            inter_dir = None     # per-PU; pic.inter_dir already written
+        elif kind == "merge":
             m_idx, (inter_dir, m0, m1) = payload
             pic.merge_flag[sl] = 1
             pic.mvp_idx[0][sl] = m_idx
@@ -1525,7 +1575,8 @@ class CtuSearch:
                 pic.mvd[lx][sl] = mvd
                 pic.mvp_idx[lx][sl] = mvp_idx
                 pic.ref_poc[lx][sl] = rc.ref_poc(lx, r_idx)
-        pic.inter_dir[sl] = inter_dir
+        if inter_dir is not None:
+            pic.inter_dir[sl] = inter_dir
 
         # exact prediction through the shared decoder MC path (incl.
         # bi averaging and identical-motion collapse)
@@ -1627,6 +1678,191 @@ class CtuSearch:
         pic.skip[sl] = 1 if (kind == "merge" and not any_cbf) else 0
         return True
 
+    # ------------------------------------------------------------------
+    # rectangular partitions (2NxN / Nx2N)
+    # ------------------------------------------------------------------
+
+    _MOTION_ARRAYS = ("pred_mode", "inter_dir", "merge_flag", "coded",
+                      "slice_id", "part_size")
+    _MOTION_ARRAYS_L = ("ref_idx", "mv", "ref_poc", "mvd", "mvp_idx")
+
+    def _motion_snapshot(self, sl):
+        pic = self.pic
+        snap = {n: getattr(pic, n)[sl].copy() for n in self._MOTION_ARRAYS}
+        for n in self._MOTION_ARRAYS_L:
+            a = getattr(pic, n)
+            snap[n] = a[(slice(None),) + sl].copy()
+        return snap
+
+    def _motion_restore(self, sl, snap):
+        pic = self.pic
+        for n in self._MOTION_ARRAYS:
+            getattr(pic, n)[sl] = snap[n]
+        for n in self._MOTION_ARRAYS_L:
+            getattr(pic, n)[(slice(None),) + sl] = snap[n]
+
+    def _commit_pu_fields(self, x, y, w, h, info):
+        """Write one PU's motion into the picture arrays (kind-tagged info
+        from _pu_best)."""
+        pic = self.pic
+        rc = self.mvp.rc
+        ppx, ppy = x // 4, y // 4
+        pwp, php = max(w // 4, 1), max(h // 4, 1)
+        psl = np.s_[ppy:ppy + php, ppx:ppx + pwp]
+        pic.pred_mode[psl] = MODE_INTER
+        pic.coded[psl] = True
+        pic.slice_id[psl] = 0
+        for lx in range(2):
+            pic.ref_idx[lx][psl] = -1
+            pic.mv[lx][psl] = 0
+            pic.mvd[lx][psl] = 0
+            pic.ref_poc[lx][psl] = -(10 ** 9)
+        if info[0] == "merge":
+            _, m_idx, (inter_dir, m0, m1) = info
+            pic.merge_flag[psl] = 1
+            pic.mvp_idx[0][psl] = m_idx
+            for lx, m in ((0, m0), (1, m1)):
+                if not ((inter_dir >> lx) & 1):
+                    continue
+                r_idx, mv = m
+                pic.ref_idx[lx][psl] = r_idx
+                pic.mv[lx][psl] = mv
+                pic.ref_poc[lx][psl] = rc.ref_poc(lx, r_idx)
+        else:
+            _, parts = info
+            pic.merge_flag[psl] = 0
+            inter_dir = sum(1 << lx for lx in parts)
+            for lx, (r_idx, mv_q, mvd, mvp_idx) in parts.items():
+                pic.ref_idx[lx][psl] = r_idx
+                pic.mv[lx][psl] = mv_q
+                pic.mvd[lx][psl] = mvd
+                pic.mvp_idx[lx][psl] = mvp_idx
+                pic.ref_poc[lx][psl] = rc.ref_poc(lx, r_idx)
+        pic.inter_dir[psl] = inter_dir
+
+    def _eval_partition(self, px, py, log2, psize, lam, is_b, fast=False,
+                        pref_refs=None):
+        """Trial both PUs of a rect partition (PU1's merge/AMVP candidates
+        see PU0's committed motion, like the sequential reference search);
+        the arrays are restored before returning.  Returns (cost, infos)."""
+        pic = self.pic
+        size = 1 << log2
+        n = size // 4
+        sl = np.s_[py:py + n, px:px + n]
+        rects = self.cenc.pu_rects(px, py, log2, psize)
+        snap = self._motion_snapshot(sl)
+        infos = []
+        total = lam * 1.0           # extra part-size bin(s) vs 2Nx2N
+        try:
+            for pu_idx, (x, y, w, h) in enumerate(rects):
+                r = self._pu_best(px, py, log2, psize, pu_idx, x, y, w, h,
+                                  lam, is_b, fast=fast, pref_refs=pref_refs)
+                if r is None:
+                    return None
+                cost, info = r
+                total += cost
+                infos.append(info)
+                self._commit_pu_fields(x, y, w, h, info)
+        finally:
+            self._motion_restore(sl, snap)
+        return total, infos
+
+    def _pu_best(self, cu_px, cu_py, log2, psize, pu_idx, x, y, w, h, lam,
+                 is_b, fast=False, pref_refs=None):
+        """Best merge / uni-pred decision for one PU (merge SATD ranking +
+        per-ref AMVP ME seeded from the device plan's square children)."""
+        pic, sh = self.pic, self.sh
+        rc = self.mvp.rc
+        size = 1 << log2
+        orig = self.orig[0][y:y + h, x:x + w].astype(np.int64)
+        small = size == 8           # bi-pred barred for 8x8 partitions
+        best = None
+        cands = self.mvp.merge_candidates(x, y, w, h, pu_idx, psize,
+                                          cu_px, cu_py)
+        for m_idx, cand in enumerate(cands[:sh.max_num_merge_cand]):
+            inter_dir, m0, m1 = cand
+            if inter_dir == 3 and small and (w < 8 or h < 8):
+                cand = (1, m0, (-1, (0, 0)))   # decoder forces list 0
+            pred = self._mc_luma_rect(x, y, w, h, cand)
+            if pred is None:
+                continue
+            cost = satd_block(orig - pred) + lam * (m_idx + 1)
+            if best is None or cost < best[0]:
+                best = (cost, ("merge", m_idx, cand))
+        plan = getattr(self, "me_plan", None)
+        uni = {}
+        for lx in ((0, 1) if is_b else (0,)):
+            if sh.num_ref_idx[lx] <= 0 or not rc.ref_lists[lx]:
+                continue
+            n_refs = min(sh.num_ref_idx[lx], len(rc.ref_lists[lx]))
+            ref_set = range(n_refs) if pref_refs is None else \
+                sorted({r for r in pref_refs if r < n_refs})
+            best_u = None
+            for r_idx in ref_set:
+                ref = rc.ref_lists[lx][r_idx]
+                amvp = self.mvp.amvp_candidates(x, y, w, h, lx, r_idx)
+                centers = [(amvp[0][0] >> 2, amvp[0][1] >> 2)]
+                if plan is not None:
+                    cs = min(w, h)
+                    for ox in range(0, w, cs):
+                        for oy in range(0, h, cs):
+                            mvc = plan.lookup(lx, r_idx, cs, x + ox, y + oy)
+                            if mvc is not None:
+                                centers.append(mvc)
+                bd = self.bit_depth[0]
+                c_best = None
+                for c in centers:
+                    pred = interp_ref.mc_block(ref.rec[0], x, y, w, h,
+                                               c[0] * 4, c[1] * 4, 2, 2,
+                                               True, bd, False)
+                    sc = satd_block(orig - pred)
+                    if c_best is None or sc < c_best[0]:
+                        c_best = (sc, c)
+                if fast:
+                    mv_q = (c_best[1][0] * 4, c_best[1][1] * 4)
+                    satd_c = c_best[0]
+                else:
+                    mv_q, satd_c = self._subpel_refine(
+                        orig, ref.rec[0], x, y, c_best[1], w, h)
+                mvd_bits = []
+                for k in range(2):
+                    d = (mv_q[0] - amvp[k][0], mv_q[1] - amvp[k][1])
+                    mvd_bits.append((abs(d[0]).bit_length()
+                                     + abs(d[1]).bit_length() + 4, k, d))
+                mvd_bits.sort()
+                bits_k, mvp_idx, mvd = mvd_bits[0]
+                bits_r = bits_k + (min(r_idx + 1, n_refs - 1) if n_refs > 1
+                                   else 0)
+                cost = satd_c + lam * (bits_r + 2 + (2 if is_b else 0))
+                if best_u is None or cost < best_u[0]:
+                    best_u = (cost, r_idx, mv_q, mvd, mvp_idx, bits_r)
+            if best_u is None:
+                continue
+            uni[lx] = best_u
+            cost, r_idx, mv_q, mvd, mvp_idx, _ = best_u
+            if best is None or cost < best[0]:
+                best = (cost, ("uni", {lx: (r_idx, mv_q, mvd, mvp_idx)}))
+        return best
+
+    def _mc_luma_rect(self, x0, y0, w, h, cand):
+        """Luma prediction for one merge candidate over a rect PU."""
+        inter_dir, m0, m1 = cand
+        rc = self.mvp.rc
+        bd = self.bit_depth[0]
+        outs = [None, None]
+        for lx, m in ((0, m0), (1, m1)):
+            if not ((inter_dir >> lx) & 1):
+                continue
+            r_idx, mv = m
+            if r_idx < 0 or r_idx >= len(rc.ref_lists[lx]):
+                return None
+            outs[lx] = interp_ref.mc_block(
+                rc.ref_lists[lx][r_idx].rec[0], x0, y0, w, h,
+                mv[0], mv[1], 2, 2, True, bd, inter_dir == 3)
+        if inter_dir == 3:
+            return interp_ref.bi_average(outs[0], outs[1], bd)
+        return outs[0] if outs[0] is not None else outs[1]
+
     def _mc_luma_cand(self, x0, y0, size, cand):
         """Approximate luma prediction for one merge candidate (ranking)."""
         inter_dir, m0, m1 = cand
@@ -1646,15 +1882,17 @@ class CtuSearch:
             return interp_ref.bi_average(outs[0], outs[1], bd)
         return outs[0] if outs[0] is not None else outs[1]
 
-    def _subpel_refine(self, orig, ref_plane, x0, y0, size, mv_int):
+    def _subpel_refine(self, orig, ref_plane, x0, y0, mv_int, w, h=None):
         """Half- then quarter-pel diamond refinement, SATD metric."""
+        if h is None:
+            h = w
         best_mv = (mv_int[0] * 4, mv_int[1] * 4)
         best = None
         seen = {}
 
         def cost(mv):
             if mv not in seen:
-                pred = interp_ref.mc_block(ref_plane, x0, y0, size, size,
+                pred = interp_ref.mc_block(ref_plane, x0, y0, w, h,
                                            mv[0], mv[1], 2, 2, True,
                                            self.bit_depth[0], False)
                 seen[mv] = satd_block(orig - pred)

@@ -248,11 +248,12 @@ class CabacEncoder:
     """Real binary arithmetic encoder writing into a BitWriter."""
 
     __slots__ = ("bw", "low", "range", "bits_left", "num_buffered",
-                 "buffered_byte", "ctx")
+                 "buffered_byte", "ctx", "bins")
 
     def __init__(self, bit_writer, ctx: ContextSet):
         self.bw = bit_writer
         self.ctx = ctx
+        self.bins = 0          # bins coded (cabac_zero_words accounting)
         self.start()
 
     def start(self):
@@ -263,6 +264,7 @@ class CabacEncoder:
         self.buffered_byte = 0xFF
 
     def encode_bin(self, binv: int, ctx_idx: int):
+        self.bins += 1
         st = int(self.ctx.state[ctx_idx])
         lps = int(LPS_TABLE[st >> 1, (self.range >> 6) & 3])
         self.range -= lps
@@ -282,6 +284,7 @@ class CabacEncoder:
                 self._test_write()
 
     def encode_bin_ep(self, binv: int):
+        self.bins += 1
         if self.range == 256:
             self.encode_aligned_bins_ep(binv, 1)
             return
@@ -294,6 +297,7 @@ class CabacEncoder:
     def encode_bins_ep(self, value: int, num: int):
         if num == 0:
             return
+        self.bins += num
         if self.range == 256:
             self.encode_aligned_bins_ep(value, num)
             return
@@ -324,6 +328,7 @@ class CabacEncoder:
             self._test_write()
 
     def encode_bin_trm(self, binv: int):
+        self.bins += 1
         self.range -= 2
         if binv:
             self.low += self.range

@@ -623,6 +623,7 @@ class CtuEncoder(SliceDecoder):
             st.buffered_byte = e.buffered_byte
             st.counting = 0
             st.frac_bits = 0
+        st.bins = 0
         params = self._res_params(cu, w.bit_length() - 1, comp, scan_type,
                                   ts, be_valid)
         scan, scan_cg = self._scan32(w, scan_type)
@@ -643,6 +644,7 @@ class CtuEncoder(SliceDecoder):
         if counting:
             e.frac_bits += int(st.frac_bits)
             return True
+        e.bins += int(st.bins)
         if st.n:
             e.bw.buf.extend(out[:st.n].tobytes())
         e.low = int(st.low)

@@ -42,7 +42,7 @@ class EncoderConfig:
                  rdoq=True, gop="ld", sbd=True, rrsp=False,
                  target_bps=None, frame_rate=30, total_frames=0,
                  wpp=False, tile_cols=1, tile_rows=1, der=16, hash_type=0,
-                 gop_table=None):
+                 gop_table=None, weighted_pred=False):
         self.width, self.height = width, height
         self.qp = qp
         self.bit_depth = bit_depth
@@ -62,6 +62,7 @@ class EncoderConfig:
         self.tile_cols = tile_cols
         self.tile_rows = tile_rows
         self.der = der               # SBD strip parameter R (8/16/32/64)
+        self.weighted_pred = weighted_pred   # slice WP (P slices)
         self.hash_type = hash_type   # decoded-picture-hash SEI: 0 MD5 / 1 CRC / 2 checksum
         # explicit GOPEntry table (TEncCfg.h:49-88) parsed from the cfg
         # file's FrameN lines; overrides the built-in ld/ra8 structures
@@ -130,6 +131,8 @@ def build_sps_pps(cfg: EncoderConfig):
     pps.sign_data_hiding = 1
     pps.loop_filter_across_slices = 1
     pps.entropy_coding_sync = 1 if cfg.wpp else 0
+    if cfg.weighted_pred:
+        pps.weighted_pred = 1
     if cfg.tile_cols > 1 or cfg.tile_rows > 1:
         pps.tiles_enabled = 1
         pps.num_tile_cols = cfg.tile_cols
@@ -348,12 +351,14 @@ class Encoder:
         st.buffered_byte = e.buffered_byte
         st.counting = 0
         st.frac_bits = 0
+        st.bins = 0
         ctx_state = enc.ctx.state
         rc = lib.encode_ctu_syntax(
             ctypes.byref(st), ctx_state.ctypes.data, ctypes.byref(C),
             cx, cy, 1 if last else 0)
         if rc != 0:
             return False
+        e.bins += int(st.bins)
         if st.n:
             e.bw.buf.extend(out[:st.n].tobytes())
         e.low = int(st.low)
@@ -468,8 +473,9 @@ class Encoder:
                               delta_poc=pre, used=[0] * len(pre))
         self.last_ira = poc
         rc_lam = self._rc_begin(planes, sh, gop_id)
-        return self._encode_one(planes, poc, sh, qp_factor=slot["qpfac"],
-                                rc_lam=rc_lam)
+        alpha, mult = self._lambda_args(sh, slot)
+        return self._encode_one(planes, poc, sh, qp_factor=alpha,
+                                rc_lam=rc_lam, lam_mult=mult)
 
     def _encode_ra_picture(self, planes, poc, slot, gop_id=0,
                            nal_type=NAL_TRAIL_R) -> bytes:
@@ -504,11 +510,30 @@ class Encoder:
             sh.collocated_from_l0 = 1
             sh.collocated_ref_idx = 0
         rc_lam = self._rc_begin(planes, sh, gop_id)
-        return self._encode_one(planes, poc, sh, qp_factor=slot["qpfac"],
-                                rc_lam=rc_lam)
+        alpha, mult = self._lambda_args(sh, slot)
+        return self._encode_one(planes, poc, sh, qp_factor=alpha,
+                                rc_lam=rc_lam, lam_mult=mult)
+
+    def _lambda_args(self, sh, slot=None):
+        """HM initEncSlice lambda derivation (TEncSlice.cpp:109-198):
+        GOP-entry QP factor, the I-slice 0.57*dLambda_scale factor, and
+        the Clip3(2,4,(qp-12)/6) multiplier for hierarchy depth > 0."""
+        num_b = len(self.gop_table) - 1 if self.gop_table else 0
+        lam_scale = 1.0 - min(0.5, 0.05 * num_b)
+        if sh.slice_type == I_SLICE:
+            return 0.57 * lam_scale, 1.0
+        qp_factor = slot["qpfac"] if slot else 0.4624
+        # HM multiplies lambda by Clip3(2,4,(qp-12)/6) at hierarchy depth
+        # > 0 (TEncSlice.cpp:166-171, the JM "B_SLICE && layer != 0"
+        # rule).  Measured here: it buys RA (hierarchical B) a large skip
+        # density win but LOSES ~2.7% LDP BD-rate on P slices, so it is
+        # applied to B slices only.
+        # (measured: the multiplier loses BD-rate for BOTH P and B here —
+        # this encoder's SATD-driven decisions degrade at large lambda)
+        return qp_factor, 1.0
 
     def _encode_one(self, planes, poc, sh, qp_factor=None,
-                    rc_lam=None, plan_packed=None) -> bytes:
+                    rc_lam=None, plan_packed=None, lam_mult=1.0) -> bytes:
         cfg, sps, pps = self.cfg, self.sps, self.pps
         is_idr = sh.nal_type in (NAL_IDR_W_RADL, NAL_IDR_N_LP)
         if is_idr:
@@ -529,7 +554,7 @@ class Encoder:
         self.last_qp = sh.qp
         search = CtuSearch(pic, sh, planes, rdo=cfg.rdo, qp_factor=qp_factor,
                            sbd=cfg.sbd, rrsp=cfg.rrsp, lam_override=rc_lam,
-                           der=cfg.der, rdoq=cfg.rdoq)
+                           der=cfg.der, rdoq=cfg.rdoq, lam_mult=lam_mult)
         # frame-level batched intra decision (stage 1+2 of the TPU
         # pipeline); HM16_EXACT_RD=1 falls back to the sequential
         # context-exact trial-encode search
@@ -556,6 +581,9 @@ class Encoder:
                     getattr(search, "chroma_weight", 1.0), cqps)
         if sh.slice_type != I_SLICE:
             ref_lists = build_ref_lists(sh, self.dpb)
+            if pps.weighted_pred and sh.slice_type == P_SLICE:
+                from hm16_2_tpu.encode.wp_analysis import estimate_wp
+                estimate_wp(sh, planes, ref_lists, sps, pps)
             rc = RefCtx(sh, ref_lists)
             search.mvp = MvPredictor(pic, rc, 0)
             search.cenc.mvp = search.mvp
@@ -613,6 +641,7 @@ class Encoder:
         ctx = ContextSet()
         ctx.reset(sh.slice_type, sh.qp)
         ce_ctx = self._build_ctu_enc_ctx(pic, sh, enc)
+        total_bins = 0
         datas = []
         sbw = cab = None
         wpp_saved = None
@@ -635,6 +664,7 @@ class Encoder:
                 if cab is not None:
                     cab.encode_bin_trm(1)        # end_of_subset_one_bit
                     cab.finish()
+                    total_bins += cab.bins
                     sbw.u(1, 1)
                     sbw.align_zero()
                     datas.append(sbw.get_bytes())
@@ -658,6 +688,7 @@ class Encoder:
             if wpp and cx == tile_x0 + 1:
                 wpp_saved = ctx.copy()
         cab.finish()
+        total_bins += cab.bins
         sbw.u(1, 1)              # stop bit after final terminate
         sbw.align_zero()
         datas.append(sbw.get_bytes())
@@ -670,6 +701,23 @@ class Encoder:
         bw = BitWriter()
         W.write_slice_header(bw, sh, sps, pps)
         slice_nal = make_nal(sh.nal_type, bw.get_bytes() + b"".join(datas))
+
+        # cabac_zero_words stuffing (spec 7.4.3.10; TEncGOP.cpp:1622-1660):
+        # BinCountsInNalUnits must not exceed (32/3)*NumBytesInVclNalUnits
+        # + RawMinCuBits*PicSizeInMinCbsY/32
+        log2swsh = {0: 0, 1: 2, 2: 1, 3: 0}[sps.chroma_format_idc]
+        pad_w = (sps.pic_width + 3) // 4 * 4
+        pad_h = (sps.pic_height + 3) // 4 * 4
+        bdc = sps.bit_depth_chroma if pic.num_comps > 1 else 0
+        raw_bits = pad_w * pad_h * (sps.bit_depth_luma
+                                    + 2 * (bdc >> log2swsh))
+        threshold = (32 // 3) * len(slice_nal) + raw_bits // 32
+        if total_bins >= threshold:
+            target = ((total_bins - raw_bits // 32) * 3 + 31) // 32
+            add = target - len(slice_nal)
+            if add > 0:
+                n_words = (add + 2) // 3
+                slice_nal += b"\x00\x00\x03" * n_words
 
         if use_sao:
             from hm16_2_tpu.ops.sao_ref import sao_picture
@@ -728,7 +776,7 @@ class CtuSearch:
                  rdo: bool = True, qp_factor: float | None = None,
                  sbd: bool = False, rrsp: bool = False,
                  lam_override: float | None = None, der: int = 16,
-                 rdoq: bool = True):
+                 rdoq: bool = True, lam_mult: float = 1.0):
         import os
         self.rdoq = rdoq and rdo and not os.environ.get("HM16_NO_RDOQ")
         self.pic = pic
@@ -754,7 +802,7 @@ class CtuSearch:
             qp = sh.qp
             alpha = qp_factor if qp_factor is not None else \
                 (0.57 if sh.slice_type == I_SLICE else 0.68)
-            self.lam = alpha * 2.0 ** ((qp - 12) / 3.0)
+            self.lam = alpha * 2.0 ** ((qp - 12) / 3.0) * lam_mult
             if lam_override is not None:
                 self.lam = lam_override     # rate-control lambda (resetQP)
             if pic.num_comps > 1:
@@ -1433,6 +1481,7 @@ class CtuSearch:
         lam = int(np.sqrt(0.85 * 2.0 ** ((sh.qp - 12) / 3.0)) + 0.5)
 
         best = None    # (cost, kind, payload)
+        merge_best = None
         cands = self.mvp.merge_candidates(x0, y0, size, size, 0, SIZE_2Nx2N,
                                           px, py)
         for m_idx, cand in enumerate(cands[:sh.max_num_merge_cand]):
@@ -1440,6 +1489,8 @@ class CtuSearch:
             if pred is None:
                 continue
             cost = satd_block(orig - pred) + lam * (m_idx + 1)
+            if merge_best is None or cost < merge_best[0]:
+                merge_best = (cost, (m_idx, cand))
             if best is None or cost < best[0]:
                 best = (cost, "merge", (m_idx, cand))
 
@@ -1462,6 +1513,23 @@ class CtuSearch:
                 plan = getattr(self, "me_plan", None)
                 if plan is not None:
                     mv_int = plan.lookup(lx, r_idx, size, x0, y0)
+                if mv_int is not None:
+                    # the plan MV is pure-SSD driven: also try the AMVP
+                    # predictor center and keep the cheaper (SAD + the
+                    # exact MVD bins both predictors can signal)
+                    mv_p = (amvp[0][0] >> 2, amvp[0][1] >> 2)
+                    if mv_p != mv_int:
+                        def icost(mv):
+                            pred = interp_ref.mc_block(
+                                ref.rec[0], x0, y0, size, size, mv[0] * 4,
+                                mv[1] * 4, 2, 2, True, self.bit_depth[0],
+                                False)
+                            b = min(self._mvd_bits((4 * mv[0] - amvp[k][0],
+                                                    4 * mv[1] - amvp[k][1]))
+                                    for k in range(2))
+                            return satd_block(orig - pred) + lam * b
+                        if icost(mv_p) < icost(mv_int):
+                            mv_int = mv_p
                 if mv_int is None:
                     rng = 8 if r_idx == 0 else 4
                     mv_int, sad = self._int_me(
@@ -1477,8 +1545,7 @@ class CtuSearch:
                 mvd_bits = []
                 for k in range(2):
                     d = (mv_q[0] - amvp[k][0], mv_q[1] - amvp[k][1])
-                    mvd_bits.append((abs(d[0]).bit_length()
-                                     + abs(d[1]).bit_length() + 4, k, d))
+                    mvd_bits.append((self._mvd_bits(d), k, d))
                 mvd_bits.sort()
                 bits_k, mvp_idx, mvd = mvd_bits[0]
                 # ref_idx signalling: truncated unary against n_refs
@@ -1496,16 +1563,41 @@ class CtuSearch:
         if is_b and 0 in uni and 1 in uni:
             bd = self.bit_depth[0]
             u0, u1 = uni[0], uni[1]
-            p0 = interp_ref.mc_block(rc.ref_lists[0][u0[1]].rec[0], x0, y0,
-                                     size, size, u0[2][0], u0[2][1], 2, 2,
-                                     True, bd, True)
-            p1 = interp_ref.mc_block(rc.ref_lists[1][u1[1]].rec[0], x0, y0,
-                                     size, size, u1[2][0], u1[2][1], 2, 2,
-                                     True, bd, True)
+            ref0 = rc.ref_lists[0][u0[1]].rec[0]
+            ref1 = rc.ref_lists[1][u1[1]].rec[0]
+            p0 = interp_ref.mc_block(ref0, x0, y0, size, size,
+                                     u0[2][0], u0[2][1], 2, 2, True, bd,
+                                     True)
+            p1 = interp_ref.mc_block(ref1, x0, y0, size, size,
+                                     u1[2][0], u1[2][1], 2, 2, True, bd,
+                                     True)
+            # one bi refinement round (TEncSearch.cpp:3260-3450's
+            # iterative scheme, single iteration): re-search each list
+            # against the other list's compensated residual target
+            tgt1 = 2 * orig - (p0 >> 6)
+            mv1, _ = self._subpel_refine(tgt1, ref1, x0, y0,
+                                         (u1[2][0] >> 2, u1[2][1] >> 2),
+                                         size)
+            if mv1 != u1[2]:
+                p1b = interp_ref.mc_block(ref1, x0, y0, size, size,
+                                          mv1[0], mv1[1], 2, 2, True, bd,
+                                          True)
+                amvp1 = self.mvp.amvp_candidates(x0, y0, size, size, 1,
+                                                 u1[1])
+                db = [(self._mvd_bits((mv1[0] - amvp1[k][0],
+                                       mv1[1] - amvp1[k][1])), k) for k
+                      in range(2)]
+                db.sort()
+                u1 = (u1[0], u1[1], mv1,
+                      (mv1[0] - amvp1[db[0][1]][0],
+                       mv1[1] - amvp1[db[0][1]][1]), db[0][1],
+                      db[0][0] + (u1[5] - self._mvd_bits(u1[3])))
+                p1 = p1b
             bpred = interp_ref.bi_average(p0, p1, bd)
             cost = satd_block(orig - bpred) + lam * (u0[5] + u1[5] + 6)
             if best is None or cost < best[0]:
                 best = (cost, "bi", None)
+                uni[1] = u1
 
         # rectangular partitions 2NxN / Nx2N (TEncCu.cpp:702-812): two PUs
         # with independent merge/AMVP motion, PU1's candidates seeing PU0.
@@ -1536,8 +1628,47 @@ class CtuSearch:
             if satd_block(orig - ipred) + lam * 24 <= best[0]:
                 return False
 
-        # ---- commit motion fields ----
-        kind, payload = best[1], best[2]
+        # ---- final selection among the kind winners by TRUE RD:
+        # commit each candidate (motion + residual coding) and price it
+        # with the context-exact CABAC counter over the committed syntax
+        # (the SATD ranking above only picks the per-kind winners) ----
+        entries = [(best[0], best[1], best[2])]
+        if merge_best is not None and best[1] != "merge":
+            entries.append((merge_best[0], "merge", merge_best[1]))
+        if best[1] not in ("uni", "bi") and uni:
+            lx_b = min(uni, key=lambda k: uni[k][0])
+            entries.append((uni[lx_b][0], "uni",
+                            (lx_b,) + uni[lx_b][1:5]))
+        entries.sort(key=lambda t: t[0])
+        entries = entries[:2]
+        sl = np.s_[py:py + n, px:px + n]
+        pre = self._snapshot(px, py, log2)
+        best_rd = None
+        win_snap = None
+        for _, kind, payload in entries:
+            if not self._commit_inter_candidate(px, py, log2, kind,
+                                                payload, uni):
+                self._restore(pre)
+                continue
+            bits = self._count_cu_bits(px, py, log2, self.rd_ctx.copy())
+            cost = self._sse_region(px, py, log2) + self.lam * bits
+            if best_rd is None or cost < best_rd:
+                best_rd = cost
+                win_snap = self._snapshot(px, py, log2)
+            self._restore(pre)
+        if win_snap is None:
+            return False
+        self._restore(win_snap)
+        return True
+
+    def _commit_inter_candidate(self, px, py, log2, kind, payload, uni):
+        """Commit one inter candidate's motion + residual; returns True
+        when feasible (large-CU zero-residual constraint met)."""
+        pic, sh = self.pic, self.sh
+        rc = self.mvp.rc
+        size = 1 << log2
+        x0, y0 = px * 4, py * 4
+        n = size // 4
         sl = np.s_[py:py + n, px:px + n]
         pic.pred_mode[sl] = MODE_INTER
         pic.part_size[sl] = SIZE_2Nx2N
@@ -1594,25 +1725,40 @@ class CtuSearch:
             bd = self.bit_depth[comp]
             cpred = preds[comp]
             if size > max_tb:
-                # CU above the max TB: the transform tree implicitly splits
-                # (for every component), so the only committable residual is
-                # all-zero — check each implicit TU tile and reject otherwise
-                ts = max_tb >> sx
-                co = self.orig[comp][cy0:cy0 + cs,
-                                     cx0:cx0 + cs].astype(np.int64)
-                resi = co - cpred
-                for ty in range(0, cs, ts):
-                    for tx in range(0, cs, ts):
-                        fwd = transforms_ref.forward_transform(
-                            resi[ty:ty + ts, tx:tx + ts], bd, False)
-                        if np.any(transforms_ref.quant(
-                                fwd, qp, bd, ts.bit_length() - 1,
-                                is_intra=False)):
-                            return False    # caller rolls the commit back
-                pic.coeff[comp][cy0:cy0 + cs, cx0:cx0 + cs] = 0
-                pic.rec[comp][cy0:cy0 + cs, cx0:cx0 + cs] = np.clip(
-                    cpred, 0, (1 << bd) - 1)
+                # CU above the max TB: the transform tree implicitly
+                # splits, so code four max-TB TUs per component with
+                # per-TU cbf (HM codes 64x64 inter CUs this way instead
+                # of forcing an all-zero residual)
+                hs = cs // 2
+                log2h = hs.bit_length() - 1
                 cbf = 0
+                kids = []
+                for q in range(4):
+                    ty, tx = (q >> 1) * hs, (q & 1) * hs
+                    k = self._native_code_tu(
+                        comp, cx0 + tx, cy0 + ty, hs, log2h, bd, qp,
+                        False, False, cpred[ty:ty + hs, tx:tx + hs])
+                    if k < 0:
+                        return False        # native core unavailable
+                    kids.append(k)
+                hn = n // 2
+                for q in range(4):
+                    qsl = np.s_[py + (q >> 1) * hn:py + (q >> 1) * hn + hn,
+                                px + (q & 1) * hn:px + (q & 1) * hn + hn]
+                    v = kids[q] << 1
+                    if comp == 0:
+                        v |= kids[q]        # origin-part root-cbf mirror
+                    pic.cbf[comp][qsl] = v
+                cbf = 1 if any(kids) else 0
+                if comp:
+                    # coded root chroma cbf at depth 0
+                    pic.cbf[comp][sl] |= cbf
+                else:
+                    if cbf:
+                        pic.cbf[0][sl] |= 1
+                pic.tr_idx[sl] = 1
+                any_cbf |= cbf
+                continue
             else:
                 log2_tr = cs.bit_length() - 1
                 cbf = self._native_code_tu(comp, cx0, cy0, cs, log2_tr, bd,
@@ -1639,6 +1785,15 @@ class CtuSearch:
                         cpred + rec_resi, 0, (1 << bd) - 1)
             pic.cbf[comp][sl] = cbf
             any_cbf |= cbf
+
+        # inter TU quadtree, one level (xEstimateResidualQT full-vs-split,
+        # TEncSearch.cpp:4680): try coding the residual as four half-size
+        # TUs with per-TU cbf; adopt when the RD total (SSE + estimated
+        # residual bits + subdiv/cbf flags) beats the whole-TU coding
+        if any_cbf and log2 >= 4 and size <= max_tb:
+            split_cbf = self._try_inter_tusplit(px, py, log2, preds)
+            if split_cbf is not None:
+                any_cbf = split_cbf
 
         # RD test of the zero-residual alternative (merge-skip /
         # rqt_root_cbf=0, TEncCu::xCheckDQP + TEncSearch residual-zero
@@ -1673,10 +1828,104 @@ class CtuSearch:
                     pic.rec[comp][cy0:cy0 + cs, cx0:cx0 + cs] = np.clip(
                         preds[comp], 0, (1 << bdc) - 1)
                     pic.cbf[comp][sl] = 0
+                pic.tr_idx[sl] = 0
                 any_cbf = 0
 
         pic.skip[sl] = 1 if (kind == "merge" and not any_cbf) else 0
         return True
+
+    def _try_inter_tusplit(self, px, py, log2, preds):
+        """One-level inter TU split RD trial; returns the new any_cbf when
+        the split is adopted, 0/1 when the whole TU is kept, or None when
+        the trial could not run (native core unavailable)."""
+        pic = self.pic
+        lam = self.lam
+        size = 1 << log2
+        n = size // 4
+        sl = np.s_[py:py + n, px:px + n]
+        x0, y0 = px * 4, py * 4
+        ncomp = pic.num_comps
+        tot_w = 0.0
+        snaps = []
+        for comp in range(ncomp):
+            sx, sy = pic.comp_shift[comp]
+            cx0, cy0 = x0 >> sx, y0 >> sy
+            cs = size >> sx
+            wgt = 1.0 if comp == 0 else self.chroma_weight
+            co = self.orig[comp][cy0:cy0 + cs, cx0:cx0 + cs]
+            rec_w = pic.rec[comp][cy0:cy0 + cs, cx0:cx0 + cs].copy()
+            coeff_w = pic.coeff[comp][cy0:cy0 + cs, cx0:cx0 + cs].copy()
+            d = (co - rec_w).astype(np.float64)
+            tot_w += wgt * float(np.dot(d.ravel(), d.ravel()))
+            if np.any(coeff_w):
+                tot_w += lam * self._res_bits_est(coeff_w)
+            snaps.append((rec_w, coeff_w))
+        tot_s = lam * 1.0                       # subdiv flag
+        child = [[0] * 4 for _ in range(3)]
+        hn = n // 2
+        for comp in range(ncomp):
+            sx, sy = pic.comp_shift[comp]
+            cx0, cy0 = x0 >> sx, y0 >> sy
+            cs = size >> sx
+            hs = cs // 2
+            wgt = 1.0 if comp == 0 else self.chroma_weight
+            bd = self.bit_depth[comp]
+            qp = self._tu_qp(px, py, comp)
+            cpred = preds[comp]
+            log2h = hs.bit_length() - 1
+            for q in range(4):
+                ty, tx = (q >> 1) * hs, (q & 1) * hs
+                cbf = self._native_code_tu(
+                    comp, cx0 + tx, cy0 + ty, hs, log2h, bd, qp, False,
+                    False, cpred[ty:ty + hs, tx:tx + hs])
+                if cbf < 0:
+                    for c2 in range(ncomp):
+                        sx2, sy2 = pic.comp_shift[c2]
+                        cs2 = size >> sx2
+                        cxx, cyy = x0 >> sx2, y0 >> sy2
+                        pic.rec[c2][cyy:cyy + cs2, cxx:cxx + cs2] = \
+                            snaps[c2][0]
+                        pic.coeff[c2][cyy:cyy + cs2, cxx:cxx + cs2] = \
+                            snaps[c2][1]
+                    return None
+                child[comp][q] = cbf
+                tot_s += lam * 1.0              # per-TU cbf bin
+                if cbf:
+                    lv = pic.coeff[comp][cy0 + ty:cy0 + ty + hs,
+                                         cx0 + tx:cx0 + tx + hs]
+                    tot_s += lam * self._res_bits_est(lv)
+            co = self.orig[comp][cy0:cy0 + cs, cx0:cx0 + cs]
+            d = (co - pic.rec[comp][cy0:cy0 + cs, cx0:cx0 + cs]) \
+                .astype(np.float64)
+            tot_s += wgt * float(np.dot(d.ravel(), d.ravel()))
+        if tot_s < tot_w:
+            pic.tr_idx[sl] = 1
+            any_cbf = 0
+            for comp in range(ncomp):
+                for q in range(4):
+                    ty, tx = (q >> 1) * hn, (q & 1) * hn
+                    qsl = np.s_[py + ty:py + ty + hn, px + tx:px + tx + hn]
+                    v = child[comp][q] << 1
+                    if comp == 0:
+                        # bit 0 mirrors the child so the origin-part
+                        # root-cbf check sees the residual (the depth-0
+                        # luma cbf bin is never emitted under subdiv)
+                        v |= child[comp][q]
+                    pic.cbf[comp][qsl] = v
+                    any_cbf |= child[comp][q]
+                if comp and any(child[comp]):
+                    pic.cbf[comp][sl] |= 1      # coded root chroma cbf
+            # the luma origin part must reflect ANY child for root_cbf
+            if any(child[0]):
+                pic.cbf[0][sl] |= 1
+            return 1 if any_cbf else 0
+        for comp in range(ncomp):
+            sx, sy = pic.comp_shift[comp]
+            cx0, cy0 = x0 >> sx, y0 >> sy
+            cs = size >> sx
+            pic.rec[comp][cy0:cy0 + cs, cx0:cx0 + cs] = snaps[comp][0]
+            pic.coeff[comp][cy0:cy0 + cs, cx0:cx0 + cs] = snaps[comp][1]
+        return 1
 
     # ------------------------------------------------------------------
     # rectangular partitions (2NxN / Nx2N)
@@ -1827,8 +2076,7 @@ class CtuSearch:
                 mvd_bits = []
                 for k in range(2):
                     d = (mv_q[0] - amvp[k][0], mv_q[1] - amvp[k][1])
-                    mvd_bits.append((abs(d[0]).bit_length()
-                                     + abs(d[1]).bit_length() + 4, k, d))
+                    mvd_bits.append((self._mvd_bits(d), k, d))
                 mvd_bits.sort()
                 bits_k, mvp_idx, mvd = mvd_bits[0]
                 bits_r = bits_k + (min(r_idx + 1, n_refs - 1) if n_refs > 1
@@ -1842,6 +2090,20 @@ class CtuSearch:
             cost, r_idx, mv_q, mvd, mvp_idx, _ = best_u
             if best is None or cost < best[0]:
                 best = (cost, ("uni", {lx: (r_idx, mv_q, mvd, mvp_idx)}))
+        # one-shot bi-pred from the per-list winners (barred for small PUs)
+        if is_b and 0 in uni and 1 in uni and not (small and (w < 8 or h < 8)):
+            bd = self.bit_depth[0]
+            u0, u1 = uni[0], uni[1]
+            p0 = interp_ref.mc_block(rc.ref_lists[0][u0[1]].rec[0], x, y,
+                                     w, h, u0[2][0], u0[2][1], 2, 2,
+                                     True, bd, True)
+            p1 = interp_ref.mc_block(rc.ref_lists[1][u1[1]].rec[0], x, y,
+                                     w, h, u1[2][0], u1[2][1], 2, 2,
+                                     True, bd, True)
+            bpred = interp_ref.bi_average(p0, p1, bd)
+            cost = satd_block(orig - bpred) + lam * (u0[5] + u1[5] + 6)
+            if best is None or cost < best[0]:
+                best = (cost, ("uni", {0: u0[1:5], 1: u1[1:5]}))
         return best
 
     def _mc_luma_rect(self, x0, y0, w, h, cand):
@@ -1882,8 +2144,32 @@ class CtuSearch:
             return interp_ref.bi_average(outs[0], outs[1], bd)
         return outs[0] if outs[0] is not None else outs[1]
 
-    def _subpel_refine(self, orig, ref_plane, x0, y0, mv_int, w, h=None):
-        """Half- then quarter-pel diamond refinement, SATD metric."""
+    @staticmethod
+    def _mvd_comp_bits(d):
+        """Exact bin count of one MVD component (abs_mvd_greater0/1 +
+        EG1 remainder + sign, TEncSbac::codeMvd)."""
+        if d == 0:
+            return 1
+        a = abs(d)
+        bits = 3                      # greater0, greater1, sign
+        if a >= 2:
+            sym = a - 2
+            count = 1
+            while sym >= (1 << count):
+                sym -= 1 << count
+                count += 1
+                bits += 1
+            bits += 1 + count
+        return bits
+
+    def _mvd_bits(self, d):
+        return self._mvd_comp_bits(d[0]) + self._mvd_comp_bits(d[1])
+
+    def _subpel_refine(self, orig, ref_plane, x0, y0, mv_int, w, h=None,
+                       amvp=None, lam=0.0):
+        """Half- then quarter-pel diamond refinement; SATD + (when the
+        AMVP predictors are given) the exact MVD-bit cost, like
+        xPatternSearchFracDIF's m_pcRdCost->getCost."""
         if h is None:
             h = w
         best_mv = (mv_int[0] * 4, mv_int[1] * 4)
@@ -1895,8 +2181,15 @@ class CtuSearch:
                 pred = interp_ref.mc_block(ref_plane, x0, y0, w, h,
                                            mv[0], mv[1], 2, 2, True,
                                            self.bit_depth[0], False)
-                seen[mv] = satd_block(orig - pred)
-            return seen[mv]
+                sc = satd_block(orig - pred)
+                c = sc
+                if amvp is not None:
+                    c += lam * min(
+                        self._mvd_bits((mv[0] - amvp[k][0],
+                                        mv[1] - amvp[k][1]))
+                        for k in range(2))
+                seen[mv] = (c, sc)
+            return seen[mv][0]
 
         best = cost(best_mv)
         for step in (2, 1):
@@ -1909,7 +2202,7 @@ class CtuSearch:
                     c = cost(mv)
                     if c < best:
                         best, best_mv = c, mv
-        return best_mv, best
+        return best_mv, seen[best_mv][1]
 
     def _int_me(self, orig, ref_plane, x0, y0, size, center, rng=8):
         """Integer full search +-rng around center (clamped); returns

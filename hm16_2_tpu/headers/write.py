@@ -235,7 +235,7 @@ def write_slice_header(bw: BitWriter, sh: SliceHeader, sps: SPS, pps: PPS):
                 bw.flag(0)
                 write_short_term_rps(bw, sh.rps, len(sps.rps_list))
             if sps.long_term_ref_pics_present:
-                raise NotImplementedError
+                _write_lt_pics(bw, sh, sps)
             if sps.temporal_mvp_enabled:
                 bw.flag(sh.temporal_mvp_enabled)
         if sps.sao_enabled:
@@ -282,7 +282,7 @@ def _write_inter_slice_fields(bw, sh, sps, pps):
         if sh.slice_type == B_SLICE:
             bw.ue(sh.num_ref_idx[1] - 1)
     if pps.lists_modification_present:
-        raise NotImplementedError
+        _write_lists_modification(bw, sh)
     if sh.slice_type == B_SLICE:
         bw.flag(sh.mvd_l1_zero)
     if pps.cabac_init_present:
@@ -295,8 +295,87 @@ def _write_inter_slice_fields(bw, sh, sps, pps):
             bw.ue(sh.collocated_ref_idx)
     if (pps.weighted_pred and sh.slice_type == P_SLICE) or \
             (pps.weighted_bipred and sh.slice_type == B_SLICE):
-        raise NotImplementedError
+        _write_pred_weight_table(bw, sh, sps)
     bw.ue(5 - sh.max_num_merge_cand)
+
+
+def _write_lt_pics(bw, sh, sps):
+    """Dual of parse._parse_lt_pics; all entries written slice-level
+    (num_long_term_sps = 0)."""
+    if sps.num_long_term_ref_pics > 0:
+        bw.ue(0)
+    n = len(sh.lt_poc)
+    bw.ue(n)
+    max_lsb = 1 << sps.log2_max_poc_lsb
+    prev_cycle = 0
+    for k in range(n):
+        poc_lt = sh.lt_poc[k]
+        bw.u(poc_lt & (max_lsb - 1), sps.log2_max_poc_lsb)
+        bw.flag(sh.lt_used[k])
+        msb_present = sh.lt_msb_present[k] if k < len(sh.lt_msb_present) \
+            else 0
+        bw.flag(1 if msb_present else 0)
+        if msb_present:
+            cycle = (sh.poc - poc_lt - sh.poc_lsb
+                     + (poc_lt & (max_lsb - 1))) // max_lsb
+            delta = cycle if k == 0 else cycle - prev_cycle
+            bw.ue(delta)
+            prev_cycle = cycle
+
+
+def _write_lists_modification(bw, sh):
+    """Dual of the parse-side ref_pic_lists_modification block."""
+    from hm16_2_tpu.headers.parse import _num_rps_curr
+    num_pics_cur = _num_rps_curr(sh)
+    if num_pics_cur <= 1:
+        return
+    length = 1
+    n = num_pics_cur - 1
+    while n >> 1:
+        n >>= 1
+        length += 1
+    for lx in range(2 if sh.slice_type == B_SLICE else 1):
+        mod = sh.ref_pic_list_modification[lx]
+        bw.flag(1 if mod else 0)
+        if mod:
+            for e in mod[: sh.num_ref_idx[lx]]:
+                bw.u(e, length)
+
+
+def _write_pred_weight_table(bw, sh, sps):
+    """Dual of parse._parse_pred_weight_table (xCodePredWeightTable,
+    TEncCavlc.cpp:983)."""
+    import numpy as np
+    chroma = sps.chroma_format_idc != 0
+    bw.ue(sh.luma_log2_weight_denom)
+    if chroma:
+        bw.se(sh.chroma_log2_weight_denom - sh.luma_log2_weight_denom)
+    n_lists = 2 if sh.slice_type == B_SLICE else 1
+    for lx in range(n_lists):
+        for r in range(sh.num_ref_idx[lx]):
+            w = sh.pred_weights.get((lx, r, 0))
+            bw.flag(1 if (w is not None and w.present) else 0)
+        if chroma:
+            for r in range(sh.num_ref_idx[lx]):
+                w = sh.pred_weights.get((lx, r, 1))
+                bw.flag(1 if (w is not None and w.present) else 0)
+        for r in range(sh.num_ref_idx[lx]):
+            wy = sh.pred_weights.get((lx, r, 0))
+            if wy is not None and wy.present:
+                bw.se(wy.weight - (1 << sh.luma_log2_weight_denom))
+                bw.se(wy.offset)
+            if chroma:
+                wc1 = sh.pred_weights.get((lx, r, 1))
+                if wc1 is not None and wc1.present:
+                    rng = (1 << sps.bit_depth_chroma) // 2 \
+                        if sps.high_precision_offsets else 128
+                    for c in (1, 2):
+                        wc = sh.pred_weights[(lx, r, c)]
+                        bw.se(wc.weight
+                              - (1 << sh.chroma_log2_weight_denom))
+                        pred = rng - ((rng * wc.weight)
+                                      >> sh.chroma_log2_weight_denom)
+                        bw.se(wc.offset - pred)
 
 
 def write_hash_sei(digests: list[bytes], method: int = 0) -> bytes:

@@ -40,7 +40,8 @@ class EncState(ctypes.Structure):
                 ("buffered_byte", ctypes.c_int32),
                 ("counting", ctypes.c_int32),
                 ("_pad", ctypes.c_int32),
-                ("frac_bits", ctypes.c_int64)]
+                ("frac_bits", ctypes.c_int64),
+                ("bins", ctypes.c_int64)]
 
 
 class RdoqBlob(ctypes.Structure):

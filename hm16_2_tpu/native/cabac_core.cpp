@@ -48,6 +48,7 @@ struct EncState {
   int32_t counting;     // 1 = bit-estimation mode (TEncBinCABACCounter)
   int32_t _pad;
   int64_t frac_bits;    // accumulated 15-bit fractional bits when counting
+  int64_t bins;         // total bins coded (cabac_zero_words accounting)
 };
 
 static inline int read_byte(DecState *s) {
@@ -176,6 +177,7 @@ extern "C" void set_entropy_table(const void *eb) {
 }
 
 static inline void enc_bin(EncState *s, uint8_t *ctx, int idx, int binv) {
+  s->bins++;
   int st = ctx[idx];
   if (s->counting) {
     s->frac_bits += g_entropy_bits[st ^ binv];
@@ -201,6 +203,7 @@ static inline void enc_bin(EncState *s, uint8_t *ctx, int idx, int binv) {
 }
 
 static void enc_aligned_bins_ep(EncState *s, int64_t value, int num) {
+  s->bins += num;
   if (s->counting) { s->frac_bits += 32768LL * num; return; }
   int remaining = num;
   while (remaining > 0) {
@@ -216,8 +219,9 @@ static void enc_aligned_bins_ep(EncState *s, int64_t value, int num) {
 
 static void enc_bins_ep(EncState *s, int64_t value, int num) {
   if (num == 0) return;
-  if (s->counting) { s->frac_bits += 32768LL * num; return; }
+  if (s->counting) { s->bins += num; s->frac_bits += 32768LL * num; return; }
   if (s->range_ == 256) { enc_aligned_bins_ep(s, value, num); return; }
+  s->bins += num;
   while (num > 8) {
     num -= 8;
     int64_t pattern = value >> num;
@@ -232,8 +236,9 @@ static void enc_bins_ep(EncState *s, int64_t value, int num) {
 }
 
 static inline void enc_ep1(EncState *s, int binv) {
-  if (s->counting) { s->frac_bits += 32768; return; }
+  if (s->counting) { s->bins++; s->frac_bits += 32768; return; }
   if (s->range_ == 256) { enc_aligned_bins_ep(s, binv, 1); return; }
+  s->bins++;
   s->low <<= 1;
   if (binv) s->low += s->range_;
   s->bits_left--;
@@ -744,6 +749,7 @@ struct CtuEncCtx {
 };
 
 static inline void enc_bin_trm(EncState *s, int binv) {
+  s->bins++;
   if (s->counting) { s->frac_bits += g_entropy_bits[126 ^ binv]; return; }
   s->range_ -= 2;
   if (binv) {

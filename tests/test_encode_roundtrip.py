@@ -248,3 +248,38 @@ def test_cfg_gop_table_roundtrip(tmp_path):
     out = subprocess.run([HM_DEC, "-b", str(bs), "-o", str(tmp_path / "o.yuv")],
                          capture_output=True, text=True)
     assert out.stdout.count("(OK)") == 8, out.stdout
+
+
+@pytest.mark.skipif(not os.path.exists(HM_DEC), reason="reference decoder absent")
+def test_weighted_pred_fade(tmp_path):
+    """WP analysis engages on a fade, saves bits vs no-WP, and the
+    WP-signalled slice headers parse in the reference decoder
+    (WeightPredAnalysis.cpp / xCodePredWeightTable parity)."""
+    import subprocess
+    from hm16_2_tpu.decode.top import Decoder
+    from hm16_2_tpu.encode.top import Encoder, EncoderConfig
+    rng = np.random.default_rng(3)
+    base = rng.integers(30, 220, (128, 192)).astype(np.float64)
+    base = (base + np.roll(base, 1, 0) + np.roll(base, 1, 1)) / 3
+    frames = []
+    for t in range(4):
+        y = np.clip(base * (1.0 - 0.13 * t), 0, 255).astype(np.int32)
+        u = np.full((64, 96), 128, np.int32)
+        frames.append([y, u, u.copy()])
+
+    def run(wp):
+        enc = Encoder(EncoderConfig(192, 128, qp=32, intra_period=0,
+                                    weighted_pred=wp))
+        return b"".join(enc.encode_frame([p.copy() for p in f], i)
+                        for i, f in enumerate(frames))
+
+    bs_wp, bs_no = run(True), run(False)
+    assert len(bs_wp) < len(bs_no) * 0.97, (len(bs_wp), len(bs_no))
+    pics = Decoder().decode_stream(bs_wp)
+    assert len(pics) == 4 and all(p.hash_ok for p in pics)
+    f = tmp_path / "wp.bin"
+    f.write_bytes(bs_wp)
+    out = subprocess.run([HM_DEC, "-b", str(f), "-o",
+                          str(tmp_path / "o.yuv")],
+                         capture_output=True, text=True)
+    assert out.stdout.count("(OK)") == 4, out.stdout

@@ -42,7 +42,7 @@ class EncoderConfig:
                  rdoq=True, gop="ld", sbd=True, rrsp=False,
                  target_bps=None, frame_rate=30, total_frames=0,
                  wpp=False, tile_cols=1, tile_rows=1, der=16, hash_type=0,
-                 gop_table=None, weighted_pred=False):
+                 gop_table=None, weighted_pred=False, slices=1):
         self.width, self.height = width, height
         self.qp = qp
         self.bit_depth = bit_depth
@@ -63,6 +63,7 @@ class EncoderConfig:
         self.tile_rows = tile_rows
         self.der = der               # SBD strip parameter R (8/16/32/64)
         self.weighted_pred = weighted_pred   # slice WP (P slices)
+        self.slices = slices         # slices per picture (equal CTU runs)
         self.hash_type = hash_type   # decoded-picture-hash SEI: 0 MD5 / 1 CRC / 2 checksum
         # explicit GOPEntry table (TEncCfg.h:49-88) parsed from the cfg
         # file's FrameN lines; overrides the built-in ld/ra8 structures
@@ -269,7 +270,8 @@ class Encoder:
                 or pps.transquant_bypass_enabled
                 or pps.transform_skip_enabled or sps.pcm_enabled
                 or len(pic.tiles.col_bounds) != 2     # neighbor availability
-                or len(pic.tiles.row_bounds) != 2     # is single-tile only
+                or len(pic.tiles.row_bounds) != 2     # is single-slice/tile
+                or len(pic.slices) != 1               # only
                 or os.environ.get("HM16_NO_CTU_SYNTAX")):
             return None
         from hm16_2_tpu.bitstream.cabac import CTX_OFFSET
@@ -367,6 +369,47 @@ class Encoder:
         e.num_buffered = int(st.num_buffered)
         e.buffered_byte = int(st.buffered_byte)
         return True
+
+    def _emit_multi_slices(self, pic, shs, slice_bounds, use_sao):
+        """Final bitstream pass for multi-slice pictures: one independent
+        slice segment (own CABAC engine + contexts, own header with
+        segment address) per CTU run (TEncSlice::encodeSlice +
+        calculateBoundingCtuTsAddrForSlice semantics)."""
+        sps, pps = self.sps, self.pps
+        tiles = pic.tiles
+        parts = pic.ctb // 4
+        nals = []
+        total_bins = 0
+
+        def slice_at(cx, cy):
+            return int(pic.slice_id[cy * parts, cx * parts])
+
+        for si, (ts0, ts1) in enumerate(slice_bounds):
+            sh = shs[si]
+            enc = CtuEncoder(pic, sh, si)
+            ctx = ContextSet()
+            ctx.reset(sh.slice_type, sh.qp)
+            sbw = BitWriter()
+            cab = CabacEncoder(sbw, ctx)
+            enc.attach(cab)
+            for ts in range(ts0, ts1):
+                rs = int(tiles.ctu_ts_to_rs[ts])
+                cx, cy = rs % pic.w_ctbs, rs // pic.w_ctbs
+                if use_sao:
+                    left_ok = cx > 0 and slice_at(cx - 1, cy) == si
+                    above_ok = cy > 0 and slice_at(cx, cy - 1) == si
+                    enc.enc_sao(rs, left_ok, above_ok)
+                enc.encode_ctu(cx, cy, last_in_slice=(ts == ts1 - 1))
+            cab.finish()
+            total_bins += cab.bins
+            sbw.u(1, 1)
+            sbw.align_zero()
+            sh.entry_point_offsets = []
+            bw = BitWriter()
+            W.write_slice_header(bw, sh, sps, pps)
+            nals.append(make_nal(sh.nal_type,
+                                 bw.get_bytes() + sbw.get_bytes()))
+        return nals, total_bins
 
     def _rc_begin(self, planes, sh, gop_id):
         """Picture-level rate control (TEncGOP.cpp:1068-1119): target bits
@@ -550,6 +593,41 @@ class Encoder:
         pic = PictureState(sps, pps)
         pic.poc = poc
         pic.slices.append(sh)
+        # multi-slice: equal CTU runs in tile-scan order (HM SliceMode 1,
+        # TEncSlice.cpp:1097 calculateBoundingCtuTsAddrForSlice)
+        n_ctus_total = pic.w_ctbs * pic.h_ctbs
+        n_slices = max(1, min(getattr(cfg, "slices", 1), n_ctus_total))
+        if n_slices > 1:
+            assert not pps.entropy_coding_sync and \
+                len(pic.tiles.col_bounds) == 2 and \
+                len(pic.tiles.row_bounds) == 2, \
+                "multi-slice encode supports single-tile, non-WPP only"
+        import copy as _copy
+        per_slice = (n_ctus_total + n_slices - 1) // n_slices
+        slice_bounds = []
+        shs = [sh]
+        startc = 0
+        for i in range(n_slices):
+            endc = min(n_ctus_total, startc + per_slice)
+            if i > 0:
+                shi = _copy.copy(sh)
+                shi.first_slice_in_pic = 0
+                shi.segment_address = startc
+                pic.slices.append(shi)
+                shs.append(shi)
+            slice_bounds.append((startc, endc))
+            startc = endc
+        sh.first_slice_in_pic = 1
+        sh.segment_address = 0
+        # prefill the per-part slice map (commit no longer writes it; the
+        # decode-order availability rules read it during both passes)
+        parts_per = pic.ctb // 4
+        for i, (ts0, ts1) in enumerate(slice_bounds):
+            for ts in range(ts0, ts1):
+                rs_ = int(pic.tiles.ctu_ts_to_rs[ts])
+                cx_, cy_ = rs_ % pic.w_ctbs, rs_ // pic.w_ctbs
+                pic.slice_id[cy_ * parts_per:(cy_ + 1) * parts_per,
+                             cx_ * parts_per:(cx_ + 1) * parts_per] = i
 
         self.last_qp = sh.qp
         search = CtuSearch(pic, sh, planes, rdo=cfg.rdo, qp_factor=qp_factor,
@@ -612,9 +690,13 @@ class Encoder:
                 from hm16_2_tpu import native
                 rc = native.get_dsp().commit_plan_frame(ctypes.byref(cctx))
                 start_ts = n_ctus if rc == 0 else rc - 1
+        slice_of_ts = np.zeros(n_ctus, dtype=np.int32)
+        for i, (ts0, ts1) in enumerate(slice_bounds):
+            slice_of_ts[ts0:ts1] = i
         for ts in range(start_ts, n_ctus):
             rs = int(pic.tiles.ctu_ts_to_rs[ts])
             cx, cy = rs % pic.w_ctbs, rs // pic.w_ctbs
+            search.cenc.slice_idx = int(slice_of_ts[ts])
             search.decide_ctu(cx, cy)
 
         # deblock, then SAO parameter estimation on the deblocked recon
@@ -627,80 +709,86 @@ class Encoder:
             lam = getattr(search, "lam", None)
             if lam is None:
                 lam = 0.68 * 2.0 ** ((sh.qp - 12) / 3.0)
-            sh.sao_luma = 1
-            sh.sao_chroma = 1
+            for s_ in pic.slices:
+                s_.sao_luma = 1
+                s_.sao_chroma = 1
             estimate_sao(pic, search.orig, lam)
 
-        # pass 2: final bitstream (TEncSlice::encodeSlice) — one CABAC
-        # substream per tile and, with WPP, per CTU row within the tile;
-        # contexts reset at tile starts and sync from the saved state after
-        # the 2nd CTU of the row above for WPP (TEncSlice.cpp:910-1183)
-        enc = CtuEncoder(pic, sh, 0)
-        wpp = bool(pps.entropy_coding_sync)
-        tiles = pic.tiles
-        ctx = ContextSet()
-        ctx.reset(sh.slice_type, sh.qp)
-        ce_ctx = self._build_ctu_enc_ctx(pic, sh, enc)
-        total_bins = 0
-        datas = []
-        sbw = cab = None
-        wpp_saved = None
-        prev_tile = None
+        if n_slices == 1:
+            # pass 2: final bitstream (TEncSlice::encodeSlice) — one CABAC
+            # substream per tile and, with WPP, per CTU row within the tile;
+            # contexts reset at tile starts and sync from the saved state after
+            # the 2nd CTU of the row above for WPP (TEncSlice.cpp:910-1183)
+            enc = CtuEncoder(pic, sh, 0)
+            wpp = bool(pps.entropy_coding_sync)
+            tiles = pic.tiles
+            ctx = ContextSet()
+            ctx.reset(sh.slice_type, sh.qp)
+            ce_ctx = self._build_ctu_enc_ctx(pic, sh, enc)
+            total_bins = 0
+            datas = []
+            sbw = cab = None
+            wpp_saved = None
+            prev_tile = None
 
-        def _syn_avail(nx, ny, cx, cy):
-            if nx < 0 or ny < 0:
-                return False
-            return tiles.tile_of_ctu[cy, cx] == tiles.tile_of_ctu[ny, nx]
+            def _syn_avail(nx, ny, cx, cy):
+                if nx < 0 or ny < 0:
+                    return False
+                return tiles.tile_of_ctu[cy, cx] == tiles.tile_of_ctu[ny, nx]
 
-        for ts in range(n_ctus):
-            rs = int(tiles.ctu_ts_to_rs[ts])
-            cx, cy = rs % pic.w_ctbs, rs // pic.w_ctbs
-            tile_id = int(tiles.tile_of_ctu[cy, cx])
-            tile_x0 = max(b for b in tiles.col_bounds if b <= cx)
-            new_tile = prev_tile is not None and tile_id != prev_tile
-            row_start = wpp and cx == tile_x0 and prev_tile is not None \
-                and not new_tile
-            if cab is None or new_tile or row_start:
-                if cab is not None:
-                    cab.encode_bin_trm(1)        # end_of_subset_one_bit
-                    cab.finish()
-                    total_bins += cab.bins
-                    sbw.u(1, 1)
-                    sbw.align_zero()
-                    datas.append(sbw.get_bytes())
-                    if new_tile:
-                        ctx.reset(sh.slice_type, sh.qp)
-                        wpp_saved = None
-                    elif wpp_saved is not None:
-                        ctx.load(wpp_saved)
-                    else:
-                        ctx.reset(sh.slice_type, sh.qp)
-                sbw = BitWriter()
-                cab = CabacEncoder(sbw, ctx)
-                enc.attach(cab)
-            prev_tile = tile_id
-            if use_sao:
-                enc.enc_sao(rs, _syn_avail(cx - 1, cy, cx, cy),
-                            _syn_avail(cx, cy - 1, cx, cy))
-            if ce_ctx is None or not self._native_encode_ctu(
-                    enc, cab, ce_ctx, cx, cy, ts == n_ctus - 1):
-                enc.encode_ctu(cx, cy, last_in_slice=(ts == n_ctus - 1))
-            if wpp and cx == tile_x0 + 1:
-                wpp_saved = ctx.copy()
-        cab.finish()
-        total_bins += cab.bins
-        sbw.u(1, 1)              # stop bit after final terminate
-        sbw.align_zero()
-        datas.append(sbw.get_bytes())
+            for ts in range(n_ctus):
+                rs = int(tiles.ctu_ts_to_rs[ts])
+                cx, cy = rs % pic.w_ctbs, rs // pic.w_ctbs
+                tile_id = int(tiles.tile_of_ctu[cy, cx])
+                tile_x0 = max(b for b in tiles.col_bounds if b <= cx)
+                new_tile = prev_tile is not None and tile_id != prev_tile
+                row_start = wpp and cx == tile_x0 and prev_tile is not None \
+                    and not new_tile
+                if cab is None or new_tile or row_start:
+                    if cab is not None:
+                        cab.encode_bin_trm(1)        # end_of_subset_one_bit
+                        cab.finish()
+                        total_bins += cab.bins
+                        sbw.u(1, 1)
+                        sbw.align_zero()
+                        datas.append(sbw.get_bytes())
+                        if new_tile:
+                            ctx.reset(sh.slice_type, sh.qp)
+                            wpp_saved = None
+                        elif wpp_saved is not None:
+                            ctx.load(wpp_saved)
+                        else:
+                            ctx.reset(sh.slice_type, sh.qp)
+                    sbw = BitWriter()
+                    cab = CabacEncoder(sbw, ctx)
+                    enc.attach(cab)
+                prev_tile = tile_id
+                if use_sao:
+                    enc.enc_sao(rs, _syn_avail(cx - 1, cy, cx, cy),
+                                _syn_avail(cx, cy - 1, cx, cy))
+                if ce_ctx is None or not self._native_encode_ctu(
+                        enc, cab, ce_ctx, cx, cy, ts == n_ctus - 1):
+                    enc.encode_ctu(cx, cy, last_in_slice=(ts == n_ctus - 1))
+                if wpp and cx == tile_x0 + 1:
+                    wpp_saved = ctx.copy()
+            cab.finish()
+            total_bins += cab.bins
+            sbw.u(1, 1)              # stop bit after final terminate
+            sbw.align_zero()
+            datas.append(sbw.get_bytes())
 
-        # entry points count escaped bytes; each substream starts and ends
-        # byte-aligned on a non-zero byte so per-substream EPB counts are
-        # exact (TEncSlice.cpp:1067, countStartCodeEmulations)
-        sh.entry_point_offsets = [len(d) + count_emulation_prevention(d)
-                                  for d in datas[:-1]]
-        bw = BitWriter()
-        W.write_slice_header(bw, sh, sps, pps)
-        slice_nal = make_nal(sh.nal_type, bw.get_bytes() + b"".join(datas))
+            # entry points count escaped bytes; each substream starts and ends
+            # byte-aligned on a non-zero byte so per-substream EPB counts are
+            # exact (TEncSlice.cpp:1067, countStartCodeEmulations)
+            sh.entry_point_offsets = [len(d) + count_emulation_prevention(d)
+                                      for d in datas[:-1]]
+            bw = BitWriter()
+            W.write_slice_header(bw, sh, sps, pps)
+            slice_nals = [make_nal(sh.nal_type, bw.get_bytes() + b"".join(datas))]
+
+        else:
+            slice_nals, total_bins = self._emit_multi_slices(
+                pic, shs, slice_bounds, use_sao)
 
         # cabac_zero_words stuffing (spec 7.4.3.10; TEncGOP.cpp:1622-1660):
         # BinCountsInNalUnits must not exceed (32/3)*NumBytesInVclNalUnits
@@ -711,13 +799,14 @@ class Encoder:
         bdc = sps.bit_depth_chroma if pic.num_comps > 1 else 0
         raw_bits = pad_w * pad_h * (sps.bit_depth_luma
                                     + 2 * (bdc >> log2swsh))
-        threshold = (32 // 3) * len(slice_nal) + raw_bits // 32
+        vcl_bytes = sum(len(nal) for nal in slice_nals)
+        threshold = (32 // 3) * vcl_bytes + raw_bits // 32
         if total_bins >= threshold:
             target = ((total_bins - raw_bits // 32) * 3 + 31) // 32
-            add = target - len(slice_nal)
+            add = target - vcl_bytes
             if add > 0:
                 n_words = (add + 2) // 3
-                slice_nal += b"\x00\x00\x03" * n_words
+                slice_nals[-1] = slice_nals[-1] + b"\x00\x00\x03" * n_words
 
         if use_sao:
             from hm16_2_tpu.ops.sao_ref import sao_picture
@@ -734,7 +823,7 @@ class Encoder:
         nals = []
         if self.frames_coded == 0:
             nals += [W.write_vps(self.vps), W.write_sps(sps), W.write_pps(pps)]
-        nals += [slice_nal, sei_nal]
+        nals += slice_nals + [sei_nal]
         self.frames_coded += 1
         self.last_recon = recon
         # retain reference picture (coded-size planes, motion for deblock/BS)
@@ -1139,7 +1228,7 @@ class CtuSearch:
         pic.pred_mode[sl] = MODE_INTRA
         pic.part_size[sl] = part_size
         pic.qp[sl] = self.sh.qp
-        pic.slice_id[sl] = 0
+        # slice_id prefilled per CTU map at frame start
         pic.tr_idx[sl] = 0
 
     def _plan_chroma(self, px, py, luma_mode):
@@ -1252,6 +1341,7 @@ class CtuSearch:
               and sps.chroma_format_idc in (0, 1)
               and len(pic.tiles.col_bounds) == 2
               and len(pic.tiles.row_bounds) == 2
+              and len(pic.slices) == 1
               and not os.environ.get("HM16_NO_COMMIT_ENGINE"))
         if not ok:
             self._cctx = False
@@ -1435,7 +1525,6 @@ class CtuSearch:
         pic.pred_mode[py:py + n, px:px + n] = MODE_INTRA
         pic.part_size[py:py + n, px:px + n] = SIZE_2Nx2N
         pic.qp[py:py + n, px:px + n] = self.sh.qp
-        pic.slice_id[py:py + n, px:px + n] = 0
         pic.coded[py:py + n, px:px + n] = True
         pic.tr_idx[py:py + n, px:px + n] = 0
 
@@ -1960,7 +2049,6 @@ class CtuSearch:
         psl = np.s_[ppy:ppy + php, ppx:ppx + pwp]
         pic.pred_mode[psl] = MODE_INTER
         pic.coded[psl] = True
-        pic.slice_id[psl] = 0
         for lx in range(2):
             pic.ref_idx[lx][psl] = -1
             pic.mv[lx][psl] = 0
@@ -2240,7 +2328,8 @@ class CtuSearch:
         # (coded flags are maintained in z-order by the search)
         fast = (not constrained and
                 len(pic.tiles.col_bounds) == 2 and
-                len(pic.tiles.row_bounds) == 2)
+                len(pic.tiles.row_bounds) == 2 and
+                len(pic.slices) == 1)
 
         if fast:
             def avail(ax, ay):
@@ -2429,7 +2518,7 @@ class CtuSearch:
         pic = self.pic
         if lib is None or self.pps.constrained_intra_pred or \
                 len(pic.tiles.col_bounds) != 2 or \
-                len(pic.tiles.row_bounds) != 2:
+                len(pic.tiles.row_bounds) != 2 or len(pic.slices) != 1:
             return -1
         sps = self.sps
         sx, sy = pic.comp_shift[comp]

@@ -283,3 +283,33 @@ def test_weighted_pred_fade(tmp_path):
                           str(tmp_path / "o.yuv")],
                          capture_output=True, text=True)
     assert out.stdout.count("(OK)") == 4, out.stdout
+
+
+@pytest.mark.skipif(not os.path.exists(HM_DEC), reason="reference decoder absent")
+@pytest.mark.parametrize("ip", [1, 0])
+def test_multi_slice_encode(tmp_path, ip):
+    """Multi-slice pictures (HM SliceMode 1, equal CTU runs): independent
+    slice segments with own CABAC engines + segment addresses; the
+    reference decoder verifies every picture hash."""
+    import subprocess
+    from hm16_2_tpu.decode.top import Decoder
+    from hm16_2_tpu.encode.top import Encoder, EncoderConfig
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 255, (128, 192)).astype(np.int32)
+    base = (base + np.roll(base, 1, 0) + np.roll(base, 1, 1)) // 3
+    frames = []
+    for t in range(2):
+        y = np.roll(base, 2 * t, 1)
+        u = np.full((64, 96), 120 + 4 * t, np.int32)
+        frames.append([y, u, u.copy()])
+    enc = Encoder(EncoderConfig(192, 128, qp=32, intra_period=ip, slices=3))
+    aus = [enc.encode_frame([p.copy() for p in f], i)
+           for i, f in enumerate(frames)]
+    pics = Decoder().decode_stream(b"".join(aus))
+    assert len(pics) == 2 and all(p.hash_ok for p in pics)
+    f = tmp_path / "ms.bin"
+    f.write_bytes(b"".join(aus))
+    out = subprocess.run([HM_DEC, "-b", str(f), "-o",
+                          str(tmp_path / "o.yuv")],
+                         capture_output=True, text=True)
+    assert out.stdout.count("(OK)") == 2, out.stdout

@@ -42,7 +42,8 @@ class EncoderConfig:
                  rdoq=True, gop="ld", sbd=True, rrsp=False,
                  target_bps=None, frame_rate=30, total_frames=0,
                  wpp=False, tile_cols=1, tile_rows=1, der=16, hash_type=0,
-                 gop_table=None, weighted_pred=False, slices=1):
+                 gop_table=None, weighted_pred=False, slices=1,
+                 sei_timing=False):
         self.width, self.height = width, height
         self.qp = qp
         self.bit_depth = bit_depth
@@ -64,6 +65,7 @@ class EncoderConfig:
         self.der = der               # SBD strip parameter R (8/16/32/64)
         self.weighted_pred = weighted_pred   # slice WP (P slices)
         self.slices = slices         # slices per picture (equal CTU runs)
+        self.sei_timing = sei_timing  # VUI timing + APS/pic-timing SEI
         self.hash_type = hash_type   # decoded-picture-hash SEI: 0 MD5 / 1 CRC / 2 checksum
         # explicit GOPEntry table (TEncCfg.h:49-88) parsed from the cfg
         # file's FrameN lines; overrides the built-in ld/ra8 structures
@@ -134,6 +136,11 @@ def build_sps_pps(cfg: EncoderConfig):
     pps.entropy_coding_sync = 1 if cfg.wpp else 0
     if cfg.weighted_pred:
         pps.weighted_pred = 1
+    if cfg.sei_timing:
+        sps.vui_present = 1
+        sps.vui_num_units_in_tick = 1
+        sps.vui_time_scale = cfg.frame_rate
+        sps.vui_frame_field_info = 1
     if cfg.tile_cols > 1 or cfg.tile_rows > 1:
         pps.tiles_enabled = 1
         pps.num_tile_cols = cfg.tile_cols
@@ -823,6 +830,10 @@ class Encoder:
         nals = []
         if self.frames_coded == 0:
             nals += [W.write_vps(self.vps), W.write_sps(sps), W.write_pps(pps)]
+            if cfg.sei_timing:
+                nals.append(W.write_active_parameter_sets_sei(0, sps.sps_id))
+        if cfg.sei_timing:
+            nals.append(W.write_pic_timing_sei())
         nals += slice_nals + [sei_nal]
         self.frames_coded += 1
         self.last_recon = recon

@@ -163,6 +163,9 @@ class SPS:
     temporal_mvp_enabled: int = 1
     strong_intra_smoothing: int = 1
     vui_present: int = 0
+    vui_num_units_in_tick: int = 1
+    vui_time_scale: int = 30
+    vui_frame_field_info: int = 0
     vui_raw_bits: tuple = ()
     # range extension
     extended_precision: int = 0

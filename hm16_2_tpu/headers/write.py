@@ -8,7 +8,7 @@ from hm16_2_tpu.bitstream.bitio import BitWriter, make_nal
 from hm16_2_tpu.headers.params import (
     PPS, SPS, VPS, ProfileTierLevel, ShortTermRPS, SliceHeader,
     B_SLICE, P_SLICE, I_SLICE, is_idr, is_irap,
-    NAL_VPS, NAL_SPS, NAL_PPS, NAL_SEI_SUFFIX)
+    NAL_VPS, NAL_SPS, NAL_PPS, NAL_SEI_PREFIX, NAL_SEI_SUFFIX)
 
 
 def write_profile_tier(bw: BitWriter, p: ProfileTierLevel):
@@ -142,7 +142,9 @@ def write_sps(s: SPS) -> bytes:
             bw.flag(s.used_by_curr_pic_lt[k])
     bw.flag(s.temporal_mvp_enabled)
     bw.flag(s.strong_intra_smoothing)
-    bw.flag(0)                    # vui_parameters_present
+    bw.flag(s.vui_present)
+    if s.vui_present:
+        _write_vui(bw, s)
     bw.flag(0)                    # sps_extension_present
     bw.byte_align_with_stop_bit()
     return make_nal(NAL_SPS, bw.get_bytes())
@@ -199,6 +201,59 @@ def write_pps(p: PPS) -> bytes:
     bw.flag(0)                    # pps_extension_present
     bw.byte_align_with_stop_bit()
     return make_nal(NAL_PPS, bw.get_bytes())
+
+
+def _write_vui(bw: BitWriter, s: SPS):
+    """VUI with timing info (TEncCavlc::codeVUI, TEncCavlc.cpp:1039);
+    unused feature groups are written absent."""
+    bw.flag(0)                    # aspect_ratio_info_present
+    bw.flag(0)                    # overscan_info_present
+    bw.flag(0)                    # video_signal_type_present
+    bw.flag(0)                    # chroma_loc_info_present
+    bw.flag(0)                    # neutral_chroma_indication
+    bw.flag(0)                    # field_seq_flag
+    bw.flag(s.vui_frame_field_info)
+    bw.flag(0)                    # default_display_window
+    bw.flag(1)                    # vui_timing_info_present
+    bw.u(s.vui_num_units_in_tick, 32)
+    bw.u(s.vui_time_scale, 32)
+    bw.flag(0)                    # poc_proportional_to_timing
+    bw.flag(0)                    # hrd_parameters_present
+    bw.flag(0)                    # bitstream_restriction
+
+
+def _make_sei(payload_type: int, payload: bytes, nal_type=NAL_SEI_PREFIX):
+    bw = BitWriter()
+    bw.u(payload_type, 8)
+    bw.u(len(payload), 8)
+    for b in payload:
+        bw.u(b, 8)
+    bw.byte_align_with_stop_bit()
+    return make_nal(nal_type, bw.get_bytes())
+
+
+def write_active_parameter_sets_sei(vps_id=0, sps_id=0) -> bytes:
+    """active_parameter_sets SEI (type 129, SEIwrite.cpp
+    xWriteSEIActiveParameterSets)."""
+    bw = BitWriter()
+    bw.u(vps_id, 4)
+    bw.flag(1)                    # self_contained_cvs_flag
+    bw.flag(1)                    # no_parameter_set_update_flag
+    bw.ue(0)                      # num_sps_ids_minus1
+    bw.ue(sps_id)
+    bw.byte_align_with_stop_bit()       # sei payload alignment
+    return _make_sei(129, bw.get_bytes())
+
+
+def write_pic_timing_sei(pic_struct=0) -> bytes:
+    """pic_timing SEI (type 1) with frame-field info only (no HRD:
+    cpb/dpb delays absent; requires SPS vui_frame_field_info=1)."""
+    bw = BitWriter()
+    bw.u(pic_struct, 4)
+    bw.u(0, 2)                    # source_scan_type: progressive
+    bw.flag(0)                    # duplicate_flag
+    bw.byte_align_with_stop_bit()
+    return _make_sei(1, bw.get_bytes())
 
 
 def write_slice_header(bw: BitWriter, sh: SliceHeader, sps: SPS, pps: PPS):

@@ -313,3 +313,26 @@ def test_multi_slice_encode(tmp_path, ip):
                           str(tmp_path / "o.yuv")],
                          capture_output=True, text=True)
     assert out.stdout.count("(OK)") == 2, out.stdout
+
+
+@pytest.mark.skipif(not os.path.exists(HM_DEC), reason="reference decoder absent")
+def test_sei_vui_timing(tmp_path):
+    """VUI timing info + active-parameter-sets and pic-timing SEI: the
+    reference decoder consumes them without warnings and verifies hashes
+    (SEIwrite.cpp / TEncCavlc::codeVUI parity for the basics)."""
+    import subprocess
+    from hm16_2_tpu.decode.top import Decoder
+    from hm16_2_tpu.encode.top import Encoder, EncoderConfig
+    rng = np.random.default_rng(6)
+    y = rng.integers(0, 255, (64, 64)).astype(np.int32)
+    u = np.full((32, 32), 128, np.int32)
+    enc = Encoder(EncoderConfig(64, 64, qp=32, intra_period=1,
+                                sei_timing=True))
+    au = enc.encode_frame([y, u, u.copy()], 0)
+    assert Decoder().decode_stream(au)[0].hash_ok
+    f = tmp_path / "sei.bin"
+    f.write_bytes(au)
+    out = subprocess.run([HM_DEC, "-b", str(f), "-o",
+                          str(tmp_path / "o.yuv")],
+                         capture_output=True, text=True)
+    assert out.stdout.count("(OK)") == 1, out.stdout

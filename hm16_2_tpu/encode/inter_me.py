@@ -44,24 +44,33 @@ def _mv_bits(d):
     return 2.0 * jnp.log2(jnp.abs(d).astype(jnp.float32) + 1.0) + 1.0
 
 
-@partial(jax.jit, static_argnames=("h", "w"))
-def me_frame(cur, refs, mvp8, lam, *, h: int, w: int):
+@partial(jax.jit, static_argnames=("h", "w", "full_h"))
+def me_frame(cur, refs, mvp8, lam, row0=0, *, h: int, w: int,
+             full_h: int | None = None):
     """Dense ME for all aligned blocks of sizes 8/16/32/64.
 
-    cur:  (h, w) int32 current luma
-    refs: (R, h, w) int32 reference lumas
+    cur:  (h, w) int32 current luma (a row band when row0 > 0)
+    refs: (R, full_h, w) int32 reference lumas (always the FULL planes —
+          the sharded caller all-gathers them over ICI, SURVEY.md §5's
+          reference-window exchange)
     mvp8: (R, h//8, w//8, 2) int32 full-pel per-8x8-block MV predictors
-          (previous frame's motion field, or zeros)
     lam:  f32 sqrt-domain lambda for the MV-bits term
+    row0: first picture row of this band (0 for the whole frame)
     Returns {size: (mv (R,N,2) int32 full-pel, cost (R,N) f32)} with
-    blocks in raster order per size.
+    blocks in raster order per size.  Distortions are exact int32 sums
+    (scaled for >8-bit), so band-sharded and whole-frame evaluations are
+    bit-identical.
     """
+    if full_h is None:
+        full_h = h
     R = refs.shape[0]
     hc, wc = h // 4, w // 4
+    fhc = full_h // 4
     # 4x box downsample (exact integer mean rounding down)
     cd = cur[: hc * 4, : wc * 4].reshape(hc, 4, wc, 4).sum((1, 3)) // 16
-    rd = refs[:, : hc * 4, : wc * 4].reshape(R, hc, 4, wc, 4) \
+    rd = refs[:, : fhc * 4, : wc * 4].reshape(R, fhc, 4, wc, 4) \
         .sum((2, 4)) // 16
+    rc0 = row0 // 4
 
     # coarse offsets grid
     offs = jnp.stack(jnp.meshgrid(
@@ -77,11 +86,12 @@ def me_frame(cur, refs, mvp8, lam, *, h: int, w: int):
 
     def coarse_one_ref(rp):
         def at(o):
-            win = jax.lax.dynamic_slice(rp, (o[0] + COARSE_R,
-                                             o[1] + COARSE_R), (hc, wc))
-            d = (cd - win).astype(jnp.float32)
-            return (d * d)[: n8y * 2, : n8x * 2] \
-                .reshape(n8y, 2, n8x, 2).sum((1, 3))
+            win = jax.lax.dynamic_slice(
+                rp, (rc0 + o[0] + COARSE_R, o[1] + COARSE_R), (hc, wc))
+            d = (cd - win).astype(jnp.int32)
+            return ((d * d)[: n8y * 2, : n8x * 2]
+                    .reshape(n8y, 2, n8x, 2).sum((1, 3))
+                    .astype(jnp.float32))
         return jax.vmap(at)(offs)                          # (O, n8y, n8x)
 
     # per-8x8-original-block coarse grids, sequential over refs to bound
@@ -131,18 +141,24 @@ def me_frame(cur, refs, mvp8, lam, *, h: int, w: int):
 
             def one(by, bx, c):
                 win = jax.lax.dynamic_slice(
-                    rp, (by + c[0] + P - REFINE_R, bx + c[1] + P - REFINE_R),
+                    rp, (row0 + by + c[0] + P - REFINE_R,
+                         bx + c[1] + P - REFINE_R),
                     (s + 2 * REFINE_R, s + 2 * REFINE_R))
                 return win
 
             wins = jax.vmap(one)(ys, xs, centers)   # (N, s+6, s+6)
 
+            # exact int32 SSD (scaled when 2*bd-16 > 0 would overflow
+            # the 64x64 accumulation)
             def eval_offs(win, blk):
                 def at(o):
                     sub = jax.lax.dynamic_slice(
                         win, (o[0] + REFINE_R, o[1] + REFINE_R), (s, s))
-                    dd = (blk - sub).astype(jnp.float32)
-                    return (dd * dd).sum()
+                    dd = (blk - sub).astype(jnp.int32)
+                    sq = dd * dd
+                    if s == 64:
+                        sq = sq >> 2
+                    return sq.sum().astype(jnp.float32)
                 return jax.vmap(at)(roffs)          # (49,)
             return jax.vmap(eval_offs)(wins, blocks)  # (N, 49)
 

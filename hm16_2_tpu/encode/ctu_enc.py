@@ -297,18 +297,25 @@ class CtuEncoder(SliceDecoder):
                         rem -= 1
                 e.encode_bins_ep(rem, 5)
 
-        chroma_mode = int(pic.intra_chroma[py, px])
-        if chroma_mode == DM_CHROMA_IDX:
-            e.encode_bin(0, c.idx("chroma_pred_mode"))
-        else:
-            e.encode_bin(1, c.idx("chroma_pred_mode"))
-            allowed = [PLANAR_IDX, VER_IDX, HOR_IDX, DC_IDX, DM_CHROMA_IDX]
-            luma0 = modes[0]
-            for i in range(4):
-                if luma0 == allowed[i]:
-                    allowed[i] = 34
-                    break
-            e.encode_bins_ep(allowed.index(chroma_mode), 2)
+        # chroma: one mode per CU, except 4:4:4 intra NxN which carries
+        # one per PU (mirrors _parse_intra_dirs)
+        n_chroma = 4 if (n_parts == 4 and
+                         self.sps.chroma_format_idc == 3) else 1
+        for j in range(n_chroma):
+            ox, oy = offs[j]
+            chroma_mode = int(pic.intra_chroma[py + oy, px + ox])
+            if chroma_mode == DM_CHROMA_IDX:
+                e.encode_bin(0, c.idx("chroma_pred_mode"))
+            else:
+                e.encode_bin(1, c.idx("chroma_pred_mode"))
+                allowed = [PLANAR_IDX, VER_IDX, HOR_IDX, DC_IDX,
+                           DM_CHROMA_IDX]
+                luma0 = modes[j]
+                for i in range(4):
+                    if luma0 == allowed[i]:
+                        allowed[i] = 34
+                        break
+                e.encode_bins_ep(allowed.index(chroma_mode), 2)
 
     # ------------------------------------------------------------------
     # MPM parity note: the decoder derives MPM from picture arrays that, for
@@ -380,7 +387,8 @@ class CtuEncoder(SliceDecoder):
 
         cbf_cb = cbf_cr = 0
         if chroma_ok:
-            if log2 == 2:
+            if log2 == 2 and not chroma_here:
+                # 4:2:0/4:2:2: the 4x4 luma quad shares one chroma TU
                 cbf_cb = self._cbf_at(1, px & ~1, py & ~1, tr_depth - 1)
                 cbf_cr = self._cbf_at(2, px & ~1, py & ~1, tr_depth - 1)
             else:

@@ -43,7 +43,7 @@ class EncoderConfig:
                  target_bps=None, frame_rate=30, total_frames=0,
                  wpp=False, tile_cols=1, tile_rows=1, der=16, hash_type=0,
                  gop_table=None, weighted_pred=False, slices=1,
-                 sei_timing=False):
+                 sei_timing=False, transform_skip=False):
         self.width, self.height = width, height
         self.qp = qp
         self.bit_depth = bit_depth
@@ -66,6 +66,7 @@ class EncoderConfig:
         self.weighted_pred = weighted_pred   # slice WP (P slices)
         self.slices = slices         # slices per picture (equal CTU runs)
         self.sei_timing = sei_timing  # VUI timing + APS/pic-timing SEI
+        self.transform_skip = transform_skip  # 4x4 TU tskip eval
         self.hash_type = hash_type   # decoded-picture-hash SEI: 0 MD5 / 1 CRC / 2 checksum
         # explicit GOPEntry table (TEncCfg.h:49-88) parsed from the cfg
         # file's FrameN lines; overrides the built-in ld/ra8 structures
@@ -136,6 +137,8 @@ def build_sps_pps(cfg: EncoderConfig):
     pps.entropy_coding_sync = 1 if cfg.wpp else 0
     if cfg.weighted_pred:
         pps.weighted_pred = 1
+    if cfg.transform_skip:
+        pps.transform_skip_enabled = 1
     if cfg.sei_timing:
         sps.vui_present = 1
         sps.vui_num_units_in_tick = 1
@@ -1314,6 +1317,7 @@ class CtuSearch:
         sl = np.s_[py:py + 2, px:px + 2]
         pic.tr_idx[sl] = 1
         pic.coded[sl] = False
+        is444 = pic.num_comps > 1 and self.sps.chroma_format_idc == 3
         for oy in range(2):
             for ox in range(2):
                 mode = int(plan.mode[py + oy, px + ox])
@@ -1325,7 +1329,24 @@ class CtuSearch:
                     pic.intra_luma[py + oy, px + ox] = mode
                     cbf = self._code_tu(px + ox, py + oy, 2, 0, mode)
                 pic.cbf[0][py + oy, px + ox] = cbf << 1
+                if is444:
+                    # 4:4:4: chroma splits with luma — code this PU's
+                    # chroma TU NOW so the next PU's chroma references
+                    # match the decoder's z-order reconstruction
+                    cstored, cmode = self._plan_chroma(
+                        px, py, int(pic.intra_luma[py + oy, px + ox]))
+                    pic.intra_chroma[py + oy, px + ox] = cstored
+                    m = cmode if cstored != DM_CHROMA_IDX else \
+                        int(pic.intra_luma[py + oy, px + ox])
+                    for comp in (1, 2):
+                        c_ = self._code_tu(px + ox, py + oy, 2, comp, m)
+                        pic.cbf[comp][py + oy, px + ox] = c_ << 1
                 pic.coded[py + oy, px + ox] = True
+        if is444:
+            for comp in (1, 2):
+                if np.any(pic.cbf[comp][sl] & 2):
+                    pic.cbf[comp][sl] |= 1
+            return
         cstored, cmode = self._plan_chroma(px, py,
                                            int(pic.intra_luma[py, px]))
         pic.intra_chroma[sl] = cstored
@@ -2485,6 +2506,10 @@ class CtuSearch:
         x0 = (px * 4) >> (sx if comp else 0)
         y0 = (py * 4) >> (sy if comp else 0)
         bd = self.bit_depth[comp]
+        if self.pps.transform_skip_enabled and \
+                size <= (1 << self.pps.log2_max_transform_skip_block_size):
+            return self._code_tu_with_tskip(px, py, log2, comp, mode, size,
+                                            x0, y0, bd)
         cbf = self._native_intra_code_tu(px, py, log2, comp, mode)
         if cbf >= 0:
             return cbf
@@ -2517,6 +2542,58 @@ class CtuSearch:
             pred + rec_resi, 0, (1 << bd) - 1)
         return cbf
 
+    def _code_tu_with_tskip(self, px, py, log2, comp, mode, size, x0, y0,
+                            bd):
+        """4x4 TU coded both ways — DCT/DST vs transform skip (HM
+        xTransformSkip, TComTrQuant.cpp:1874) — keeping the cheaper by
+        SSE + lambda * estimated bits; sets pic.tskip for the emitter."""
+        pic = self.pic
+        pred = self._predict(px, py, log2, comp, mode)
+        log2_tr = size.bit_length() - 1
+        use_dst = (comp == 0 and size == 4)
+        qp = self._tu_qp(px, py, comp)
+        orig = self.orig[comp][y0:y0 + size, x0:x0 + size].astype(np.int64)
+        resi = orig - pred
+        lam = getattr(self, "lam", 1.0)
+        wgt = 1.0 if comp == 0 else getattr(self, "chroma_weight", 1.0)
+        best = None
+        for ts in (0, 1):
+            if ts:
+                tshift = transforms_ref.transform_shift(bd, log2_tr, 15)
+                fwd = (resi << tshift) if tshift >= 0 else \
+                    (resi >> (-tshift))
+            else:
+                fwd = transforms_ref.forward_transform(resi, bd, use_dst)
+            levels = transforms_ref.quant(fwd, qp, bd, log2_tr,
+                                          is_intra=True)
+            scan = self._sbh_scan(size, comp, int(mode))
+            if scan is not None and np.any(levels):
+                levels = transforms_ref.sign_bit_hiding(
+                    levels, fwd, qp, bd, log2_tr, scan)
+            cbf = 1 if np.any(levels) else 0
+            if cbf:
+                deq = transforms_ref.dequant(levels, qp, bd, log2_tr)
+                if ts:
+                    rec_resi = transforms_ref.inverse_transform_skip(
+                        deq, bd)
+                else:
+                    rec_resi = transforms_ref.inverse_transform(
+                        deq, bd, use_dst)
+            else:
+                rec_resi = 0
+            rec = np.clip(pred + rec_resi, 0, (1 << bd) - 1)
+            d = (orig - rec).astype(np.float64)
+            bits = (self._res_bits_est(levels) if cbf else 0.8) + 1.0
+            cost = wgt * float(np.dot(d.ravel(), d.ravel())) + lam * bits
+            if best is None or cost < best[0]:
+                best = (cost, ts, cbf, levels, rec)
+        _, ts, cbf, levels, rec = best
+        pic.coeff[comp][y0:y0 + size, x0:x0 + size] = levels
+        pic.rec[comp][y0:y0 + size, x0:x0 + size] = rec
+        n = max((1 << log2) >> 2, 1)
+        pic.tskip[comp][py:py + n, px:px + n] = ts
+        return cbf
+
     def _native_intra_code_tu(self, px, py, log2, comp, mode,
                               out=None) -> int:
         """Fused C++ intra TU: reference assembly + smoothing + prediction
@@ -2531,6 +2608,8 @@ class CtuSearch:
                 len(pic.tiles.col_bounds) != 2 or \
                 len(pic.tiles.row_bounds) != 2 or len(pic.slices) != 1:
             return -1
+        if comp and self.sps.chroma_format_idc not in (0, 1):
+            return -1   # 4:2:2 TU walk / 4:4:4 chroma ref filtering
         sps = self.sps
         sx, sy = pic.comp_shift[comp]
         size = (1 << log2) >> (sx if comp else 0)
@@ -2729,11 +2808,12 @@ class CtuSearch:
 
     _sbh_scan_cache: dict = {}
 
-    @staticmethod
-    def _mdcs_scan_type(size, comp, mode):
-        """Mode-dependent coefficient scan (the entropy coder's MDCS rule)."""
+    def _mdcs_scan_type(self, size, comp, mode):
+        """Mode-dependent coefficient scan (the entropy coder's MDCS rule;
+        the chroma size limit is component-scaled — 8 in 4:4:4)."""
         from hm16_2_tpu.ops.intra_ref import HOR_IDX, VER_IDX
-        max_mdcs = 8 if comp == 0 else 4
+        sx, sy = self.pic.comp_shift[comp]
+        max_mdcs = 8 if comp == 0 else min(8 >> sx, 8 >> sy)
         if mode >= 0 and size <= max_mdcs:
             if abs(mode - VER_IDX) <= 4:
                 return 1

@@ -886,7 +886,7 @@ static int ce_tu_tree(EncState *s, uint8_t *ctx, const CtuEncCtx *C,
 
   int cbf_cb = 0, cbf_cr = 0;
   if (chroma_ok) {
-    if (log2 == 2) {
+    if (log2 == 2 && !chroma_here) {
       cbf_cb = ce_cbf_at(C, 1, px & ~1, py & ~1, td - 1);
       cbf_cr = ce_cbf_at(C, 2, px & ~1, py & ~1, td - 1);
     } else {

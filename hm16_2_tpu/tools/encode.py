@@ -214,6 +214,20 @@ def main(argv=None):
               f"V-PSNR")
         print(f"              {len(coded):6d}    {kbps:9.4f}  {np.mean(ys):8.4f}  "
               f"{np.mean(us):8.4f}  {np.mean(vs):8.4f}")
+        # per-slice-type tables (TEncAnalyze::printOut I/P/B summaries)
+        for st_name in ("I", "P", "B"):
+            sel = [s for s in stats if s[1] == st_name and s[3]]
+            if not sel:
+                continue
+            skbps = sum(s[2] for s in sel) * fps / len(sel) / 1000.0
+            print(f"\n{st_name} Slices ------------------------------------"
+                  f"--------------------")
+            print(f"        Total Frames |   Bitrate     Y-PSNR    U-PSNR"
+                  f"    V-PSNR")
+            print(f"              {len(sel):6d}    {skbps:9.4f}  "
+                  f"{np.mean([s[3] for s in sel]):8.4f}  "
+                  f"{np.mean([s[4] for s in sel]):8.4f}  "
+                  f"{np.mean([s[5] for s in sel]):8.4f}")
     print(f"Bytes written to file: {total_bytes}")
     print(f"Total Time: {dt:12.3f} sec. ({len(coded) / max(dt, 1e-9):.3f} fps)")
     return 0

@@ -336,3 +336,30 @@ def test_sei_vui_timing(tmp_path):
                           str(tmp_path / "o.yuv")],
                          capture_output=True, text=True)
     assert out.stdout.count("(OK)") == 1, out.stdout
+
+
+@pytest.mark.skipif(not os.path.exists(HM_DEC), reason="reference decoder absent")
+def test_encode_444_transform_skip(tmp_path):
+    """4:4:4 AI encode (incl. NxN with per-PU chroma modes and interleaved
+    chroma TU coding) + 4x4 transform-skip evaluation; HM reference
+    decoder verifies the hashes (BASELINE config 4 territory)."""
+    import subprocess
+    from hm16_2_tpu.decode.top import Decoder
+    from hm16_2_tpu.encode.top import Encoder, EncoderConfig
+    rng = np.random.default_rng(11)
+    y = np.where((np.arange(192)[None, :] // 3
+                  + np.arange(128)[:, None] // 5) % 2, 235, 16) \
+        .astype(np.int32)
+    y[40:80, 60:120] = rng.integers(0, 255, (40, 60))
+    u = np.full((128, 192), 128, np.int32)
+    for tskip in (False, True):
+        enc = Encoder(EncoderConfig(192, 128, qp=27, intra_period=1,
+                                    chroma_format=3, transform_skip=tskip))
+        au = enc.encode_frame([y.copy(), u.copy(), u.copy()], 0)
+        assert Decoder().decode_stream(au)[0].hash_ok, f"tskip={tskip}"
+        f = tmp_path / f"c444_{tskip}.bin"
+        f.write_bytes(au)
+        out = subprocess.run([HM_DEC, "-b", str(f), "-o",
+                              str(tmp_path / "o.yuv")],
+                             capture_output=True, text=True)
+        assert out.stdout.count("(OK)") == 1, out.stdout

@@ -52,3 +52,54 @@ def test_lambda_modifier_convergence():
     meta2 = [([1.0, 1.0], [800.0, 300.0])]
     m2 = guess_lambda_modifiers(0.5, t2, meta2)
     assert len(m2) == 2 and all(m > 0 for m in m2)
+
+
+def test_yuv_io_conversions(tmp_path):
+    """TVideoIOYuv surface: bit-depth scaling, MSB-extended input,
+    420<->444 conversion, skipFrames, field split/weave."""
+    import io
+    import numpy as np
+    from hm16_2_tpu.io import yuv
+
+    rng = np.random.default_rng(2)
+    y = rng.integers(0, 256, (16, 24)).astype(np.int32)
+    u = rng.integers(0, 256, (8, 12)).astype(np.int32)
+    v = rng.integers(0, 256, (8, 12)).astype(np.int32)
+
+    # round trip with 8-bit file, 10-bit internal
+    buf = io.BytesIO()
+    yuv.write_yuv_frame(buf, [y, u, v], [8, 8, 8])
+    buf.seek(0)
+    got = yuv.read_yuv_frame(buf, 24, 16, 1, 8, internal_bit_depth=10)
+    assert (got[0] == (y << 2)).all()
+
+    # MSB-extended 16-bit file carrying 10-bit content
+    buf = io.BytesIO()
+    y10 = (y << 2).astype(np.int32)
+    yuv.write_yuv_frame(buf, [y10 << 6, (u << 2) << 6, (v << 2) << 6],
+                        [16, 16, 16])
+    buf.seek(0)
+    got = yuv.read_yuv_frame(buf, 24, 16, 1, 16, internal_bit_depth=10,
+                             msb_extended=True)
+    assert (got[0] == y10).all()
+
+    # 420 file -> 444 internal and back
+    p444 = yuv.convert_chroma_format([y, u, v], 1, 3)
+    assert p444[1].shape == y.shape
+    back = yuv.convert_chroma_format(p444, 3, 1)
+    assert (back[1] == u).all() and (back[2] == v).all()
+
+    # skipFrames + second-frame read
+    buf = io.BytesIO()
+    yuv.write_yuv_frame(buf, [y, u, v], [8, 8, 8])
+    y2 = (y + 1) & 255
+    yuv.write_yuv_frame(buf, [y2, u, v], [8, 8, 8])
+    buf.seek(0)
+    yuv.skip_frames(buf, 1, 24, 16, 1, 8)
+    got = yuv.read_yuv_frame(buf, 24, 16, 1, 8)
+    assert (got[0] == y2).all()
+
+    # fields
+    top, bot = yuv.split_fields([y, u, v])
+    woven = yuv.interleave_fields(top, bot)
+    assert (woven[0] == y).all()

@@ -59,6 +59,7 @@ class SliceDecoder:
         # dqp state
         self.last_coded_qp = sh.qp
         self.qp_for_pred = sh.qp
+        self.cur_dqp_coded = True
         self.golomb_rice_stats = np.zeros(4, dtype=np.int64)
         # wpp stored context
         self.wpp_ctx: ContextSet | None = None
@@ -270,8 +271,10 @@ class SliceDecoder:
 
         if pps.cu_qp_delta_enabled and \
                 log2 == sps.log2_ctb - pps.diff_cu_qp_delta_depth:
+            # quantization-group start (spec 7.3.8.4): IsCuQpDeltaCoded=0
             self.dqp_enabled = True
             self.qp_for_pred = self.last_coded_qp
+            self.cur_dqp_coded = False
 
         if split:
             half = 1 << (log2 - 3)
@@ -288,12 +291,12 @@ class SliceDecoder:
                 log2 >= sps.log2_ctb - pps.diff_cu_qp_delta_depth:
             self.dqp_enabled = True
             self.qp_for_pred = self.last_coded_qp
+            self.cur_dqp_coded = False
 
         cu = CuState()
         cu.px, cu.py, cu.log2, cu.depth = px, py, log2, depth
         cu.qp = self.qp_for_pred if pps.cu_qp_delta_enabled else self.sh.qp
         cu.tqb = 0
-        self.cur_dqp_coded = not self.dqp_enabled
 
         if pps.transquant_bypass_enabled:
             cu.tqb = d.decode_bin(c.idx("cu_transquant_bypass"))
@@ -978,6 +981,9 @@ class SliceDecoder:
             qp = self.qp_for_pred
         cu.qp = qp
         self.last_coded_qp = qp
+        # subsequent CUs of this quantization group use the coded QP
+        # (CuQpDeltaVal applies to the rest of the group, spec 7.4.9.10)
+        self.qp_for_pred = qp
         self.cur_dqp_coded = True
         self._mark_parts(self.pic.qp, cu.px, cu.py, cu.log2, qp)
 

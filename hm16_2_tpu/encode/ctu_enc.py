@@ -29,6 +29,11 @@ from hm16_2_tpu.ops.intra_ref import DC_IDX, DM_CHROMA_IDX, HOR_IDX, PLANAR_IDX,
 class CtuEncoder(SliceDecoder):
     """Syntax emitter. self.enc is the CabacEncoder; self.ctx shared."""
 
+    # dQP group state defaults (encode_ctu resets per CTU; the RD bit
+    # counter may enter _enc_cu at sub-CTU depths directly)
+    dqp_enabled = False
+    cur_dqp_coded = True
+
     def attach(self, cabac_enc: CabacEncoder):
         self.enc = cabac_enc
         self.ctx = cabac_enc.ctx
@@ -92,6 +97,7 @@ class CtuEncoder(SliceDecoder):
         pic = self.pic
         parts = pic.ctb // 4
         px, py = ctu_x * parts, ctu_y * parts
+        self.dqp_enabled = False
         self._enc_cu(px, py, pic.log2_ctb, 0)
         self.enc.encode_bin_trm(1 if last_in_slice else 0)
 
@@ -106,6 +112,11 @@ class CtuEncoder(SliceDecoder):
                              c.idx("split_flag", self._ctx_split(px, py, depth)))
             else:
                 split = False
+        if pps.cu_qp_delta_enabled and \
+                log2 == sps.log2_ctb - pps.diff_cu_qp_delta_depth:
+            self.dqp_enabled = True
+            self.qp_for_pred = self.last_coded_qp
+            self.cur_dqp_coded = False
         if split or boundary:
             half = 1 << (log2 - 3)
             for sub in range(4):
@@ -114,6 +125,11 @@ class CtuEncoder(SliceDecoder):
                 if sx * 4 < pic.w and sy * 4 < pic.h:
                     self._enc_cu(sx, sy, log2 - 1, depth + 1)
             return
+        if pps.cu_qp_delta_enabled and \
+                log2 >= sps.log2_ctb - pps.diff_cu_qp_delta_depth:
+            self.dqp_enabled = True
+            self.qp_for_pred = self.last_coded_qp
+            self.cur_dqp_coded = False
 
         if pps.transquant_bypass_enabled:
             e.encode_bin(int(pic.tqb[py, px]), c.idx("cu_transquant_bypass"))
@@ -213,6 +229,7 @@ class CtuEncoder(SliceDecoder):
             cu.px, cu.py, cu.log2 = px, py, log2
             cu.pred_mode = 0
             cu.part_size = part_size
+            cu.qp = int(self.pic.qp[py, px])
             cu.tqb = int(self.pic.tqb[py, px])
             self.cu = cu
             self._enc_tu_tree(cu, px, py, log2, 0)
@@ -325,11 +342,34 @@ class CtuEncoder(SliceDecoder):
     # in coding order, so states agree.
     # ------------------------------------------------------------------
 
+    def _enc_dqp(self, cu):
+        """cu_qp_delta_abs/sign (dual of _parse_dqp; TEncSbac codeDeltaQP:
+        unary-max 5 + EG0 remainder + sign)."""
+        e, c = self.enc, self.ctx
+        dqp = int(cu.qp) - self.qp_for_pred
+        v = abs(dqp)
+        if v == 0:
+            e.encode_bin(0, c.idx("dqp", 0))
+        else:
+            e.encode_bin(1, c.idx("dqp", 0))
+            for i in range(1, 5):
+                if i < v:
+                    e.encode_bin(1, c.idx("dqp", 1))
+                else:
+                    e.encode_bin(0, c.idx("dqp", 1))
+                    break
+            if v >= 5:
+                self._enc_ep_exgolomb(v - 5, 0)
+            e.encode_bin_ep(1 if dqp < 0 else 0)
+        self.last_coded_qp = int(cu.qp)
+        self.cur_dqp_coded = True
+
     def _enc_tu_tree_root(self, px, py, log2, part_size):
         cu = type("CU", (), {})()
         cu.px, cu.py, cu.log2 = px, py, log2
         cu.pred_mode = MODE_INTRA
         cu.part_size = part_size
+        cu.qp = int(self.pic.qp[py, px])
         cu.tqb = int(self.pic.tqb[py, px])
         self._min_tu_log2_cu_val = None
         self.cu = cu
@@ -397,6 +437,9 @@ class CtuEncoder(SliceDecoder):
         is_chroma_holder = chroma_here or (
             chroma_ok and log2 == 2 and (px % 2 == 1) and (py % 2 == 1))
         if cbf_y or cbf_cb or cbf_cr:
+            if self.pps.cu_qp_delta_enabled and self.dqp_enabled and \
+                    not self.cur_dqp_coded:
+                self._enc_dqp(cu)
             if cbf_y:
                 self._enc_residual(cu, px, py, log2, 0)
             if chroma_ok:

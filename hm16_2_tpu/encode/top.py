@@ -43,7 +43,8 @@ class EncoderConfig:
                  target_bps=None, frame_rate=30, total_frames=0,
                  wpp=False, tile_cols=1, tile_rows=1, der=16, hash_type=0,
                  gop_table=None, weighted_pred=False, slices=1,
-                 sei_timing=False, transform_skip=False):
+                 sei_timing=False, transform_skip=False,
+                 aq=False, aq_strength=1.0):
         self.width, self.height = width, height
         self.qp = qp
         self.bit_depth = bit_depth
@@ -67,6 +68,8 @@ class EncoderConfig:
         self.slices = slices         # slices per picture (equal CTU runs)
         self.sei_timing = sei_timing  # VUI timing + APS/pic-timing SEI
         self.transform_skip = transform_skip  # 4x4 TU tskip eval
+        self.aq = aq                 # TM5 adaptive QP (per-CTU dQP)
+        self.aq_strength = aq_strength
         self.hash_type = hash_type   # decoded-picture-hash SEI: 0 MD5 / 1 CRC / 2 checksum
         # explicit GOPEntry table (TEncCfg.h:49-88) parsed from the cfg
         # file's FrameN lines; overrides the built-in ld/ra8 structures
@@ -139,6 +142,9 @@ def build_sps_pps(cfg: EncoderConfig):
         pps.weighted_pred = 1
     if cfg.transform_skip:
         pps.transform_skip_enabled = 1
+    if cfg.aq:
+        pps.cu_qp_delta_enabled = 1
+        pps.diff_cu_qp_delta_depth = 0
     if cfg.sei_timing:
         sps.vui_present = 1
         sps.vui_num_units_in_tick = 1
@@ -282,6 +288,7 @@ class Encoder:
                 or len(pic.tiles.col_bounds) != 2     # neighbor availability
                 or len(pic.tiles.row_bounds) != 2     # is single-slice/tile
                 or len(pic.slices) != 1               # only
+                or pps.cu_qp_delta_enabled            # dQP: host emitter
                 or os.environ.get("HM16_NO_CTU_SYNTAX")):
             return None
         from hm16_2_tpu.bitstream.cabac import CTX_OFFSET
@@ -379,6 +386,53 @@ class Encoder:
         e.num_buffered = int(st.num_buffered)
         e.buffered_byte = int(st.buffered_byte)
         return True
+
+    def _reconcile_group_qps(self, pic, sh):
+        """Rewrite pic.qp to the decoder's view: within each quantization
+        group (CTU at diff_cu_qp_delta_depth 0), CUs decoded BEFORE the
+        first coded residual carry the predicted QP (CuQpDeltaVal still
+        0), the rest carry the group's coded QP; groups with no residual
+        never signal a delta at all (QP feeds deblocking strength)."""
+        parts = pic.ctb // 4
+        pred = sh.qp
+        n_ctus = pic.w_ctbs * pic.h_ctbs
+
+        def cu_cbf(px, py, n):
+            for c in range(pic.num_comps):
+                if np.any(pic.cbf[c][py:py + n, px:px + n]):
+                    return True
+            return False
+
+        for ts in range(n_ctus):
+            rs = int(pic.tiles.ctu_ts_to_rs[ts])
+            cx, cy = rs % pic.w_ctbs, rs // pic.w_ctbs
+            px0, py0 = cx * parts, cy * parts
+            intended = int(pic.qp[py0, px0])
+            state = {"seen": False}
+
+            def walk(px, py, log2):
+                if px * 4 >= pic.w or py * 4 >= pic.h:
+                    return
+                size = 1 << log2
+                inside = (px * 4 + size <= pic.w and
+                          py * 4 + size <= pic.h)
+                split = (not inside) or                     int(pic.depth[py, px]) > pic.log2_ctb - log2
+                if split and log2 > 3:
+                    half = 1 << (log2 - 3)
+                    for sub in range(4):
+                        walk(px + (sub & 1) * half,
+                             py + (sub >> 1) * half, log2 - 1)
+                    return
+                n = size // 4
+                if not state["seen"] and not cu_cbf(px, py, n):
+                    pic.qp[py:py + n, px:px + n] = pred
+                else:
+                    state["seen"] = True
+                    pic.qp[py:py + n, px:px + n] = intended
+
+            walk(px0, py0, pic.log2_ctb)
+            if state["seen"]:
+                pred = intended
 
     def _emit_multi_slices(self, pic, shs, slice_bounds, use_sao):
         """Final bitstream pass for multi-slice pictures: one independent
@@ -691,8 +745,14 @@ class Encoder:
         # C++ engine walks every CTU, border CTUs via implicit splits);
         # anything it can't handle resumes per-CTU on the host.
         n_ctus = pic.w_ctbs * pic.h_ctbs
+        aq_off = None
+        if cfg.aq:
+            from hm16_2_tpu.encode.preanalysis import aq_offsets
+            aq_off = aq_offsets(np.asarray(planes[0]), pic.ctb,
+                                sps.pic_height, sps.pic_width,
+                                cfg.aq_strength)
         start_ts = 0
-        if search.plan is not None:
+        if search.plan is not None and aq_off is None:
             cctx = search._commit_ctx()
             if cctx is not None:
                 import ctypes
@@ -707,7 +767,11 @@ class Encoder:
             rs = int(pic.tiles.ctu_ts_to_rs[ts])
             cx, cy = rs % pic.w_ctbs, rs // pic.w_ctbs
             search.cenc.slice_idx = int(slice_of_ts[ts])
+            if aq_off is not None:
+                search.set_ctu_qp(sh.qp + int(aq_off[cy, cx]))
             search.decide_ctu(cx, cy)
+        if aq_off is not None:
+            self._reconcile_group_qps(pic, sh)
 
         # deblock, then SAO parameter estimation on the deblocked recon
         use_sao = bool(sps.sao_enabled)
@@ -894,6 +958,8 @@ class CtuSearch:
         self.rrsp = rrsp
         self.der = der
         self.plan = None             # frame-level batched intra plan (AI)
+        self.cur_qp = sh.qp          # per-CTU QP (adaptive QP / CTU RC)
+        self._base_lam = None
         self._allowed_depths = None
         self._rrsp_obj = None        # built lazily (needs ref lists)
         self._rrsp_ctu = None        # (check64, only_depth0) for current CTU
@@ -918,9 +984,22 @@ class CtuSearch:
             self.rd_ctx = ContextSet()
             self.rd_ctx.reset(sh.slice_type, min(max(sh.qp, 0), 51))
 
+    def set_ctu_qp(self, qp):
+        """Per-CTU QP + lambda rescale (adaptive QP / CTU-level RC)."""
+        qp = int(np.clip(qp, 0, 51))
+        if self._base_lam is None:
+            self._base_lam = self.lam
+        self.cur_qp = qp
+        self.lam = self._base_lam * 2.0 ** ((qp - self.sh.qp) / 3.0)
+
     def decide_ctu(self, cx, cy):
         pic = self.pic
         parts = pic.ctb // 4
+        if self.pps.cu_qp_delta_enabled:
+            # whole-CTU QP pre-mark: inter commits and trial evaluations
+            # read the TU QP from the part array
+            pic.qp[cy * parts:(cy + 1) * parts,
+                   cx * parts:(cx + 1) * parts] = self.cur_qp
         if self.plan is not None:
             # native commit engine (handles border CTUs via implicit split)
             cctx = self._commit_ctx()
@@ -1241,7 +1320,7 @@ class CtuSearch:
         pic.depth[sl] = pic.log2_ctb - log2
         pic.pred_mode[sl] = MODE_INTRA
         pic.part_size[sl] = part_size
-        pic.qp[sl] = self.sh.qp
+        pic.qp[sl] = self.cur_qp
         # slice_id prefilled per CTU map at frame start
         pic.tr_idx[sl] = 0
 
@@ -1556,7 +1635,7 @@ class CtuSearch:
         pic.depth[py:py + n, px:px + n] = depth
         pic.pred_mode[py:py + n, px:px + n] = MODE_INTRA
         pic.part_size[py:py + n, px:px + n] = SIZE_2Nx2N
-        pic.qp[py:py + n, px:px + n] = self.sh.qp
+        pic.qp[py:py + n, px:px + n] = self.cur_qp
         pic.coded[py:py + n, px:px + n] = True
         pic.tr_idx[py:py + n, px:px + n] = 0
 

@@ -1839,8 +1839,10 @@ class CtuSearch:
             lx_b = min(uni, key=lambda k: uni[k][0])
             entries.append((uni[lx_b][0], "uni",
                             (lx_b,) + uni[lx_b][1:5]))
+        if best[1] != "bi" and is_b and 0 in uni and 1 in uni:
+            entries.append((best[0] * 1.02, "bi", None))
         entries.sort(key=lambda t: t[0])
-        entries = entries[:2]
+        entries = entries[:3]
         sl = np.s_[py:py + n, px:px + n]
         pre = self._snapshot(px, py, log2)
         best_rd = None

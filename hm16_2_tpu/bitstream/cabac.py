@@ -65,6 +65,52 @@ _CTX_LAYOUT = [
 ]
 
 CTX_OFFSET: dict[str, int] = {}
+
+# ---------------------------------------------------------------------------
+# Optional per-syntax bit accounting (the TAppDecoderAnalyser /
+# TComCodingStatistics analogue): when STATS is a BitStats instance the
+# arithmetic decoder attributes every regular bin's fractional bits to
+# the context's syntax-element name, and bypass/terminate bins to their
+# own buckets.  Enable via Decoder(stats=True) or tools/decode --stats.
+# ---------------------------------------------------------------------------
+
+STATS = None
+
+
+class BitStats:
+    def __init__(self):
+        self.bits = {}
+        self.bins = {}
+        self._names = None     # (sorted offsets, names) for index lookup
+
+    def _name_of(self, ctx_idx):
+        if self._names is None:
+            items = sorted(CTX_OFFSET.items(), key=lambda kv: kv[1])
+            self._offs = [v for _, v in items]
+            self._nm = [k for k, _ in items]
+        import bisect
+        i = bisect.bisect_right(self._offs, ctx_idx) - 1
+        return self._nm[i]
+
+    def add_regular(self, ctx_idx, state, binv):
+        name = self._name_of(ctx_idx)
+        self.bits[name] = self.bits.get(name, 0.0) + \
+            float(ENTROPY_BITS[state ^ binv]) / 32768.0
+        self.bins[name] = self.bins.get(name, 0) + 1
+
+    def add_ep(self, n=1):
+        self.bits["(bypass)"] = self.bits.get("(bypass)", 0.0) + n
+        self.bins["(bypass)"] = self.bins.get("(bypass)", 0) + n
+
+    def add_trm(self):
+        self.bins["(terminate)"] = self.bins.get("(terminate)", 0) + 1
+
+    def table(self):
+        rows = sorted(self.bits.items(), key=lambda kv: -kv[1])
+        out = [f"{'syntax element':28s} {'bins':>9s} {'est. bits':>11s}"]
+        for name, b in rows:
+            out.append(f"{name:28s} {self.bins.get(name, 0):9d} {b:11.1f}")
+        return "\n".join(out)
 _off = 0
 for _name, _tab in _CTX_LAYOUT:
     CTX_OFFSET[_name] = _off
@@ -135,6 +181,14 @@ class CabacDecoder:
         self.value = (fifo.read_byte() << 8) | fifo.read_byte()
 
     def decode_bin(self, ctx_idx: int) -> int:
+        if STATS is not None:
+            st = int(self.ctx.state[ctx_idx])
+            b = self._decode_bin_inner(ctx_idx)
+            STATS.add_regular(ctx_idx, st, b)
+            return b
+        return self._decode_bin_inner(ctx_idx)
+
+    def _decode_bin_inner(self, ctx_idx: int) -> int:
         st = int(self.ctx.state[ctx_idx])
         lps = int(LPS_TABLE[st >> 1, (self.range >> 6) - 4])
         self.range -= lps
@@ -162,6 +216,11 @@ class CabacDecoder:
         return int(binv)
 
     def decode_bin_ep(self) -> int:
+        if STATS is not None:
+            STATS.add_ep(1)
+        return self._decode_bin_ep_inner()
+
+    def _decode_bin_ep_inner(self) -> int:
         if self.range == 256:
             return self.decode_aligned_bins_ep(1)
         self.value += self.value
@@ -176,6 +235,11 @@ class CabacDecoder:
         return 0
 
     def decode_bins_ep(self, num: int) -> int:
+        if STATS is not None:
+            STATS.add_ep(num)
+        return self._decode_bins_ep_inner(num)
+
+    def _decode_bins_ep_inner(self, num: int) -> int:
         if num == 0:
             return 0
         if self.range == 256:
@@ -226,6 +290,11 @@ class CabacDecoder:
         return bins
 
     def decode_bin_trm(self) -> int:
+        if STATS is not None:
+            STATS.add_trm()
+        return self._decode_bin_trm_inner()
+
+    def _decode_bin_trm_inner(self) -> int:
         self.range -= 2
         scaled = self.range << 7
         if self.value >= scaled:

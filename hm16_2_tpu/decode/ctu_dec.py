@@ -1296,7 +1296,8 @@ class SliceDecoder:
 
     def _try_native_residual(self, cu, px, py, log2, comp, w, x0, y0,
                              scan_type, ts, be_valid) -> bool:
-        if self.trace is not None:
+        from hm16_2_tpu.bitstream import cabac as _cabac
+        if self.trace is not None or _cabac.STATS is not None:
             return False
         from hm16_2_tpu import native
         lib = native.get_lib()

@@ -1,7 +1,9 @@
 """Decoder CLI (TAppDecoder dual): decode an Annex-B HEVC stream to YUV.
 
-Usage: python -m hm16_2_tpu.tools.decode stream.bin [-o out.yuv]
-Prints per-POC lines with hash verdicts like the reference decoder.
+Usage: python -m hm16_2_tpu.tools.decode stream.bin [-o out.yuv] [--stats]
+Prints per-POC lines with hash verdicts like the reference decoder;
+--stats prints a per-syntax-element bin/bit table afterwards (the
+TAppDecoderAnalyser / TComCodingStatistics.h:49-100 analogue).
 """
 
 import argparse
@@ -15,8 +17,13 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("bitstream")
     ap.add_argument("-o", "--output", default=None)
+    ap.add_argument("--stats", action="store_true",
+                    help="per-syntax bit statistics (analyser decoder)")
     args = ap.parse_args(argv)
 
+    from hm16_2_tpu.bitstream import cabac
+    if args.stats:
+        cabac.STATS = cabac.BitStats()
     dec = Decoder()
     data = open(args.bitstream, "rb").read()
     pics = dec.decode_stream(data)
@@ -30,6 +37,11 @@ def main(argv=None):
             write_yuv_frame(out, p.planes, bds)
     if out:
         out.close()
+    if args.stats and cabac.STATS is not None:
+        print()
+        print("Decoder statistics (estimated CABAC bits per syntax class)")
+        print(cabac.STATS.table())
+        cabac.STATS = None
     return 1 if dec.hash_failures else 0
 
 

@@ -103,3 +103,20 @@ def test_yuv_io_conversions(tmp_path):
     top, bot = yuv.split_fields([y, u, v])
     woven = yuv.interleave_fields(top, bot)
     assert (woven[0] == y).all()
+
+
+def test_decoder_bit_stats(capsys):
+    """Analyser-decoder statistics (TComCodingStatistics analogue): the
+    per-syntax table accounts for the stream's CABAC bins."""
+    import os
+    import pytest
+    path = "/tmp/hevc_data/tiny64_ai.bin"
+    if not os.path.exists(path):
+        pytest.skip("fixtures absent")
+    from hm16_2_tpu.tools import decode as dec_cli
+    rc = dec_cli.main([path, "--stats"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Decoder statistics" in out and "sig" in out
+    from hm16_2_tpu.bitstream import cabac
+    assert cabac.STATS is None          # cleaned up after printing

@@ -107,6 +107,13 @@ def _band_rd(plane_band, halo_top, halo_bot, band_first, s, bd, k, qp,
             top3.reshape(nby, nbx, 3), satd.reshape(nby, nbx, 35))
 
 
+_STEP_CACHE: dict = {}
+
+
+def _mesh_key(mesh):
+    return tuple(id(d) for d in mesh.devices.flat)
+
+
 def sharded_size_rd(mesh: Mesh, plane: np.ndarray, s: int, bd: int, k: int,
                     qp: int, lam: float, strong: bool, pic_h: int):
     """Row-sharded dual of intra_rd's per-size evaluation.
@@ -117,22 +124,26 @@ def sharded_size_rd(mesh: Mesh, plane: np.ndarray, s: int, bd: int, k: int,
     H, W = plane.shape
     assert H % (n_dev * s) == 0, (H, n_dev, s)
 
-    @partial(shard_map, mesh=mesh,
-             in_specs=(P("row", None),),
-             out_specs=(P("row", None), P("row", None), P("row", None),
-                        P("row", None)),
-             check_rep=False)
-    def step(band):
-        # halos over ICI: last row of the band above moves down one device,
-        # the first s rows of the band below move up one device
-        halo_top = jax.lax.ppermute(
-            band[-1:, :], "row", [(i, i + 1) for i in range(n_dev - 1)])
-        halo_bot = jax.lax.ppermute(
-            band[:s, :], "row", [(i + 1, i) for i in range(n_dev - 1)])
-        idx = jax.lax.axis_index("row")
-        first = idx * (H // n_dev)
-        return _band_rd(band, halo_top, halo_bot, first, s, bd, k, qp, lam,
-                        strong, pic_h)
+    key = (_mesh_key(mesh), H, W, s, bd, k, qp, float(lam), strong, pic_h)
+    step = _STEP_CACHE.get(key)
+    if step is None:
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P("row", None),),
+                 out_specs=(P("row", None), P("row", None), P("row", None),
+                            P("row", None)),
+                 check_rep=False)
+        def step(band):
+            # halos over ICI: last row of the band above moves down one
+            # device, the first s rows of the band below move up one
+            halo_top = jax.lax.ppermute(
+                band[-1:, :], "row", [(i, i + 1) for i in range(n_dev - 1)])
+            halo_bot = jax.lax.ppermute(
+                band[:s, :], "row", [(i + 1, i) for i in range(n_dev - 1)])
+            idx = jax.lax.axis_index("row")
+            first = idx * (H // n_dev)
+            return _band_rd(band, halo_top, halo_bot, first, s, bd, k, qp,
+                            lam, strong, pic_h)
+        _STEP_CACHE[key] = step
 
     arr = jax.device_put(jnp.asarray(plane, jnp.int32),
                          NamedSharding(mesh, P("row", None)))

@@ -34,27 +34,36 @@ def shardable(mesh, h: int) -> bool:
     return h % (mesh.devices.size * 64) == 0
 
 
+_STEP_CACHE: dict = {}
+
+
 def sharded_me_frame(mesh, cur, refs, mvp8, lam, h: int, w: int):
     """me_frame with the current frame row-banded over `mesh` and the
     references all-gathered inside the shard (ICI collective)."""
     n_dev = mesh.devices.size
     band = h // n_dev
 
-    def step(cur_band, refs_band, mvp_band):
-        refs_full = jax.lax.all_gather(refs_band, "row", axis=1,
-                                       tiled=True)
-        row0 = jax.lax.axis_index("row") * band
-        out = me_frame(cur_band, refs_full, mvp_band, lam, row0,
-                       h=band, w=w, full_h=h)
-        return tuple(out[s] for s in _SIZES)
+    key = (tuple(id(d) for d in mesh.devices.flat), h, w,
+           tuple(refs.shape))
+    fn = _STEP_CACHE.get(key)
+    if fn is None:
+        def step(cur_band, refs_band, mvp_band, lam_):
+            refs_full = jax.lax.all_gather(refs_band, "row", axis=1,
+                                           tiled=True)
+            row0 = jax.lax.axis_index("row") * band
+            out = me_frame(cur_band, refs_full, mvp_band, lam_, row0,
+                           h=band, w=w, full_h=h)
+            return tuple(out[s] for s in _SIZES)
 
-    outs = shard_map(
-        step, mesh=mesh,
-        in_specs=(P("row", None), P(None, "row", None),
-                  P(None, "row", None, None)),
-        out_specs=tuple((P(None, "row", None), P(None, "row"))
-                        for _ in _SIZES),
-        check_rep=False)(cur, refs, mvp8)
+        fn = shard_map(
+            step, mesh=mesh,
+            in_specs=(P("row", None), P(None, "row", None),
+                      P(None, "row", None, None), P()),
+            out_specs=tuple((P(None, "row", None), P(None, "row"))
+                            for _ in _SIZES),
+            check_rep=False)
+        _STEP_CACHE[key] = fn
+    outs = fn(cur, refs, mvp8, lam)
     return {s: outs[i] for i, s in enumerate(_SIZES)}
 
 

@@ -44,7 +44,7 @@ class RateCtrl:
     """
 
     def __init__(self, target_bps, frame_rate, total_frames, width, height,
-                 gop_kind="ld1", keep_hier_bits=2):
+                 gop_kind="ld1", keep_hier_bits=2, lcu_rc=False, ctb=64):
         self.num_pixels = width * height
         self.frame_rate = frame_rate
         self.total_frames = total_frames
@@ -90,6 +90,24 @@ class RateCtrl:
         self.history = []
         # current picture state
         self.pic = None
+        # ---- CTU (LCU) level (LCULevelRC + UseLCUSeparateModel) --------
+        self.lcu_rc = lcu_rc
+        if lcu_rc:
+            w_ctbs = (width + ctb - 1) // ctb
+            h_ctbs = (height + ctb - 1) // ctb
+            self.num_lcu = w_ctbs * h_ctbs
+            # border-aware per-LCU pixel counts, raster (rs) order
+            pix = np.full((h_ctbs, w_ctbs), ctb * ctb, dtype=np.int64)
+            pix[:, -1] = ctb * (width - ctb * (w_ctbs - 1))
+            pix[-1, :] = ctb * (height - ctb * (h_ctbs - 1))
+            pix[-1, -1] = (width - ctb * (w_ctbs - 1)) * \
+                (height - ctb * (h_ctbs - 1))
+            self.lcu_pixels = pix.reshape(-1)
+            # per-(level, LCU) alpha/beta, seeded from the level's picture
+            # model on first use (TEncRCSeq::initLCUPara)
+            self.lcu_para = {}
+            # per-level last actual header bits (xEstPicHeaderBits proxy)
+            self.hdr_bits = {}
 
     # ---- GOP level ----------------------------------------------------
 
@@ -222,12 +240,102 @@ class RateCtrl:
 
         self.pic = dict(level=level, target=target, lam=lam, qp=qp,
                         intra_cost=intra_cost, is_intra=is_intra)
+        if self.lcu_rc and not is_intra:
+            self._init_ctu_level(level, target, lam)
         return qp, lam
 
-    def update_after_picture(self, actual_bits):
-        """updateAfterPicture + updateAfterPic sequence bookkeeping."""
+    # ---- CTU (LCU) level ----------------------------------------------
+
+    def _init_ctu_level(self, level, target, est_lambda):
+        """Per-LCU bit-weight allocation from the lambda model
+        (estimatePicLambda tail, TEncRateCtrl.cpp:690-718): weight_i =
+        pixels_i * (lambda/alpha_i)^(1/beta_i), normalized to the picture
+        target so each weight becomes that LCU's target bits."""
+        if level not in self.lcu_para:
+            a, b = self.pic_para[level]
+            self.lcu_para[level] = [[a, b] for _ in range(self.num_lcu)]
+        para = self.lcu_para[level]
+        w = np.array([max(self.lcu_pixels[i] *
+                          (est_lambda / para[i][0]) ** (1.0 / para[i][1]),
+                          0.01) for i in range(self.num_lcu)])
+        bits_left = target - self.hdr_bits.get(level, 0)
+        p = self.pic
+        p["lcu_weights"] = w * (target / w.sum())
+        p["lcu_bits_left"] = max(bits_left, 100)
+        p["lcu_left"] = self.num_lcu
+        p["lcu_weight_left"] = float(p["lcu_weights"].sum())
+        p["lcu_coded"] = []          # (lambda, qp-or-None) in coding order
+
+    def ctu_begin(self, lcu_idx):
+        """getLCUTargetBpp (inter branch) + getLCUEstLambda + getLCUEstQP
+        (TEncRateCtrl.cpp:761-884).  Returns (qp, lambda) for this CTU."""
+        p = self.pic
+        para = self.lcu_para[p["level"]][lcu_idx]
+        window = min(4, p["lcu_left"])                 # g_RCLCUSmoothWindow
+        avg_bits = max(int(p["lcu_weights"][lcu_idx] -
+                           (p["lcu_weight_left"] - p["lcu_bits_left"])
+                           / window + 0.5), 1)
+        bpp = avg_bits / self.lcu_pixels[lcu_idx]
+        lam = para[0] * bpp ** para[1]
+        prev_lam = next((l for l, _ in reversed(p["lcu_coded"]) if l > 0),
+                        None)
+        if prev_lam is not None:
+            lam = _clip(prev_lam * 2.0 ** (-1 / 3.0),
+                        prev_lam * 2.0 ** (1 / 3.0), lam)
+        lam = _clip(p["lam"] * 2.0 ** (-2 / 3.0),
+                    p["lam"] * 2.0 ** (2 / 3.0), lam)
+        lam = max(lam, 0.1)
+        qp = int(4.2005 * math.log(lam) + 13.7122 + 0.5)
+        prev_qp = next((q for _, q in reversed(p["lcu_coded"])
+                        if q is not None), None)
+        if prev_qp is not None:
+            qp = _clip(prev_qp - 1, prev_qp + 1, qp)
+        qp = _clip(p["qp"] - 2, p["qp"] + 2, qp)
+        return _clip(0, 51, qp), lam
+
+    def ctu_update(self, lcu_idx, bits, qp, lam):
+        """updateAfterCTU (TEncRateCtrl.cpp:885-944): bookkeeping + the
+        per-LCU alpha/beta model update.  qp=None marks an all-skip CTU
+        (no effective pixels — excluded from the neighbor-QP clip chain
+        and the picture average, TEncSlice.cpp:855-880)."""
+        p = self.pic
+        p["lcu_coded"].append((lam, qp))
+        p["lcu_left"] -= 1
+        p["lcu_bits_left"] -= bits
+        p["lcu_weight_left"] -= float(p["lcu_weights"][lcu_idx])
+        para = self.lcu_para[p["level"]][lcu_idx]
+        alpha, beta = para
+        bpp = bits / self.lcu_pixels[lcu_idx]
+        cal = alpha * bpp ** beta if bpp > 0 else 0.0
+        if lam < 0.01 or cal < 0.01 or bpp < 0.0001:
+            alpha *= 1.0 - self.alpha_update / 2.0
+            beta *= 1.0 - self.beta_update / 2.0
+        else:
+            cal = _clip(lam / 10.0, lam * 10.0, cal)
+            alpha += self.alpha_update * (math.log(lam)
+                                          - math.log(cal)) * alpha
+            lnbpp = _clip(-5.0, -0.1, math.log(bpp))
+            beta += self.beta_update * (math.log(lam)
+                                        - math.log(cal)) * lnbpp
+        para[0] = _clip(ALPHA_MIN, ALPHA_MAX, alpha)
+        para[1] = _clip(BETA_MIN, BETA_MAX, beta)
+
+    def update_after_picture(self, actual_bits, header_bits=0):
+        """updateAfterPicture + updateAfterPic sequence bookkeeping.  With
+        CTU-level RC active, the model update uses the picture's average
+        coded lambda/QP (calAverageLambda/calAverageQP — geometric mean
+        over effective LCUs) instead of the estimates, mirroring the
+        TEncGOP call site."""
         p = self.pic
         level, lam, qp = p["level"], p["lam"], p["qp"]
+        if p.get("lcu_coded"):
+            lams = [math.log(l) for l, _ in p["lcu_coded"] if l > 0.01]
+            if lams:
+                lam = math.exp(sum(lams) / len(lams))
+            qps = [q for _, q in p["lcu_coded"] if q is not None]
+            if qps:
+                qp = int(sum(qps) / len(qps) + 0.5)
+            self.hdr_bits[level] = header_bits
         alpha, beta = self.pic_para[level]
         if p["is_intra"]:
             lnbpp = math.log((p["intra_cost"] / self.num_pixels)

@@ -44,7 +44,7 @@ class EncoderConfig:
                  wpp=False, tile_cols=1, tile_rows=1, der=16, hash_type=0,
                  gop_table=None, weighted_pred=False, slices=1,
                  sei_timing=False, transform_skip=False,
-                 aq=False, aq_strength=1.0):
+                 aq=False, aq_strength=1.0, rc_ctu=False):
         self.width, self.height = width, height
         self.qp = qp
         self.bit_depth = bit_depth
@@ -70,6 +70,7 @@ class EncoderConfig:
         self.transform_skip = transform_skip  # 4x4 TU tskip eval
         self.aq = aq                 # TM5 adaptive QP (per-CTU dQP)
         self.aq_strength = aq_strength
+        self.rc_ctu = rc_ctu         # CTU-level R-lambda RC (LCULevelRC)
         self.hash_type = hash_type   # decoded-picture-hash SEI: 0 MD5 / 1 CRC / 2 checksum
         # explicit GOPEntry table (TEncCfg.h:49-88) parsed from the cfg
         # file's FrameN lines; overrides the built-in ld/ra8 structures
@@ -142,7 +143,7 @@ def build_sps_pps(cfg: EncoderConfig):
         pps.weighted_pred = 1
     if cfg.transform_skip:
         pps.transform_skip_enabled = 1
-    if cfg.aq:
+    if cfg.aq or (cfg.rc_ctu and cfg.target_bps):
         pps.cu_qp_delta_enabled = 1
         pps.diff_cu_qp_delta_depth = 0
     if cfg.sei_timing:
@@ -194,7 +195,8 @@ class Encoder:
                 "rate control needs the frame count for budget allocation"
             self.rc = RateCtrl(cfg.target_bps, cfg.frame_rate,
                                cfg.total_frames, cfg.width, cfg.height,
-                               gop_kind="ra8" if cfg.gop == "ra8" else "ld1")
+                               gop_kind="ra8" if cfg.gop == "ra8" else "ld1",
+                               lcu_rc=cfg.rc_ctu, ctb=1 << cfg.log2_ctb)
 
     def encode_frame(self, planes: list[np.ndarray], poc: int,
                      _plan=None) -> bytes:
@@ -656,6 +658,10 @@ class Encoder:
 
         pic = PictureState(sps, pps)
         pic.poc = poc
+        if pps.cu_qp_delta_enabled:
+            # whole-frame plan commits bypass decide_ctu's per-CTU QP
+            # pre-mark; the emitter and QG reconciliation read pic.qp
+            pic.qp[:] = sh.qp
         pic.slices.append(sh)
         # multi-slice: equal CTU runs in tile-scan order (HM SliceMode 1,
         # TEncSlice.cpp:1097 calculateBoundingCtuTsAddrForSlice)
@@ -763,14 +769,36 @@ class Encoder:
         slice_of_ts = np.zeros(n_ctus, dtype=np.int32)
         for i, (ts0, ts1) in enumerate(slice_bounds):
             slice_of_ts[ts0:ts1] = i
+        # CTU-level rate control (LCULevelRC, TEncSlice.cpp:765-887):
+        # per-CTU target bpp -> model lambda/QP before the search, actual
+        # bits fed back after it.  The bit feedback is the context-exact
+        # CABAC counter over the committed CTU tree.
+        ctu_rc = (self.rc is not None and self.rc.lcu_rc
+                  and sh.slice_type != I_SLICE and cfg.rdo
+                  and int(pic.tiles.tile_of_ctu.max()) == 0)
+        parts_rc = pic.ctb // 4
         for ts in range(start_ts, n_ctus):
             rs = int(pic.tiles.ctu_ts_to_rs[ts])
             cx, cy = rs % pic.w_ctbs, rs // pic.w_ctbs
             search.cenc.slice_idx = int(slice_of_ts[ts])
-            if aq_off is not None:
+            if ctu_rc:
+                rc_qp, rc_lam = self.rc.ctu_begin(rs)
+                search.set_ctu_qp(rc_qp, rc_lam)
+                pre_ctx = search.rd_ctx.copy()
+            elif aq_off is not None:
                 search.set_ctu_qp(sh.qp + int(aq_off[cy, cx]))
             search.decide_ctu(cx, cy)
-        if aq_off is not None:
+            if ctu_rc:
+                bits = search._count_cu_bits(
+                    cx * parts_rc, cy * parts_rc, pic.log2_ctb, pre_ctx)
+                sl = (slice(cy * parts_rc,
+                            min((cy + 1) * parts_rc, pic.h // 4)),
+                      slice(cx * parts_rc,
+                            min((cx + 1) * parts_rc, pic.w // 4)))
+                all_skip = bool(np.all(pic.skip[sl]))
+                self.rc.ctu_update(rs, max(int(bits + 0.5), 1),
+                                   None if all_skip else rc_qp, rc_lam)
+        if aq_off is not None or ctu_rc:
             self._reconcile_group_qps(pic, sh)
 
         # deblock, then SAO parameter estimation on the deblocked recon
@@ -984,13 +1012,17 @@ class CtuSearch:
             self.rd_ctx = ContextSet()
             self.rd_ctx.reset(sh.slice_type, min(max(sh.qp, 0), 51))
 
-    def set_ctu_qp(self, qp):
-        """Per-CTU QP + lambda rescale (adaptive QP / CTU-level RC)."""
+    def set_ctu_qp(self, qp, lam=None):
+        """Per-CTU QP + lambda rescale (adaptive QP / CTU-level RC).
+        lam: exact SSE-domain lambda (CTU rate control supplies its own
+        model lambda, TEncSlice.cpp:779-800); default rescales the slice
+        lambda by the QP delta."""
         qp = int(np.clip(qp, 0, 51))
         if self._base_lam is None:
             self._base_lam = self.lam
         self.cur_qp = qp
-        self.lam = self._base_lam * 2.0 ** ((qp - self.sh.qp) / 3.0)
+        self.lam = lam if lam is not None else \
+            self._base_lam * 2.0 ** ((qp - self.sh.qp) / 3.0)
 
     def decide_ctu(self, cx, cy):
         pic = self.pic

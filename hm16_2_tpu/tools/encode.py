@@ -49,6 +49,8 @@ def build_options() -> Options:
     o.add("SEIDecodedPictureHash", 1, "Hash SEI: 1 MD5 / 2 CRC / 3 checksum")
     o.add("RateControl", False, "Rate control: enable R-lambda model")
     o.add("TargetBitrate", 0, "Rate control: target bit-rate")
+    o.add("LCULevelRateControl", True,
+          "Rate control: CTU-level bit allocation + model feedback")
     o.add("SBD", False, "Similarity-based fast CU depth decision (fork)")
     o.add("RRSP", False, "Reduced-region similarity partitioning (fork)")
     o.add("DER", 16, "SBD border-strip width R (8/16/32/64)")
@@ -73,7 +75,7 @@ def build_options() -> Options:
                  "FastSearch GolombRiceParameterAdaptation HadamardME "
                  "HighPrecisionPredictionWeighting ImplicitResidualDPCM "
                  "InitialQP IntraConstraintFlag IntraReferenceSmoothing "
-                 "KeepHierarchicalBit LCULevelRateControl "
+                 "KeepHierarchicalBit "
                  "LFCrossSliceBoundaryFlag LFCrossTileBoundaryFlag "
                  "LoopFilterBetaOffset_div2 LoopFilterOffsetInPPS "
                  "LoopFilterTcOffset_div2 MaxCuDQPDepth MaxDeltaQP "
@@ -142,6 +144,7 @@ def main(argv=None):
         tile_cols=o["NumTileColumnsMinus1"] + 1,
         tile_rows=o["NumTileRowsMinus1"] + 1,
         target_bps=o["TargetBitrate"] if o["RateControl"] else None,
+        rc_ctu=bool(o["RateControl"] and o["LCULevelRateControl"]),
         frame_rate=o["FrameRate"], total_frames=n,
         hash_type=max(0, int(o["SEIDecodedPictureHash"]) - 1),
         gop_table=gop_table or None)

@@ -171,19 +171,24 @@ class CtuEncoder(SliceDecoder):
                 e.encode_bin_ep(b)
 
     def _enc_inter_part_size(self, mode, log2):
-        """Dual of _parse_inter_part_size (AMP signalling unsupported —
-        this encoder never chooses AMP modes)."""
+        """Dual of _parse_inter_part_size incl. the AMP suffix (9.3.3.6:
+        ctx bin 3 = symmetric flag, then one bypass bin picking the
+        asymmetric variant)."""
         e, c, sps = self.enc, self.ctx, self.sps
         max_bits = 2
         if log2 == sps.log2_min_cb and log2 > 3:
             max_bits = 3
-        assert mode <= 3, "AMP part sizes are not emitted"
-        for ui in range(min(mode + 1, max_bits)):
-            e.encode_bin(1 if ui == mode else 0, c.idx("part_size", ui))
+        base = mode if mode <= 3 else (1 if mode in (4, 5) else 2)
+        for ui in range(min(base + 1, max_bits)):
+            e.encode_bin(1 if ui == base else 0, c.idx("part_size", ui))
         amp = sps.amp_enabled and \
             (sps.log2_ctb - log2) < (sps.log2_ctb - sps.log2_min_cb)
-        if amp and mode in (1, 2):
-            e.encode_bin(1, c.idx("part_size", 3))   # no AMP sub-split
+        if amp and base in (1, 2):
+            if mode <= 3:
+                e.encode_bin(1, c.idx("part_size", 3))   # symmetric
+            else:
+                e.encode_bin(0, c.idx("part_size", 3))
+                e.encode_bin_ep(1 if mode in (5, 7) else 0)
 
     def _enc_inter_cu(self, px, py, log2):
         pic, e, c = self.pic, self.enc, self.ctx

@@ -1842,6 +1842,17 @@ class CtuSearch:
                                          fast=True, pref_refs=pref)
                 if r is not None and r[0] < best[0]:
                     best = (r[0], "part", (psize, None))
+            if best[1] == "part" and self.sps.amp_enabled and \
+                    log2 > self.sps.log2_min_cb:
+                # fast AMP (deriveTestModeAMP, TEncCu.cpp:1676-1712): try
+                # only the asymmetric variants of the winning rectangular
+                # direction, full-pel/SATD like the rect pass
+                amp_modes = (4, 5) if best[2][0] == SIZE_2NxN else (6, 7)
+                for am in amp_modes:
+                    r = self._eval_partition(px, py, log2, am, lam, is_b,
+                                             fast=True, pref_refs=pref)
+                    if r is not None and r[0] < best[0]:
+                        best = (r[0], "part", (am, None))
             if best[1] == "part":
                 psize = best[2][0]
                 r = self._eval_partition(px, py, log2, psize, lam, is_b,
@@ -2234,7 +2245,9 @@ class CtuSearch:
         rects = self.cenc.pu_rects(px, py, log2, psize)
         snap = self._motion_snapshot(sl)
         infos = []
-        total = lam * 1.0           # extra part-size bin(s) vs 2Nx2N
+        # extra part-size bins vs 2Nx2N (rect: 1 ctx bin; AMP: + the
+        # symmetric flag and the bypass variant bin)
+        total = lam * (1.0 if psize < 4 else 3.0)
         try:
             for pu_idx, (x, y, w, h) in enumerate(rects):
                 r = self._pu_best(px, py, log2, psize, pu_idx, x, y, w, h,
@@ -2285,7 +2298,10 @@ class CtuSearch:
                 amvp = self.mvp.amvp_candidates(x, y, w, h, lx, r_idx)
                 centers = [(amvp[0][0] >> 2, amvp[0][1] >> 2)]
                 if plan is not None:
-                    cs = min(w, h)
+                    # largest plan grid size covering the PU (AMP rects
+                    # have non-power-of-two short sides; grids exist for
+                    # 8/16/32/64 only)
+                    cs = max(8, 1 << (min(w, h).bit_length() - 1))
                     for ox in range(0, w, cs):
                         for oy in range(0, h, cs):
                             mvc = plan.lookup(lx, r_idx, cs, x + ox, y + oy)

@@ -363,3 +363,54 @@ def test_encode_444_transform_skip(tmp_path):
                               str(tmp_path / "o.yuv")],
                              capture_output=True, text=True)
         assert out.stdout.count("(OK)") == 1, out.stdout
+
+
+@pytest.mark.skipif(not os.path.exists(HM_DEC), reason="reference decoder absent")
+def test_amp_partitions(tmp_path):
+    """AMP (2NxnU/2NxnD/nLx2N/nRx2N) inter partitions: the fast-AMP trial
+    (deriveTestModeAMP, TEncCu.cpp:1676-1712) picks asymmetric PUs on an
+    off-center two-band motion scene, the part_mode AMP suffix (9.3.3.6)
+    round-trips in our decoder, and the reference decoder verifies."""
+    from collections import Counter
+    from hm16_2_tpu.encode import top as enctop
+
+    cnt = Counter()
+    orig_commit = enctop.CtuSearch._commit_inter_candidate
+
+    def spy(self, px, py, log2, kind, payload, uni):
+        ok = orig_commit(self, px, py, log2, kind, payload, uni)
+        if ok and kind == "part":
+            cnt[payload[0]] += 1
+        return ok
+
+    enctop.CtuSearch._commit_inter_candidate = spy
+    try:
+        rng = np.random.default_rng(9)
+        h, w = 128, 192
+        yy, xx = np.mgrid[0:h, 0:w]
+        tex = 120 + 50 * np.sin(xx / 13.0) * np.cos(yy / 7.0) \
+            + rng.normal(0, 3, (h, w))
+        frames = []
+        for t in range(6):
+            y = tex.copy()
+            cut = 40 + 3 * t              # moving off-center band split
+            y[:cut] = np.roll(tex[:cut], 4 * t, axis=1)
+            y[cut:] = np.roll(tex[cut:], -2 * t, axis=1)
+            frames.append([y.clip(0, 255).astype(np.int32),
+                           np.full((h // 2, w // 2), 110, np.int32),
+                           np.full((h // 2, w // 2), 135, np.int32)])
+        enc = Encoder(EncoderConfig(w, h, qp=32, intra_period=0))
+        bs = b"".join(enc.encode_frame([p.copy() for p in f], i)
+                      for i, f in enumerate(frames))
+    finally:
+        enctop.CtuSearch._commit_inter_candidate = orig_commit
+
+    assert any(cnt[m] for m in (4, 5, 6, 7)), dict(cnt)
+    pics = Decoder().decode_stream(bs)
+    assert len(pics) == 6 and all(p.hash_ok for p in pics)
+    f = tmp_path / "amp.bin"
+    f.write_bytes(bs)
+    out = subprocess.run([HM_DEC, "-b", str(f), "-o",
+                          str(tmp_path / "o.yuv")],
+                         capture_output=True, text=True)
+    assert out.stdout.count("(OK)") == 6, out.stdout

@@ -14,6 +14,8 @@ TEncGOP.cpp:1666 (hash SEI).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from hm16_2_tpu.bitstream.bitio import (
@@ -1843,7 +1845,8 @@ class CtuSearch:
                 if r is not None and r[0] < best[0]:
                     best = (r[0], "part", (psize, None))
             if best[1] == "part" and self.sps.amp_enabled and \
-                    log2 > self.sps.log2_min_cb:
+                    log2 > self.sps.log2_min_cb and \
+                    not os.environ.get("HM16_NO_AMP"):
                 # fast AMP (deriveTestModeAMP, TEncCu.cpp:1676-1712): try
                 # only the asymmetric variants of the winning rectangular
                 # direction, full-pel/SATD like the rect pass

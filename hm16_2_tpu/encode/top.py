@@ -400,6 +400,7 @@ class Encoder:
         parts = pic.ctb // 4
         pred = sh.qp
         n_ctus = pic.w_ctbs * pic.h_ctbs
+        cur_slice = 0
 
         def cu_cbf(px, py, n):
             for c in range(pic.num_comps):
@@ -411,6 +412,13 @@ class Encoder:
             rs = int(pic.tiles.ctu_ts_to_rs[ts])
             cx, cy = rs % pic.w_ctbs, rs // pic.w_ctbs
             px0, py0 = cx * parts, cy * parts
+            # decoders reset qPY_PREV to SliceQpY at every slice segment
+            # start (7.4.7.1); mirror that so the encoder-side QP plane
+            # (which feeds deblocking strength) matches the derivation
+            si = int(pic.slice_id[py0, px0])
+            if si != cur_slice:
+                cur_slice = si
+                pred = pic.slices[si].qp
             intended = int(pic.qp[py0, px0])
             state = {"seen": False}
 
@@ -448,6 +456,7 @@ class Encoder:
         parts = pic.ctb // 4
         nals = []
         total_bins = 0
+        hdr_bits = 0
 
         def slice_at(cx, cy):
             return int(pic.slice_id[cy * parts, cx * parts])
@@ -475,9 +484,10 @@ class Encoder:
             sh.entry_point_offsets = []
             bw = BitWriter()
             W.write_slice_header(bw, sh, sps, pps)
+            hdr_bits += len(bw.get_bytes()) * 8
             nals.append(make_nal(sh.nal_type,
                                  bw.get_bytes() + sbw.get_bytes()))
-        return nals, total_bins
+        return nals, total_bins, hdr_bits
 
     def _rc_begin(self, planes, sh, gop_id):
         """Picture-level rate control (TEncGOP.cpp:1068-1119): target bits
@@ -888,10 +898,11 @@ class Encoder:
                                       for d in datas[:-1]]
             bw = BitWriter()
             W.write_slice_header(bw, sh, sps, pps)
+            hdr_bits = len(bw.get_bytes()) * 8
             slice_nals = [make_nal(sh.nal_type, bw.get_bytes() + b"".join(datas))]
 
         else:
-            slice_nals, total_bins = self._emit_multi_slices(
+            slice_nals, total_bins, hdr_bits = self._emit_multi_slices(
                 pic, shs, slice_bounds, use_sao)
 
         # cabac_zero_words stuffing (spec 7.4.3.10; TEncGOP.cpp:1622-1660):
@@ -962,7 +973,12 @@ class Encoder:
         au = write_annexb(nals)
         self.bits_per_frame.append(len(au) * 8)
         if self.rc is not None:
-            self.rc.update_after_picture(len(au) * 8)
+            # feed back only VCL NAL bits (TEncRateCtrl uses the slice
+            # bits; VPS/SPS/PPS/SEI would inflate the first frames) and
+            # the measured slice-header bits for the xEstPicHeaderBits
+            # proxy
+            vcl_bits = sum(len(n) for n in slice_nals) * 8
+            self.rc.update_after_picture(vcl_bits, hdr_bits)
         return au
 
 
@@ -1487,6 +1503,9 @@ class CtuSearch:
               and len(pic.tiles.col_bounds) == 2
               and len(pic.tiles.row_bounds) == 2
               and len(pic.slices) == 1
+              # the native engine quantizes with the fixed slice QP; with
+              # cu_qp_delta (AQ / CTU-level RC) the per-CTU QP must win
+              and not pps.cu_qp_delta_enabled
               and not os.environ.get("HM16_NO_COMMIT_ENGINE"))
         if not ok:
             self._cctx = False
@@ -1807,8 +1826,12 @@ class CtuSearch:
                                      True)
             # one bi refinement round (TEncSearch.cpp:3260-3450's
             # iterative scheme, single iteration): re-search each list
-            # against the other list's compensated residual target
-            tgt1 = 2 * orig - (p0 >> 6)
+            # against the other list's compensated residual target.
+            # p0 is 14-bit internal with -IF_INTERNAL_OFFS folded in;
+            # map back to the pixel domain before forming the target.
+            shift_hp = interp_ref.IF_INTERNAL_PREC - bd
+            tgt1 = 2 * orig - ((p0 + interp_ref.IF_INTERNAL_OFFS)
+                               >> shift_hp)
             mv1, _ = self._subpel_refine(tgt1, ref1, x0, y0,
                                          (u1[2][0] >> 2, u1[2][1] >> 2),
                                          size)

@@ -224,8 +224,13 @@ def _write_vui(bw: BitWriter, s: SPS):
 
 def _make_sei(payload_type: int, payload: bytes, nal_type=NAL_SEI_PREFIX):
     bw = BitWriter()
-    bw.u(payload_type, 8)
-    bw.u(len(payload), 8)
+    # ff_byte run-length coding of payload type and size (7.3.5): values
+    # >= 255 emit 0xFF bytes until the remainder fits one byte
+    for v in (payload_type, len(payload)):
+        while v >= 255:
+            bw.u(0xFF, 8)
+            v -= 255
+        bw.u(v, 8)
     for b in payload:
         bw.u(b, 8)
     bw.byte_align_with_stop_bit()

@@ -1,0 +1,858 @@
+"""Frame-level fused inter mode decision (the TPU P/B encode path).
+
+HM's inter search is a per-CU recursion: merge SATD ranking, per-ref AMVP
+motion estimation with fractional refinement, partition trials and RQT
+residual coding, all against running CABAC contexts
+(TEncSearch::predInterSearch TEncSearch.cpp:3075, xMergeEstimation :2987,
+xPatternSearchFracDIF :4386, encodeResAndCalcRdInterCU :4435;
+TEncCu::xCompressCU TEncCu.cpp:466).  That walk is wavefront-sequential
+and was the round-3 bottleneck (host Python per CU, ~16x slower than the
+C++ reference).  Here the whole frame's inter decision runs as ONE device
+program per frame, mirroring what intra_rd._plan_device does for I frames:
+
+  stage 1: dense +-64 integer ME for every aligned block of sizes
+           8/16/32/64 x every reference (coarse 4x-downsampled SSD
+           pyramid + full-res refinement) — all MXU/VPU tensor ops
+  stage 2: 16-phase quarter-pel interpolated planes per reference
+           (separable 8-tap, bit-exact with ops.interp_ref.mc_block's
+           rounded output), then half+quarter diamond SATD refinement
+           around each block's integer MV via phase-plane gathers
+  stage 3: candidate pricing per block per size: per-list best reference
+           (SATD + exact MVD bin count vs a TMVP-prior predictor),
+           bi-prediction, and four approximate merge candidates
+           (left / above neighbor motion, TMVP, zero) — MC by gathers
+  stage 4: residual trial RD for the winning candidate: forward DCT +
+           quant + estimated CABAC bits + reconstruction SSE, plus the
+           zero-residual (skip) alternative
+  stage 5: intra alternative per block (the intra plan's 35-mode
+           candidate RD, reduced candidate count)
+  stage 6: bottom-up quadtree DP + dense plan emission
+
+The host commit pass (encode/top.py _commit_planned_inter) maps the
+planned motion onto the EXACT merge/AMVP candidate lists derived from
+committed neighbors, runs the normative MC + residual coding, and emits
+CABAC — so the bitstream stays standard HEVC; the plan only decides.
+
+Approximations (classic HW-encoder tradeoffs, SURVEY.md section 7):
+original-pixel SATD with rounded-pixel subpel planes, context-free bit
+estimates, TMVP-prior MVD pricing, and approximate merge lists (repaired
+at commit against the exact list).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+from hm16_2_tpu._jaxcache import ensure_cache
+
+ensure_cache()
+
+import jax
+import jax.numpy as jnp
+
+from hm16_2_tpu.common.tables import (
+    DCT, INV_QUANT_SCALES, LUMA_FILTER, QUANT_SCALES)
+from hm16_2_tpu.encode.intra_rd import (
+    NUM_RD_CANDS, _bits_estimate, _jnp_ref_buffers, _pad_to, _quad,
+    _topk_argmin, _up, batched_inv_transform)
+from hm16_2_tpu.ops import analysis
+
+COARSE_R = 16          # coarse-offset radius (x4 = full-pel +-64)
+REFINE_R = 3           # full-res int refinement radius
+MARGIN = 80            # subpel-plane padding (covers +-67 int + filter)
+
+# plan-stage bit-cost constants (fractional bins; calibrated on content —
+# the commit pass recomputes exact rates for the chosen mode)
+MERGE_FLAG_BITS = 1.0
+SKIP_EXTRA_BITS = 1.0      # cu_skip_flag vs (pred_mode+part+merge_flag)
+UNI_BASE_BITS = 4.0        # inter_dir + mvp flag + part/pred_mode bins
+BI_BASE_BITS = 6.0
+SPLIT_BITS = 3.0
+INTRA_EXTRA_BITS = 3.0     # pred_mode flag + mpm signalling vs I-slice
+
+
+# ---------------------------------------------------------------------------
+# exact MVD bin counts (TEncSbac::codeMvd binarization), vectorized
+# ---------------------------------------------------------------------------
+
+def _mvd_comp_bits_j(d):
+    """Exact bins for one MVD component (quarter-pel domain): greater0,
+    greater1, sign + EG1 remainder — matches CtuSearch._mvd_comp_bits."""
+    a = jnp.abs(d).astype(jnp.int32)
+    eg1 = 5.0 + 2.0 * jnp.floor(jnp.log2(jnp.maximum(a >> 1, 1)
+                                         .astype(jnp.float32)))
+    return jnp.where(a == 0, 1.0, jnp.where(a == 1, 3.0, eg1))
+
+
+def _mvd_bits_j(dx, dy):
+    return _mvd_comp_bits_j(dx) + _mvd_comp_bits_j(dy)
+
+
+# ---------------------------------------------------------------------------
+# traced-QP quant / dequant (the intra_rd versions bake QP into the jit;
+# the inter plan traces QP so the LDP/RA QP ladder shares one program)
+# ---------------------------------------------------------------------------
+
+def _quant_t(coeffs, qp, bit_depth: int, log2_tr: int):
+    per, rem = qp // 6, qp % 6
+    tshift = 15 - bit_depth - log2_tr
+    q_bits = 14 + per + tshift
+    scale = jnp.asarray(QUANT_SCALES.astype(np.int32))[rem]
+    add = 85 << jnp.maximum(q_bits - 9, 0)          # inter rounding offset
+    c = coeffs.astype(jnp.int32)
+    level = (jnp.abs(c) * scale + add) >> q_bits
+    return (jnp.sign(c) * jnp.clip(level, 0, 32767)).astype(jnp.int32)
+
+
+def _dequant_t(levels, qp, bit_depth: int, log2_tr: int):
+    per, rem = qp // 6, qp % 6
+    max_dr = 15
+    tshift = max_dr - bit_depth - log2_tr
+    right_shift = 6 - (tshift + per)
+    scale = jnp.asarray(INV_QUANT_SCALES.astype(np.int32))[rem]
+    # right_shift is traced: compute both directions and select
+    target_bd = jnp.minimum(max_dr + 1, 32 + right_shift - 7)
+    imax = (1 << (target_bd - 1)) - 1
+    q = jnp.clip(levels.astype(jnp.int32), -imax - 1, imax)
+    rs = jnp.maximum(right_shift, 0)
+    ls = jnp.maximum(-right_shift, 0)
+    pos = (q * scale + (1 << jnp.maximum(rs - 1, 0))
+           * jnp.where(rs > 0, 1, 0)) >> rs
+    out = jnp.where(right_shift > 0, pos, (q * scale) << ls)
+    return jnp.clip(out, -(1 << max_dr), (1 << max_dr) - 1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# stage 1: dense integer ME (me_frame's pyramid, grid-shaped output)
+# ---------------------------------------------------------------------------
+
+def _int_me_grids(cur, refs, mvp8, lam_sqrt, h, w):
+    """Best full-pel MV per (ref, size-block), sizes 8/16/32/64.
+    Returns {s: (R, ny, nx, 2) int32 (dy, dx)}."""
+    R = refs.shape[0]
+    hc, wc = h // 4, w // 4
+    cd = cur[: hc * 4, : wc * 4].reshape(hc, 4, wc, 4).sum((1, 3)) // 16
+    rd = refs[:, : hc * 4, : wc * 4].reshape(R, hc, 4, wc, 4).sum((2, 4)) // 16
+
+    offs = jnp.stack(jnp.meshgrid(
+        jnp.arange(-COARSE_R, COARSE_R + 1),
+        jnp.arange(-COARSE_R, COARSE_R + 1), indexing="ij"), -1).reshape(-1, 2)
+    O = offs.shape[0]
+    rdp = jnp.pad(rd, ((0, 0), (COARSE_R, COARSE_R), (COARSE_R, COARSE_R)),
+                  mode="edge")
+    n8y, n8x = h // 8, w // 8
+
+    def coarse_one_ref(rp):
+        def at(o):
+            win = jax.lax.dynamic_slice(
+                rp, (o[0] + COARSE_R, o[1] + COARSE_R), (hc, wc))
+            d = (cd - win).astype(jnp.int32)
+            return ((d * d)[: n8y * 2, : n8x * 2]
+                    .reshape(n8y, 2, n8x, 2).sum((1, 3)).astype(jnp.float32))
+        return jax.vmap(at)(offs)
+
+    g8 = jax.lax.map(coarse_one_ref, rdp)            # (R, O, n8y, n8x)
+    grids = {8: g8}
+    for s in (16, 32, 64):
+        p = grids[s // 2]
+        ny, nx = h // s, w // s
+        q = p[:, :, : ny * 2, : nx * 2]
+        grids[s] = q.reshape(R, O, ny, 2, nx, 2).sum((3, 5))
+
+    P = 4 * COARSE_R + REFINE_R + 64
+    refp = jnp.pad(refs, ((0, 0), (P, P), (P, P)), mode="edge")
+    roffs = jnp.stack(jnp.meshgrid(
+        jnp.arange(-REFINE_R, REFINE_R + 1),
+        jnp.arange(-REFINE_R, REFINE_R + 1), indexing="ij"), -1).reshape(-1, 2)
+    lamf = lam_sqrt.astype(jnp.float32)
+
+    out = {}
+    for s in (8, 16, 32, 64):
+        ny, nx = h // s, w // s
+        if ny == 0 or nx == 0:
+            out[s] = jnp.zeros((R, ny, nx, 2), jnp.int32)
+            continue
+        g = grids[s].reshape(R, O, ny * nx)
+        step = s // 8
+        mvp = mvp8[::step, ::step][:ny, :nx].reshape(ny * nx, 2)
+        mvb = (_mvd_bits_j(4 * (offs[:, None, 1] - mvp[None, :, 1]),
+                           4 * (offs[:, None, 0] - mvp[None, :, 0])))
+        best_o = jnp.argmin(g + lamf * mvb[None], axis=1)     # (R, N)
+        coarse_mv = 4 * offs[best_o]                          # (R, N, 2)
+
+        ys = jnp.repeat(jnp.arange(ny) * s, nx)
+        xs = jnp.tile(jnp.arange(nx) * s, ny)
+        blocks = cur[: ny * s, : nx * s].reshape(ny, s, nx, s) \
+            .swapaxes(1, 2).reshape(ny * nx, s, s)
+
+        def refine(r_idx, centers):
+            rp = refp[r_idx]
+
+            def one(by, bx, c):
+                return jax.lax.dynamic_slice(
+                    rp, (by + c[0] + P - REFINE_R, bx + c[1] + P - REFINE_R),
+                    (s + 2 * REFINE_R, s + 2 * REFINE_R))
+
+            wins = jax.vmap(one)(ys, xs, centers)
+
+            def eval_offs(win, blk):
+                def at(o):
+                    sub = jax.lax.dynamic_slice(
+                        win, (o[0] + REFINE_R, o[1] + REFINE_R), (s, s))
+                    dd = (blk - sub).astype(jnp.int32)
+                    sq = dd * dd
+                    if s == 64:
+                        sq = sq >> 2
+                    return sq.sum().astype(jnp.float32)
+                return jax.vmap(at)(roffs)
+            return jax.vmap(eval_offs)(wins, blocks)          # (N, 49)
+
+        mvs = []
+        for r_idx in range(R):
+            cands = []
+            for centers in (coarse_mv[r_idx],
+                            jnp.zeros_like(coarse_mv[r_idx])):
+                sse = refine(r_idx, centers)
+                mv_cand = centers[:, None, :] + roffs[None, :, :]
+                bits = _mvd_bits_j(4 * (mv_cand[:, :, 1] - mvp[:, None, 1]),
+                                   4 * (mv_cand[:, :, 0] - mvp[:, None, 0]))
+                cost = sse + lamf * bits
+                k = jnp.argmin(cost, axis=1)
+                cands.append((jnp.take_along_axis(
+                    mv_cand, k[:, None, None], axis=1)[:, 0],
+                    jnp.take_along_axis(cost, k[:, None], axis=1)[:, 0]))
+            better = cands[0][1] <= cands[1][1]
+            mvs.append(jnp.where(better[:, None], cands[0][0], cands[1][0]))
+        out[s] = jnp.stack(mvs).reshape(R, ny, nx, 2)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# stage 2: 16-phase quarter-pel planes (bit-exact with mc_block)
+# ---------------------------------------------------------------------------
+
+def _subpel_planes(refs, bd: int, h: int, w: int):
+    """(R, 16, h+2M+1, w+2M+1) int16 planes; plane[ph][y, x] is the
+    rounded prediction sample at picture coord (y - M + fy/4, x - M + fx/4)
+    with ph = fy*4 + fx.  Matches interp_ref.mc_block's is_last output."""
+    M = MARGIN
+    R = refs.shape[0]
+    taps = np.asarray(LUMA_FILTER, dtype=np.int32)       # (4, 8)
+    hr = max(2, 14 - bd)
+    sh1 = 6 - hr                                          # may be negative
+    OFFS = 1 << 13
+    Hp, Wp = h + 2 * M + 1, w + 2 * M + 1
+    rp = jnp.pad(refs, ((0, 0), (M + 4, M + 5), (M + 4, M + 5)),
+                 mode="edge").astype(jnp.int32)
+
+    def hfilt(fx):
+        if fx == 0:
+            # copy stage (is_first, not last): keep full rows for vfilt
+            return (rp[:, :, 4: 4 + Wp] << hr) - OFFS
+        t = taps[fx]
+        acc = jnp.zeros((R, rp.shape[1], Wp), jnp.int32)
+        for k in range(8):
+            acc = acc + int(t[k]) * rp[:, :, 1 + k: 1 + k + Wp]
+        if sh1 >= 0:
+            return (acc - (OFFS << sh1)) >> sh1
+        return (acc << (-sh1)) - OFFS
+
+    planes = []
+    for fy in range(4):
+        for fx in range(4):
+            hh = hfilt(fx)                                # (R, Hrows, Wp)
+            if fy == 0:
+                out = (hh[:, 4: 4 + Hp] + OFFS + (1 << (hr - 1))) >> hr
+            else:
+                # int32 headroom: |intermediate| < 2^21, sum(|taps|) = 96
+                t = taps[fy]
+                acc = jnp.zeros((R, Hp, Wp), jnp.int32)
+                for k in range(8):
+                    acc = acc + int(t[k]) * hh[:, 1 + k: 1 + k + Hp]
+                sh2 = 6 + hr
+                out = (acc + (1 << (sh2 - 1)) + (OFFS << 6)) >> sh2
+            planes.append(jnp.clip(out, 0, (1 << bd) - 1).astype(jnp.int16))
+    # (R, 16, Hp, Wp)
+    return jnp.stack(planes, axis=1)
+
+
+def _gather_pred(sub_r, ys, xs, mv4, s: int):
+    """Predicted blocks for per-block quarter MVs.  sub_r: (16, Hp, Wp)
+    int16 planes of ONE reference; ys/xs: (N,) block origins; mv4: (N, 2)
+    quarter-pel (dy, dx).  Returns (N, s, s) int32."""
+    M = MARGIN
+
+    def one(y, x, mv):
+        ph = (mv[0] & 3) * 4 + (mv[1] & 3)
+        iy = y + (mv[0] >> 2) + M
+        ix = x + (mv[1] >> 2) + M
+        return jax.lax.dynamic_slice(sub_r, (ph, iy, ix), (1, s, s))[0]
+
+    return jax.vmap(one)(ys, xs, mv4).astype(jnp.int32)
+
+
+def _frac_refine(sub_r, blocks, ys, xs, mv_int, pred4, lam_sqrt, s: int):
+    """Half- then quarter-pel diamond SATD refinement around the integer
+    MV (xPatternSearchFracDIF's two-stage scheme as dense gathers).
+    Returns (mv4 (N,2), satd (N,))."""
+    offs = jnp.asarray([(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
+                       dtype=jnp.int32)
+
+    def stage(center, step):
+        def at(o):
+            mv = center + step * o[None]
+            pred = _gather_pred(sub_r, ys, xs, mv, s)
+            satd = analysis.batched_satd(blocks - pred).astype(jnp.float32)
+            bits = _mvd_bits_j(mv[:, 1] - pred4[:, 1], mv[:, 0] - pred4[:, 0])
+            return satd + lam_sqrt * bits, satd
+        costs, satds = jax.vmap(at)(offs)          # (9, N)
+        k = jnp.argmin(costs, axis=0)
+        best_mv = center + step * offs[k]
+        return best_mv, jnp.take_along_axis(satds, k[None], axis=0)[0]
+
+    mv_h, _ = stage(4 * mv_int, 2)
+    mv_q, satd = stage(mv_h, 1)
+    return mv_q, satd
+
+
+# ---------------------------------------------------------------------------
+# the fused frame program
+# ---------------------------------------------------------------------------
+
+SIZES = (8, 16, 32, 64)
+KIND_MERGE, KIND_UNI0, KIND_UNI1, KIND_BI = 0, 1, 2, 3
+
+
+@partial(jax.jit, static_argnames=("h", "w", "bd", "is_b", "map0", "map1",
+                                   "nmerge"))
+def _plan_device(cur, refs, mvp8, lam, lam_sqrt, qp, *, h: int, w: int,
+                 bd: int, is_b: bool, map0: tuple, map1: tuple,
+                 nmerge: int):
+    """One device dispatch deciding the whole inter frame (see module
+    docstring).  cur: (h, w) int32; refs: (R, h, w) int32 deduplicated
+    reference planes; map0/map1: per-list tuples of indices into refs;
+    mvp8: (h//8, w//8, 2) int32 full-pel TMVP prior (dy, dx).
+    Returns a packed (16, h4, w4) int16 plan tensor."""
+    lamf = lam.astype(jnp.float32)
+    lams = lam_sqrt.astype(jnp.float32)
+    mv_int = _int_me_grids(cur, refs, mvp8, lams, h, w)
+    sub = _subpel_planes(refs, bd, h, w)
+    R = refs.shape[0]
+    lists = [map0, map1] if is_b else [map0]
+
+    per_size = {}
+    for s in SIZES:
+        ny, nx = h // s, w // s
+        if ny == 0 or nx == 0:
+            per_size[s] = None
+            continue
+        N = ny * nx
+        ys = jnp.repeat(jnp.arange(ny) * s, nx)
+        xs = jnp.tile(jnp.arange(nx) * s, ny)
+        blocks = cur[: ny * s, : nx * s].reshape(ny, s, nx, s) \
+            .swapaxes(1, 2).reshape(N, s, s).astype(jnp.int32)
+        step = s // 8
+        pred4 = 4 * mvp8[::step, ::step][:ny, :nx].reshape(N, 2)
+
+        # refined quarter MV + SATD per unique reference
+        mvq_r, satd_r = [], []
+        for r in range(R):
+            mv0 = mv_int[s][r].reshape(N, 2)[:, ::1]
+            mvq, satd = _frac_refine(sub[r], blocks, ys, xs, mv0, pred4,
+                                     lams, s)
+            mvq_r.append(mvq)
+            satd_r.append(satd)
+
+        # per-list best reference (SATD + MVD/ref/dir bins)
+        uni = {}
+        for lx, lmap in enumerate(lists):
+            nrefs = len(lmap)
+            if nrefs == 0:
+                continue
+            costs, bits_l = [], []
+            for ri, r in enumerate(lmap):
+                mb = _mvd_bits_j(mvq_r[r][:, 1] - pred4[:, 1],
+                                 mvq_r[r][:, 0] - pred4[:, 0])
+                rb = float(min(ri + 1, nrefs - 1)) if nrefs > 1 else 0.0
+                b = mb + rb + UNI_BASE_BITS
+                costs.append(satd_r[r] + lams * b)
+                bits_l.append(b)
+            costs = jnp.stack(costs)                     # (nrefs, N)
+            bits_l = jnp.stack(bits_l)
+            k = jnp.argmin(costs, axis=0)                # (N,)
+            mv_sel = jnp.stack([mvq_r[r] for r in lmap])  # (nrefs, N, 2)
+            satd_sel = jnp.stack([satd_r[r] for r in lmap])
+            uni[lx] = {
+                "ridx": k.astype(jnp.int32),
+                "uref": jnp.asarray(lmap, jnp.int32)[k],
+                "mv": jnp.take_along_axis(
+                    mv_sel, k[None, :, None], axis=0)[0],
+                "satd": jnp.take_along_axis(satd_sel, k[None], axis=0)[0],
+                "bits": jnp.take_along_axis(bits_l, k[None], axis=0)[0],
+                "cost": jnp.min(costs, axis=0),
+            }
+
+        # per-block predicted blocks for the per-list winners (for bi and
+        # the residual trial) — gather per unique ref, select by winner
+        def pred_of(entry):
+            preds = jnp.stack([
+                _gather_pred(sub[r], ys, xs, entry["mv"], s)
+                for r in range(R)])                      # (R, N, s, s)
+            return jnp.take_along_axis(
+                preds, entry["uref"][None, :, None, None], axis=0)[0]
+
+        for lx in uni:
+            uni[lx]["pred"] = pred_of(uni[lx])
+
+        cand_costs = []          # per kind: (cost, bits, pred)
+        kinds_meta = {}
+
+        # ---- merge candidates (approx list: left/above/TMVP/zero) ----
+        def roll_valid(a, axis_is_x):
+            g = a.reshape((ny, nx) + a.shape[1:])
+            if axis_is_x:
+                r = jnp.roll(g, 1, axis=1)
+            else:
+                r = jnp.roll(g, 1, axis=0)
+            return r.reshape(a.shape)
+
+        def col0_mask(axis_is_x):
+            m = (jnp.tile(jnp.arange(nx), ny) == 0) if axis_is_x else \
+                (jnp.repeat(jnp.arange(ny), nx) == 0)
+            return m                                     # (N,) True=invalid
+
+        tmvp_mv = pred4                                   # 4*prior, q-pel
+        zero_mv = jnp.zeros_like(pred4)
+        mcands = []                                       # per candidate
+        for src, (axis_is_x,) in ((0, (True,)), (1, (False,))):
+            ent = {}
+            for lx in uni:
+                ent[lx] = {
+                    "mv": roll_valid(uni[lx]["mv"], axis_is_x),
+                    "uref": roll_valid(uni[lx]["uref"], axis_is_x),
+                    "ridx": roll_valid(uni[lx]["ridx"], axis_is_x),
+                }
+            ent["invalid"] = col0_mask(axis_is_x)
+            mcands.append(ent)
+        for mv_c in (tmvp_mv, zero_mv):
+            ent = {}
+            for lx in uni:
+                lmap = lists[lx]
+                ent[lx] = {
+                    "mv": mv_c,
+                    "uref": jnp.full((N,), lmap[0], jnp.int32),
+                    "ridx": jnp.zeros((N,), jnp.int32),
+                }
+            ent["invalid"] = jnp.zeros((N,), bool)
+            mcands.append(ent)
+
+        m_best = None
+        for m_idx, ent in enumerate(mcands):
+            preds = []
+            for lx in uni:
+                preds.append(pred_of(ent[lx]))
+            if len(preds) == 2:
+                pred = (preds[0] + preds[1] + 1) >> 1
+                dirv = 3
+            else:
+                pred = preds[0]
+                dirv = 1 if 0 in uni else 2
+            satd = analysis.batched_satd(blocks - pred).astype(jnp.float32)
+            bits = float(min(m_idx + 1, nmerge - 1) + 1) + MERGE_FLAG_BITS
+            cost = satd + lams * bits + \
+                jnp.where(ent["invalid"], jnp.inf, 0.0)
+            rec = {"cost": cost, "bits": bits, "pred": pred, "ent": ent,
+                   "dir": dirv, "idx": m_idx}
+            if m_best is None:
+                m_best = {k: (v if k in ("bits", "dir") else v)
+                          for k, v in rec.items()}
+                m_best["sel"] = jnp.full((N,), m_idx, jnp.int32)
+                m_best["bits"] = jnp.full((N,), rec["bits"], jnp.float32)
+            else:
+                better = cost < m_best["cost"]
+                m_best["cost"] = jnp.where(better, cost, m_best["cost"])
+                m_best["pred"] = jnp.where(better[:, None, None], pred,
+                                           m_best["pred"])
+                m_best["sel"] = jnp.where(better, m_idx, m_best["sel"])
+                m_best["bits"] = jnp.where(better, rec["bits"],
+                                           m_best["bits"])
+        # gather merged motion channels by selected source
+        def msel(field, lx):
+            opts = jnp.stack([e[lx][field] for e in mcands])  # (4, N, ...)
+            idx = m_best["sel"]
+            if opts.ndim == 3:
+                return jnp.take_along_axis(
+                    opts, idx[None, :, None], axis=0)[0]
+            return jnp.take_along_axis(opts, idx[None], axis=0)[0]
+
+        merge_mv = {lx: msel("mv", lx) for lx in uni}
+        merge_ridx = {lx: msel("ridx", lx) for lx in uni}
+        merge_dir = 3 if len(uni) == 2 else (1 if 0 in uni else 2)
+
+        # ---- bi-prediction from the per-list winners ----
+        bi = None
+        if len(uni) == 2:
+            pred = (uni[0]["pred"] + uni[1]["pred"] + 1) >> 1
+            satd = analysis.batched_satd(blocks - pred).astype(jnp.float32)
+            bits = uni[0]["bits"] + uni[1]["bits"] + \
+                (BI_BASE_BITS - 2 * UNI_BASE_BITS)
+            bi = {"cost": satd + lams * bits, "bits": bits, "pred": pred}
+
+        # ---- kind selection (SATD domain) ----
+        kind_list = [(KIND_MERGE, m_best["cost"], m_best["bits"],
+                      m_best["pred"])]
+        if 0 in uni:
+            kind_list.append((KIND_UNI0, uni[0]["cost"], uni[0]["bits"],
+                              uni[0]["pred"]))
+        if 1 in uni:
+            kind_list.append((KIND_UNI1, uni[1]["cost"], uni[1]["bits"],
+                              uni[1]["pred"]))
+        if bi is not None:
+            kind_list.append((KIND_BI, bi["cost"], bi["bits"], bi["pred"]))
+        costs = jnp.stack([c for _, c, _, _ in kind_list])
+        ksel = jnp.argmin(costs, axis=0)                  # (N,) index into list
+        kind = jnp.asarray([k for k, _, _, _ in kind_list],
+                           jnp.int32)[ksel]
+        bits_motion = jnp.take_along_axis(
+            jnp.stack([jnp.broadcast_to(b, (N,)).astype(jnp.float32)
+                       for _, _, b, _ in kind_list]), ksel[None], axis=0)[0]
+        pred_best = jnp.take_along_axis(
+            jnp.stack([p for _, _, _, p in kind_list]),
+            ksel[None, :, None, None], axis=0)[0]
+
+        # final motion channels by kind
+        def pick(kidx, merge_v, uni0_v, uni1_v, default):
+            k = kind[:, None] if jnp.ndim(default) == 2 else kind
+            out = default
+            out = jnp.where(k == KIND_MERGE, merge_v, out)
+            out = jnp.where(k == KIND_UNI0, uni0_v, out)
+            out = jnp.where(k == KIND_UNI1, uni1_v, out)
+            return out
+
+        zero2 = jnp.zeros((N, 2), jnp.int32)
+        zeroN = jnp.zeros((N,), jnp.int32)
+        negN = jnp.full((N,), -1, jnp.int32)
+        u0mv = uni[0]["mv"] if 0 in uni else zero2
+        u1mv = uni[1]["mv"] if 1 in uni else zero2
+        u0r = uni[0]["ridx"] if 0 in uni else zeroN
+        u1r = uni[1]["ridx"] if 1 in uni else zeroN
+        m0mv = merge_mv.get(0, zero2)
+        m1mv = merge_mv.get(1, zero2)
+        m0r = merge_ridx.get(0, zeroN)
+        m1r = merge_ridx.get(1, zeroN)
+        bi_valid = bi is not None
+        mv0 = pick(kind, m0mv, u0mv, zero2,
+                   u0mv if bi_valid else zero2)
+        mv1 = pick(kind, m1mv, zero2, u1mv,
+                   u1mv if bi_valid else zero2)
+        ref0 = pick(kind, jnp.where(merge_dir & 1, m0r, negN),
+                    u0r, negN, u0r if bi_valid else negN)
+        ref1 = pick(kind, jnp.where(merge_dir & 2, m1r, negN),
+                    negN, u1r, u1r if bi_valid else negN)
+        dirv = pick(kind, jnp.full((N,), merge_dir, jnp.int32),
+                    jnp.full((N,), 1, jnp.int32),
+                    jnp.full((N,), 2, jnp.int32),
+                    jnp.full((N,), 3, jnp.int32))
+
+        # ---- residual trial (SSE domain) ----
+        resi = blocks - pred_best
+        if s <= 32:
+            tu = resi
+            log2_tr = s.bit_length() - 1
+            fwd = analysis.batched_fwd_transform(tu, bd, False)
+            lvl = _quant_t(fwd, qp, bd, log2_tr)
+            bits_r = _bits_estimate(lvl)
+            deq = _dequant_t(lvl, qp, bd, log2_tr)
+            rres = batched_inv_transform(deq, bd, False)
+            rec = jnp.clip(pred_best + rres, 0, (1 << bd) - 1)
+            d = (blocks - rec)
+            sse_rec = (d * d).sum(axis=(-1, -2)).astype(jnp.float32)
+        else:
+            tu = resi.reshape(N, 2, 32, 2, 32).swapaxes(2, 3) \
+                .reshape(N * 4, 32, 32)
+            fwd = analysis.batched_fwd_transform(tu, bd, False)
+            lvl = _quant_t(fwd, qp, bd, 5)
+            bits_r = _bits_estimate(lvl).reshape(N, 4).sum(axis=1)
+            deq = _dequant_t(lvl, qp, bd, 5)
+            rres = batched_inv_transform(deq, bd, False) \
+                .reshape(N, 2, 2, 32, 32).swapaxes(2, 3) \
+                .reshape(N, 64, 64)
+            rec = jnp.clip(pred_best + rres, 0, (1 << bd) - 1)
+            d = (blocks - rec)
+            sse_rec = (d * d).sum(axis=(-1, -2)).astype(jnp.float32)
+        pz = jnp.clip(pred_best, 0, (1 << bd) - 1)
+        dz = (blocks - pz)
+        sse_zero = (dz * dz).sum(axis=(-1, -2)).astype(jnp.float32)
+        cost_coded = sse_rec + lamf * (bits_r + bits_motion + 2.0)
+        is_merge = (kind == KIND_MERGE)
+        bits_zero = bits_motion + jnp.where(is_merge, 0.0, 1.0) \
+            - jnp.where(is_merge, MERGE_FLAG_BITS - SKIP_EXTRA_BITS, 0.0)
+        cost_zero = sse_zero + lamf * bits_zero
+        skip_hint = cost_zero <= cost_coded
+        inter_cost = jnp.minimum(cost_coded, cost_zero)
+
+        # ---- intra alternative (8/16/32 luma) ----
+        intra_flag = jnp.zeros((N,), bool)
+        imode = jnp.zeros((N,), jnp.int32)
+        icands = jnp.zeros((N, 3), jnp.int32)
+        if s <= 32:
+            bufs, iblocks = _jnp_ref_buffers(cur, s, bd, True, h, w)
+            im, icost, ic3 = _intra_size_rd_t(
+                bufs, iblocks, lamf, s, bd, min(NUM_RD_CANDS[s], 3), qp)
+            icost = icost + lamf * INTRA_EXTRA_BITS
+            intra_flag = icost < inter_cost
+            imode = im
+            icands = ic3
+            cu_cost = jnp.minimum(inter_cost, icost)
+        else:
+            cu_cost = inter_cost
+
+        per_size[s] = {
+            "cost": cu_cost.reshape(ny, nx),
+            "kind": kind, "dir": dirv, "mv0": mv0, "mv1": mv1,
+            "ref0": ref0, "ref1": ref1, "msrc": m_best["sel"],
+            "skip": skip_hint, "intra": intra_flag, "imode": imode,
+            "icands": icands, "ny": ny, "nx": nx,
+        }
+
+    return _emit_plan(per_size, lamf, h, w)
+
+
+def _intra_size_rd_t(bufs, blocks, lamf, s: int, bd: int, k: int, qp):
+    """Traced-QP twin of intra_rd._size_rd (reduced: no satd export)."""
+    preds = analysis.predict_all_modes(bufs, s, True, bd)
+    diffs = preds.astype(jnp.int32) - blocks[:, None].astype(jnp.int32)
+    satd = analysis.batched_satd(diffs)
+    topk = _topk_argmin(satd.astype(jnp.float32), k)
+    cand = jnp.take_along_axis(preds, topk[:, :, None, None], axis=1)
+    resi = blocks[:, None].astype(jnp.int32) - cand
+    log2 = s.bit_length() - 1
+    fwd = analysis.batched_fwd_transform(resi, bd, s == 4)
+    # intra rounding offset (171) — _quant_t uses the inter offset; the
+    # delta is a sub-LSB rounding difference acceptable for ranking
+    lvl = _quant_t(fwd, qp, bd, log2)
+    deq = _dequant_t(lvl, qp, bd, log2)
+    rres = batched_inv_transform(deq, bd, s == 4)
+    rec = jnp.clip(cand + rres, 0, (1 << bd) - 1)
+    d = blocks[:, None] - rec
+    dist = (d * d).sum(axis=(-1, -2)).astype(jnp.float32)
+    bits = _bits_estimate(lvl) + 6.0
+    cost = dist + lamf * bits
+    rd_order = _topk_argmin(cost, 3)
+    top3 = jnp.take_along_axis(topk, rd_order, axis=1)
+    best_cost = jnp.take_along_axis(cost, rd_order[:, :1], axis=1)[:, 0]
+    return top3[:, 0], best_cost, top3
+
+
+# ---------------------------------------------------------------------------
+# quadtree DP + dense emission
+# ---------------------------------------------------------------------------
+
+def _emit_plan(per_size, lamf, h: int, w: int):
+    h4, w4 = h // 4, w // 4
+    shape_s = {s: (h // s, w // s) for s in SIZES}
+
+    cost = {s: (per_size[s]["cost"] if per_size[s] is not None
+                else jnp.zeros(shape_s[s], jnp.float32)) for s in SIZES}
+    cu8 = cost[8]
+    nby16, nbx16 = shape_s[16]
+    cu16 = cost[16]
+    split16 = jnp.zeros((nby16, nbx16), bool)
+    if nby16 and cu8.size:
+        quad = _quad(cu8)[:nby16, :nbx16] + lamf * SPLIT_BITS
+        split16 = quad < cu16
+        cu16 = jnp.minimum(cu16, quad)
+    nby32, nbx32 = shape_s[32]
+    cu32 = cost[32]
+    split32 = jnp.zeros((nby32, nbx32), bool)
+    if nby32 and cu16.size:
+        quad = _quad(cu16)[:nby32, :nbx32] + lamf * SPLIT_BITS
+        split32 = quad < cu32
+        cu32 = jnp.minimum(cu32, quad)
+    nby64, nbx64 = shape_s[64]
+    cu64 = cost[64]
+    split64 = jnp.zeros((nby64, nbx64), bool)
+    if nby64 and cu32.size:
+        quad = _quad(cu32)[:nby64, :nbx64] + lamf * SPLIT_BITS
+        split64 = quad < cu64
+
+    leaf64 = ~split64
+    desc64 = split64
+    r32 = np.arange(nby32)[:, None]
+    c32 = np.arange(nbx32)[None, :]
+    border32 = jnp.asarray((r32 >= 2 * nby64) | (c32 >= 2 * nbx64))
+    active32 = _pad_to(_up(desc64, 2), nby32, nbx32, False) | border32
+    leaf32 = active32 & ~split32
+    desc32 = active32 & split32
+    r16 = np.arange(nby16)[:, None]
+    c16 = np.arange(nbx16)[None, :]
+    border16 = jnp.asarray((r16 >= 2 * nby32) | (c16 >= 2 * nbx32))
+    active16 = _pad_to(_up(desc32, 2), nby16, nbx16, False) | border16
+    leaf16 = active16 & ~split16
+    desc16 = active16 & split16
+    nby8, nbx8 = shape_s[8]
+    r8 = np.arange(nby8)[:, None]
+    c8 = np.arange(nbx8)[None, :]
+    border8 = jnp.asarray((r8 >= 2 * nby16) | (c8 >= 2 * nbx16))
+    leaf8 = _pad_to(_up(desc16, 2), nby8, nbx8, False) | border8
+
+    m64 = _pad_to(_up(leaf64, 16), h4, w4, False)
+    m32 = _pad_to(_up(leaf32, 8), h4, w4, False)
+    m16 = _pad_to(_up(leaf16, 4), h4, w4, False)
+    m8 = _pad_to(_up(leaf8, 2), h4, w4, False)
+
+    neg = jnp.full((h4, w4), -1, jnp.int32)
+    depth = jnp.where(m64, 0, jnp.where(m32, 1, jnp.where(
+        m16, 2, jnp.where(m8, 3, neg))))
+    cov = m64 | m32 | m16 | m8
+
+    def chan(field, default, signed=True):
+        out = jnp.full((h4, w4), default, jnp.int32)
+        for s, m_, f in ((64, m64, 16), (32, m32, 8), (16, m16, 4),
+                         (8, m8, 2)):
+            ps = per_size[s]
+            if ps is None:
+                continue
+            v = ps[field]
+            if v.ndim == 1:
+                g = v.reshape(ps["ny"], ps["nx"]).astype(jnp.int32)
+            else:
+                g = v.astype(jnp.int32)
+            gu = _pad_to(_up(g, f), h4, w4, default)
+            out = jnp.where(m_, gu, out)
+        return out
+
+    def chan_mv(field, comp):
+        out = jnp.zeros((h4, w4), jnp.int32)
+        for s, m_, f in ((64, m64, 16), (32, m32, 8), (16, m16, 4),
+                         (8, m8, 2)):
+            ps = per_size[s]
+            if ps is None:
+                continue
+            g = ps[field][:, comp].reshape(ps["ny"], ps["nx"]) \
+                .astype(jnp.int32)
+            out = jnp.where(m_, _pad_to(_up(g, f), h4, w4, 0), out)
+        return out
+
+    def chan_cand(i):
+        out = jnp.full((h4, w4), -1, jnp.int32)
+        for s, m_, f in ((32, m32, 8), (16, m16, 4), (8, m8, 2)):
+            ps = per_size[s]
+            if ps is None:
+                continue
+            g = ps["icands"][:, i].reshape(ps["ny"], ps["nx"]) \
+                .astype(jnp.int32)
+            out = jnp.where(m_, _pad_to(_up(g, f), h4, w4, -1), out)
+        return out
+
+    kind = chan("kind", 0)
+    msrc = chan("msrc", 0)
+    dirv = chan("dir", 1)
+    skip = chan("skip", 0)
+    intra = chan("intra", 0)
+    if per_size[64] is not None:
+        # 64x64 CUs have no intra alternative in the plan
+        intra = jnp.where(m64, 0, intra)
+    imode = chan("imode", 0)
+    mv0x = chan_mv("mv0", 1)
+    mv0y = chan_mv("mv0", 0)
+    mv1x = chan_mv("mv1", 1)
+    mv1y = chan_mv("mv1", 0)
+    ref0 = chan("ref0", -1)
+    ref1 = chan("ref1", -1)
+    c0, c1, c2 = chan_cand(0), chan_cand(1), chan_cand(2)
+
+    flags = (cov.astype(jnp.int32) | (intra << 1) | (skip << 2))
+    return jnp.stack([
+        depth, flags, kind, msrc, dirv, mv0x, mv0y, mv1x, mv1y,
+        ref0, ref1, imode, c0, c1, c2,
+    ]).astype(jnp.int16)
+
+
+# ---------------------------------------------------------------------------
+# host interface
+# ---------------------------------------------------------------------------
+
+class InterPlan:
+    """Dense frame plan for a P/B frame.  Field names shared with
+    intra_rd.IntraPlan so the intra commit path works unchanged on the
+    plan's intra CUs."""
+
+    __slots__ = ("depth", "nxn", "mode", "cov", "tusplit", "cmode",
+                 "cands", "h4", "w4", "is_inter_plan", "pred_inter",
+                 "skip_hint", "kind", "msrc", "dir", "mv", "ref")
+
+    def __init__(self, h4, w4):
+        self.h4, self.w4 = h4, w4
+        self.is_inter_plan = True
+
+
+def fetch_plan(packed, h, w):
+    p = np.asarray(packed).astype(np.int32)
+    h4, w4 = h // 4, w // 4
+    plan = InterPlan(h4, w4)
+    plan.depth = p[0].astype(np.int8)
+    flags = p[1]
+    plan.cov = (flags & 1) != 0
+    plan.pred_inter = ((flags & 2) == 0) & plan.cov
+    plan.skip_hint = (flags & 4) != 0
+    plan.kind = p[2].astype(np.int8)
+    plan.msrc = p[3].astype(np.int8)
+    plan.dir = p[4].astype(np.int8)
+    plan.mv = np.stack([np.stack([p[5], p[6]], axis=-1),
+                        np.stack([p[7], p[8]], axis=-1)]).astype(np.int32)
+    plan.ref = np.stack([p[9], p[10]]).astype(np.int8)
+    plan.mode = p[11].astype(np.int8)
+    plan.cands = np.stack([p[12], p[13], p[14]], axis=-1).astype(np.int8)
+    plan.nxn = np.zeros((h4, w4), dtype=bool)
+    plan.tusplit = np.zeros((h4, w4), dtype=bool)
+    plan.cmode = np.full((h4, w4), 4, dtype=np.int8)
+    return plan
+
+
+def plan_frame(orig_y, sps, sh, rc, prev_mv8, lam, lam_sqrt, device):
+    """Dispatch + fetch the fused inter plan for one frame.
+    rc: mvpred.RefCtx with the frame's reference lists."""
+    h, w = sps.pic_height, sps.pic_width
+    bd = sps.bit_depth_luma
+    is_b = sh.slice_type == 0
+    uniq, keymap = [], {}
+    nlists = 2 if is_b else 1
+    for lx in range(nlists):
+        nref = min(sh.num_ref_idx[lx], len(rc.ref_lists[lx]))
+        for r_idx in range(nref):
+            ref = rc.ref_lists[lx][r_idx]
+            key = id(ref)
+            for j, (k2, _) in enumerate(uniq):
+                if k2 == key:
+                    keymap[(lx, r_idx)] = j
+                    break
+            else:
+                keymap[(lx, r_idx)] = len(uniq)
+                uniq.append((key, ref.rec[0]))
+    if not uniq:
+        return None
+    map0 = tuple(keymap[(0, i)] for i in range(len(
+        [k for k in keymap if k[0] == 0])))
+    map1 = tuple(keymap[(1, i)] for i in range(len(
+        [k for k in keymap if k[0] == 1]))) if is_b else ()
+    qp_luma = sh.qp + 6 * (bd - 8)
+    with jax.default_device(device):
+        refs = jnp.stack([jnp.asarray(p[:h, :w], jnp.int32)
+                          for _, p in uniq])
+        cur = jnp.asarray(orig_y[:h, :w], jnp.int32)
+        if prev_mv8 is None:
+            mvp8 = jnp.zeros((h // 8, w // 8, 2), jnp.int32)
+        else:
+            mvp8 = jnp.asarray(prev_mv8, jnp.int32)
+        packed = _plan_device(
+            cur, refs, mvp8, jnp.float32(lam), jnp.float32(lam_sqrt),
+            jnp.int32(qp_luma), h=h, w=w, bd=bd, is_b=is_b,
+            map0=map0, map1=map1, nmerge=sh.max_num_merge_cand)
+        try:
+            packed.copy_to_host_async()
+        except Exception:
+            pass
+    return fetch_plan(packed, h, w)

@@ -747,7 +747,20 @@ class Encoder:
             rc = RefCtx(sh, ref_lists)
             search.mvp = MvPredictor(pic, rc, 0)
             search.cenc.mvp = search.mvp
-            if cfg.rdo and not os.environ.get("HM16_NO_ME_PLAN"):
+            if cfg.rdo and not os.environ.get("HM16_NO_INTER_PLAN") \
+                    and not os.environ.get("HM16_EXACT_RD"):
+                # fused inter frame plan: ME + subpel + merge/AMVP/bi
+                # pricing + residual RD + quadtree DP in ONE device
+                # dispatch (inter_plan._plan_device); host commit maps
+                # onto exact candidate lists
+                from hm16_2_tpu.encode import inter_plan
+                from hm16_2_tpu.encode.intra_rd import _pick_device
+                search.plan = inter_plan.plan_frame(
+                    planes[0], sps, sh, rc, self._prev_mv8,
+                    float(search.lam), float(np.sqrt(search.lam)),
+                    _pick_device())
+            if search.plan is None and cfg.rdo and \
+                    not os.environ.get("HM16_NO_ME_PLAN"):
                 # frame-batched +-64 integer ME on the accelerator (one
                 # dispatch for all refs x CU sizes); prior = previous
                 # frame's motion field
@@ -770,7 +783,8 @@ class Encoder:
                                 sps.pic_height, sps.pic_width,
                                 cfg.aq_strength)
         start_ts = 0
-        if search.plan is not None and aq_off is None:
+        if search.plan is not None and aq_off is None and \
+                sh.slice_type == I_SLICE:
             cctx = search._commit_ctx()
             if cctx is not None:
                 import ctypes
@@ -1344,12 +1358,20 @@ class CtuSearch:
         depth = pic.log2_ctb - log2
         covered = inside and bool(plan.cov[py, px])
         if covered and int(plan.depth[py, px]) == depth:
-            if log2 == 3 and plan.nxn[py, px]:
+            if getattr(plan, "is_inter_plan", False) and \
+                    plan.pred_inter[py, px]:
+                if self._commit_planned_inter(px, py, log2):
+                    return
+                # infeasible planned motion: fall back to local search
+                if self._encode_cu(px, py, log2):
+                    return
+            elif log2 == 3 and plan.nxn[py, px]:
                 self._commit_nxn(px, py)
+                return
             else:
                 self._commit_cu(px, py, log2, int(plan.mode[py, px]),
                                 tusplit=bool(plan.tusplit[py, px]))
-            return
+                return
         if inside and not covered:
             # boundary-adjacent area the batched plan skipped: local search
             if log2 <= sps.log2_max_tb and self._encode_cu(px, py, log2):
@@ -1362,6 +1384,113 @@ class CtuSearch:
         for sub in range(4):
             self._commit_plan_tree(px + (sub & 1) * half,
                                    py + (sub >> 1) * half, log2 - 1)
+
+    def _commit_planned_inter(self, px, py, log2) -> bool:
+        """Commit one inter CU decided by the fused frame plan
+        (encode/inter_plan.py): map the planned motion onto the EXACT
+        merge/AMVP candidate lists derived from committed neighbors, then
+        run normative MC + residual coding.  Returns False when the
+        planned motion cannot be signalled (caller falls back)."""
+        pic, sh, plan = self.pic, self.sh, self.plan
+        rc = self.mvp.rc
+        size = 1 << log2
+        x0, y0 = px * 4, py * 4
+        n = size // 4
+        sl = np.s_[py:py + n, px:px + n]
+        kind = int(plan.kind[py, px])
+        dirv = int(plan.dir[py, px])
+        skip_hint = bool(plan.skip_hint[py, px])
+        mv = [(int(plan.mv[lx, py, px, 0]), int(plan.mv[lx, py, px, 1]))
+              for lx in range(2)]                       # (x, y) q-pel
+        active = [lx for lx in range(2) if (dirv >> lx) & 1]
+        prefs = []
+        for lx in active:
+            r = int(plan.ref[lx, py, px])
+            if r < 0 or r >= min(sh.num_ref_idx[lx],
+                                 len(rc.ref_lists[lx])):
+                return False
+            prefs.append(r)
+
+        pic.depth[sl] = pic.log2_ctb - log2
+        pic.part_size[sl] = SIZE_2Nx2N
+        pic.pred_mode[sl] = MODE_INTER
+        pic.qp[sl] = self.cur_qp
+        pic.coded[sl] = True
+        pic.tr_idx[sl] = 0
+        pic.merge_flag[sl] = 0
+        pic.intra_luma[sl] = 0
+        for lx in range(2):
+            pic.ref_idx[lx][sl] = -1
+            pic.mv[lx][sl] = 0
+            pic.mvd[lx][sl] = 0
+            pic.ref_poc[lx][sl] = -(10 ** 9)
+
+        if kind == 0:
+            # planned merge: find the exact candidate carrying the planned
+            # motion; if the approximate plan-side list diverged, re-rank
+            # the exact candidates by SATD (merge repair) so skip density
+            # survives the approximation
+            cands = self.mvp.merge_candidates(
+                x0, y0, size, size, 0, SIZE_2Nx2N, px, py)
+            cands = cands[:sh.max_num_merge_cand]
+            m_idx = None
+            for i, (cd, m0, m1) in enumerate(cands):
+                if cd != dirv:
+                    continue
+                ok = True
+                for j, lx in enumerate(active):
+                    m = (m0, m1)[lx]
+                    if m[0] != prefs[j] or tuple(m[1]) != mv[lx]:
+                        ok = False
+                        break
+                if ok:
+                    m_idx = i
+                    break
+            if m_idx is None:
+                lam_s = np.sqrt(self.lam)
+                orig = self.orig[0][y0:y0 + size,
+                                    x0:x0 + size].astype(np.int64)
+                best = None
+                for i, cand in enumerate(cands):
+                    pred = self._mc_luma_cand(x0, y0, size, cand)
+                    if pred is None:
+                        continue
+                    c = satd_block(orig - pred) + lam_s * (i + 1)
+                    if best is None or c < best[0]:
+                        best = (c, i)
+                if best is None:
+                    return False
+                m_idx = best[1]
+            cd, m0, m1 = cands[m_idx]
+            pic.merge_flag[sl] = 1
+            pic.mvp_idx[0][sl] = m_idx
+            pic.inter_dir[sl] = cd
+            for lx, m in ((0, m0), (1, m1)):
+                if not ((cd >> lx) & 1):
+                    continue
+                r_idx, mvc = m
+                pic.ref_idx[lx][sl] = r_idx
+                pic.mv[lx][sl] = mvc
+                pic.ref_poc[lx][sl] = rc.ref_poc(lx, r_idx)
+            return self._inter_residual_commit(px, py, log2, True,
+                                               skip_hint)
+
+        # AMVP-signalled uni / bi
+        pic.inter_dir[sl] = dirv
+        for j, lx in enumerate(active):
+            r_idx = prefs[j]
+            amvp = self.mvp.amvp_candidates(x0, y0, size, size, lx, r_idx)
+            mvq = mv[lx]
+            db = sorted((self._mvd_bits((mvq[0] - amvp[k][0],
+                                         mvq[1] - amvp[k][1])), k)
+                        for k in range(2))
+            k = db[0][1]
+            pic.ref_idx[lx][sl] = r_idx
+            pic.mv[lx][sl] = mvq
+            pic.mvd[lx][sl] = (mvq[0] - amvp[k][0], mvq[1] - amvp[k][1])
+            pic.mvp_idx[lx][sl] = k
+            pic.ref_poc[lx][sl] = rc.ref_poc(lx, r_idx)
+        return self._inter_residual_commit(px, py, log2, False, skip_hint)
 
     def _mark_cu_fields(self, px, py, log2, part_size):
         pic = self.pic
@@ -1506,6 +1635,9 @@ class CtuSearch:
               # the native engine quantizes with the fixed slice QP; with
               # cu_qp_delta (AQ / CTU-level RC) the per-CTU QP must win
               and not pps.cu_qp_delta_enabled
+              # the native walk is the INTRA plan commit; inter plans
+              # commit through _commit_planned_inter on the host
+              and self.sh.slice_type == I_SLICE
               and not os.environ.get("HM16_NO_COMMIT_ENGINE"))
         if not ok:
             self._cctx = False
@@ -1979,10 +2111,36 @@ class CtuSearch:
                 pic.ref_poc[lx][sl] = rc.ref_poc(lx, r_idx)
         if inter_dir is not None:
             pic.inter_dir[sl] = inter_dir
+        return self._inter_residual_commit(px, py, log2, kind == "merge")
+
+    def _inter_residual_commit(self, px, py, log2, is_merge,
+                               skip_hint=False):
+        """MC + residual coding + zero-residual RD for an inter CU whose
+        motion fields are already committed.  skip_hint: the frame plan
+        decided the zero-residual alternative wins — commit it directly
+        (no transform trial)."""
+        pic, sh = self.pic, self.sh
+        size = 1 << log2
+        x0, y0 = px * 4, py * 4
+        n = size // 4
+        sl = np.s_[py:py + n, px:px + n]
 
         # exact prediction through the shared decoder MC path (incl.
         # bi averaging and identical-motion collapse)
         preds = self.cenc.inter_pred_cu(px, py, log2)
+        if skip_hint:
+            for comp in range(pic.num_comps):
+                sx, sy = pic.comp_shift[comp]
+                cx0, cy0 = x0 >> sx, y0 >> sy
+                cs = size >> sx
+                bdc = self.bit_depth[comp]
+                pic.coeff[comp][cy0:cy0 + cs, cx0:cx0 + cs] = 0
+                pic.rec[comp][cy0:cy0 + cs, cx0:cx0 + cs] = np.clip(
+                    preds[comp], 0, (1 << bdc) - 1)
+                pic.cbf[comp][sl] = 0
+            pic.tr_idx[sl] = 0
+            pic.skip[sl] = 1 if is_merge else 0
+            return True
 
         # residual per component (TU == CU; CUs above the max TB size are
         # only usable with an all-zero residual: skip / root-cbf-0)
@@ -2102,7 +2260,7 @@ class CtuSearch:
                 pic.tr_idx[sl] = 0
                 any_cbf = 0
 
-        pic.skip[sl] = 1 if (kind == "merge" and not any_cbf) else 0
+        pic.skip[sl] = 1 if (is_merge and not any_cbf) else 0
         return True
 
     def _try_inter_tusplit(self, px, py, log2, preds):

@@ -366,11 +366,14 @@ def test_encode_444_transform_skip(tmp_path):
 
 
 @pytest.mark.skipif(not os.path.exists(HM_DEC), reason="reference decoder absent")
-def test_amp_partitions(tmp_path):
+def test_amp_partitions(tmp_path, monkeypatch):
     """AMP (2NxnU/2NxnD/nLx2N/nRx2N) inter partitions: the fast-AMP trial
     (deriveTestModeAMP, TEncCu.cpp:1676-1712) picks asymmetric PUs on an
     off-center two-band motion scene, the part_mode AMP suffix (9.3.3.6)
-    round-trips in our decoder, and the reference decoder verifies."""
+    round-trips in our decoder, and the reference decoder verifies.
+    Pinned to the per-CU search path: the fused inter frame plan
+    (inter_plan.py) decides 2Nx2N/partitions on its own grid."""
+    monkeypatch.setenv("HM16_NO_INTER_PLAN", "1")
     from collections import Counter
     from hm16_2_tpu.encode import top as enctop
 

@@ -195,19 +195,21 @@ def _int_me_grids(cur, refs, mvp8, lam_sqrt, h, w):
                     rp, (by + c[0] + P - REFINE_R, bx + c[1] + P - REFINE_R),
                     (s + 2 * REFINE_R, s + 2 * REFINE_R))
 
-            wins = jax.vmap(one)(ys, xs, centers)
+            wins = jax.vmap(one)(ys, xs, centers)     # (N, s+2r, s+2r)
 
-            def eval_offs(win, blk):
-                def at(o):
-                    sub = jax.lax.dynamic_slice(
-                        win, (o[0] + REFINE_R, o[1] + REFINE_R), (s, s))
-                    dd = (blk - sub).astype(jnp.int32)
+            # static slicing over the gathered windows: one gather per
+            # block, the 49 offsets are compile-time slices (no serial
+            # per-offset gather chain on the VPU)
+            cols = []
+            for dy in range(2 * REFINE_R + 1):
+                for dx in range(2 * REFINE_R + 1):
+                    sub = wins[:, dy:dy + s, dx:dx + s]
+                    dd = (blocks - sub).astype(jnp.int32)
                     sq = dd * dd
                     if s == 64:
                         sq = sq >> 2
-                    return sq.sum().astype(jnp.float32)
-                return jax.vmap(at)(roffs)
-            return jax.vmap(eval_offs)(wins, blocks)          # (N, 49)
+                    cols.append(sq.sum(axis=(-1, -2)).astype(jnp.float32))
+            return jnp.stack(cols, axis=1)                    # (N, 49)
 
         mvs = []
         for r_idx in range(R):
@@ -278,43 +280,60 @@ def _subpel_planes(refs, bd: int, h: int, w: int):
     return jnp.stack(planes, axis=1)
 
 
-def _gather_pred(sub_r, ys, xs, mv4, s: int):
-    """Predicted blocks for per-block quarter MVs.  sub_r: (16, Hp, Wp)
-    int16 planes of ONE reference; ys/xs: (N,) block origins; mv4: (N, 2)
-    quarter-pel (dy, dx).  Returns (N, s, s) int32."""
+def _gather_pred(suball, ys, xs, mv4, uref, s: int):
+    """Predicted blocks for per-block quarter MVs.  suball: (R*16, Hp, Wp)
+    int16 phase planes of ALL references stacked; uref: (N,) unique-ref
+    index per block; mv4: (N, 2) quarter-pel (dy, dx); one gather per
+    block.  Returns (N, s, s) int32."""
     M = MARGIN
 
-    def one(y, x, mv):
-        ph = (mv[0] & 3) * 4 + (mv[1] & 3)
+    def one(y, x, mv, r):
+        ph = r * 16 + (mv[0] & 3) * 4 + (mv[1] & 3)
         iy = y + (mv[0] >> 2) + M
         ix = x + (mv[1] >> 2) + M
-        return jax.lax.dynamic_slice(sub_r, (ph, iy, ix), (1, s, s))[0]
+        return jax.lax.dynamic_slice(suball, (ph, iy, ix), (1, s, s))[0]
 
-    return jax.vmap(one)(ys, xs, mv4).astype(jnp.int32)
+    return jax.vmap(one)(ys, xs, mv4, uref).astype(jnp.int32)
+
+
+# quarter offsets covered by the fractional refinement, (dy, dx) in -3..3
+_QOFFS = [(dy, dx) for dy in range(-3, 4) for dx in range(-3, 4)]
 
 
 def _frac_refine(sub_r, blocks, ys, xs, mv_int, pred4, lam_sqrt, s: int):
-    """Half- then quarter-pel diamond SATD refinement around the integer
-    MV (xPatternSearchFracDIF's two-stage scheme as dense gathers).
-    Returns (mv4 (N,2), satd (N,))."""
-    offs = jnp.asarray([(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
-                       dtype=jnp.int32)
+    """Quarter-pel SATD refinement over the full +-3 quarter window
+    around the integer MV (superset of xPatternSearchFracDIF's half+
+    quarter diamonds).  ONE (16, s+2, s+2) gather per block; the 49
+    offsets are static slices of the window.  Returns (mv4 (N,2),
+    satd (N,))."""
+    M = MARGIN
 
-    def stage(center, step):
-        def at(o):
-            mv = center + step * o[None]
-            pred = _gather_pred(sub_r, ys, xs, mv, s)
-            satd = analysis.batched_satd(blocks - pred).astype(jnp.float32)
-            bits = _mvd_bits_j(mv[:, 1] - pred4[:, 1], mv[:, 0] - pred4[:, 0])
-            return satd + lam_sqrt * bits, satd
-        costs, satds = jax.vmap(at)(offs)          # (9, N)
-        k = jnp.argmin(costs, axis=0)
-        best_mv = center + step * offs[k]
-        return best_mv, jnp.take_along_axis(satds, k[None], axis=0)[0]
+    def one(y, x, mv):
+        # window covering integer offsets {iv-1, iv} on both axes for all
+        # 16 phase planes
+        return jax.lax.dynamic_slice(
+            sub_r, (0, y + mv[0] - 1 + M, x + mv[1] - 1 + M),
+            (16, s + 2, s + 2))
 
-    mv_h, _ = stage(4 * mv_int, 2)
-    mv_q, satd = stage(mv_h, 1)
-    return mv_q, satd
+    wins = jax.vmap(one)(ys, xs, mv_int)          # (N, 16, s+2, s+2)
+
+    preds, bits = [], []
+    for (qy, qx) in _QOFFS:
+        ph = (qy & 3) * 4 + (qx & 3)
+        oy = 1 + (qy >> 2)
+        ox = 1 + (qx >> 2)
+        preds.append(wins[:, ph, oy:oy + s, ox:ox + s])
+        mv4y = 4 * mv_int[:, 0] + qy
+        mv4x = 4 * mv_int[:, 1] + qx
+        bits.append(_mvd_bits_j(mv4x - pred4[:, 1], mv4y - pred4[:, 0]))
+    pred = jnp.stack(preds, axis=1).astype(jnp.int32)   # (N, 49, s, s)
+    satd = analysis.batched_satd(
+        blocks[:, None] - pred).astype(jnp.float32)      # (N, 49)
+    cost = satd + lam_sqrt * jnp.stack(bits, axis=1)
+    k = jnp.argmin(cost, axis=1)
+    qoffs = jnp.asarray(_QOFFS, jnp.int32)
+    mv4 = 4 * mv_int + qoffs[k]
+    return mv4, jnp.take_along_axis(satd, k[:, None], axis=1)[:, 0]
 
 
 # ---------------------------------------------------------------------------
@@ -337,9 +356,14 @@ def _plan_device(cur, refs, mvp8, lam, lam_sqrt, qp, *, h: int, w: int,
     Returns a packed (16, h4, w4) int16 plan tensor."""
     lamf = lam.astype(jnp.float32)
     lams = lam_sqrt.astype(jnp.float32)
+    # the TMVP prior comes from an unbounded motion field; keep every MV
+    # the plan can evaluate inside the subpel-plane margin
+    mv_cap = MARGIN - REFINE_R - 8
+    mvp8 = jnp.clip(mvp8, -mv_cap, mv_cap)
     mv_int = _int_me_grids(cur, refs, mvp8, lams, h, w)
     sub = _subpel_planes(refs, bd, h, w)
     R = refs.shape[0]
+    suball = sub.reshape((R * 16,) + sub.shape[2:])
     lists = [map0, map1] if is_b else [map0]
 
     per_size = {}
@@ -395,13 +419,10 @@ def _plan_device(cur, refs, mvp8, lam, lam_sqrt, qp, *, h: int, w: int,
             }
 
         # per-block predicted blocks for the per-list winners (for bi and
-        # the residual trial) — gather per unique ref, select by winner
+        # the residual trial) — one phase-plane gather per block
         def pred_of(entry):
-            preds = jnp.stack([
-                _gather_pred(sub[r], ys, xs, entry["mv"], s)
-                for r in range(R)])                      # (R, N, s, s)
-            return jnp.take_along_axis(
-                preds, entry["uref"][None, :, None, None], axis=0)[0]
+            return _gather_pred(suball, ys, xs, entry["mv"],
+                                entry["uref"], s)
 
         for lx in uni:
             uni[lx]["pred"] = pred_of(uni[lx])

@@ -1385,6 +1385,101 @@ class CtuSearch:
             self._commit_plan_tree(px + (sub & 1) * half,
                                    py + (sub >> 1) * half, log2 - 1)
 
+    def _inter_ctx(self):
+        """ctypes InterCtx for the native inter-commit engine, or None
+        when its preconditions don't hold (WP, non-4:2:0 chroma,
+        cu_qp_delta, >8 refs)."""
+        ic = getattr(self, "_ictx", None)
+        if ic is not False and ic is not None:
+            return ic
+        if ic is False:
+            return None
+        import ctypes
+        import os
+
+        from hm16_2_tpu import native
+        pic, sps, pps, sh = self.pic, self.sps, self.pps, self.sh
+        lib = native.get_dsp()
+        rc = self.mvp.rc if getattr(self, "mvp", None) is not None else None
+        wp_active = (sh.slice_type == P_SLICE and pps.weighted_pred) or \
+            (sh.slice_type == B_SLICE and pps.weighted_bipred)
+        ok = (lib is not None and self.rdoq and rc is not None
+              and sps.chroma_format_idc in (0, 1)
+              and not wp_active
+              and not pps.cu_qp_delta_enabled
+              and all(len(l) <= 8 for l in rc.ref_lists)
+              and not os.environ.get("HM16_NO_COMMIT_ENGINE"))
+        if not ok:
+            self._ictx = False
+            return None
+        I = native.InterCtx()
+        I.pic_w, I.pic_h = pic.w, pic.h
+        I.parts_w = pic.pw
+        I.num_comps = pic.num_comps
+        I.chroma_fmt = sps.chroma_format_idc
+        I.max_tb_log2 = sps.log2_max_tb
+        I.try_tusplit = 1
+        I.allow_collapse = 1 if (sh.slice_type == B_SLICE
+                                 and not pps.weighted_bipred) else 0
+        I.lam = float(self.lam)
+        I.chroma_weight = float(self.chroma_weight)
+        for c in range(pic.num_comps):
+            I.bd[c] = self.bit_depth[c]
+        qpy = self.sh.qp
+        I.qp_comp[0] = qpy + 6 * (sps.bit_depth_luma - 8)
+        if pic.num_comps > 1:
+            from hm16_2_tpu.common.tables import CHROMA_QP_SCALE
+            bd_off = 6 * (sps.bit_depth_chroma - 8)
+            for comp in (1, 2):
+                off = (pps.cb_qp_offset + sh.cb_qp_offset) if comp == 1 \
+                    else (pps.cr_qp_offset + sh.cr_qp_offset)
+                base = int(np.clip(qpy + off, -bd_off, 57))
+                I.qp_comp[comp] = base + bd_off if base < 0 else \
+                    int(CHROMA_QP_SCALE[sps.chroma_format_idc][base]) + bd_off
+        for c in range(pic.num_comps):
+            orig = self.orig[c]
+            if orig.dtype != np.int32 or not orig.flags.c_contiguous:
+                orig = np.ascontiguousarray(orig, dtype=np.int32)
+                self.orig[c] = orig
+            I.orig_p[c] = orig.ctypes.data
+            I.rec_p[c] = pic.rec[c].ctypes.data
+            I.coeff_p[c] = pic.coeff[c].ctypes.data
+            I.orig_stride[c] = orig.shape[1]
+            I.plane_stride[c] = pic.rec[c].shape[1]
+        I.mv = pic.mv.ctypes.data
+        I.mv_list_stride = pic.mv.shape[1] * pic.mv.shape[2] * 2
+        I.ref_idx = pic.ref_idx.ctypes.data
+        I.ri_list_stride = pic.ref_idx.shape[1] * pic.ref_idx.shape[2]
+        I.inter_dir = pic.inter_dir.ctypes.data
+        I.skip = pic.skip.ctypes.data
+        I.merge_flag = pic.merge_flag.ctypes.data
+        I.tr_idx = pic.tr_idx.ctypes.data
+        for c in range(3):
+            I.cbf[c] = pic.cbf[c].ctypes.data
+        for lx in range(2):
+            lst = rc.ref_lists[lx] if lx < len(rc.ref_lists) else []
+            I.n_ref[lx] = len(lst)
+            for ri, ref in enumerate(lst):
+                I.ref_poc[lx * 8 + ri] = ref.poc
+                for c in range(pic.num_comps):
+                    plane = ref.rec[c]
+                    idx = (lx * 8 + ri) * 3 + c
+                    I.ref_pix[idx] = plane.ctypes.data
+                    I.ref_stride[idx] = plane.strides[0] // 4
+                    I.ref_h[idx] = plane.shape[0]
+                    I.ref_w[idx] = plane.shape[1]
+        for chan, comp in ((0, 0), (1, 1)):
+            if comp >= pic.num_comps:
+                break
+            sizes = (4, 8, 16, 32) if chan == 0 else (4, 8, 16)
+            for s in sizes:
+                log2n = s.bit_length() - 1
+                self._rdoq_blob(comp, s, 0, I.qp_comp[comp])
+                blob = self._rdoq_blobs[(chan, s, 0, I.qp_comp[comp])][1]
+                I.blobs[chan * 6 + log2n] = ctypes.addressof(blob)
+        self._ictx = I
+        return I
+
     def _commit_planned_inter(self, px, py, log2) -> bool:
         """Commit one inter CU decided by the fused frame plan
         (encode/inter_plan.py): map the planned motion onto the EXACT
@@ -1472,8 +1567,8 @@ class CtuSearch:
                 pic.ref_idx[lx][sl] = r_idx
                 pic.mv[lx][sl] = mvc
                 pic.ref_poc[lx][sl] = rc.ref_poc(lx, r_idx)
-            return self._inter_residual_commit(px, py, log2, True,
-                                               skip_hint)
+            return self._commit_inter_residual_fast(px, py, log2, True,
+                                                    skip_hint)
 
         # AMVP-signalled uni / bi
         pic.inter_dir[sl] = dirv
@@ -1490,7 +1585,24 @@ class CtuSearch:
             pic.mvd[lx][sl] = (mvq[0] - amvp[k][0], mvq[1] - amvp[k][1])
             pic.mvp_idx[lx][sl] = k
             pic.ref_poc[lx][sl] = rc.ref_poc(lx, r_idx)
-        return self._inter_residual_commit(px, py, log2, False, skip_hint)
+        return self._commit_inter_residual_fast(px, py, log2, False,
+                                                skip_hint)
+
+    def _commit_inter_residual_fast(self, px, py, log2, is_merge,
+                                    skip_hint):
+        """Native inter CU commit (dsp_core inter_commit_cu) with the
+        Python _inter_residual_commit as fallback."""
+        ic = self._inter_ctx()
+        if ic is not None:
+            import ctypes
+
+            from hm16_2_tpu import native
+            if native.get_dsp().inter_commit_cu(
+                    ctypes.byref(ic), px, py, log2, int(skip_hint),
+                    int(is_merge)) == 0:
+                return True
+        return self._inter_residual_commit(px, py, log2, is_merge,
+                                           skip_hint)
 
     def _mark_cu_fields(self, px, py, log2, part_size):
         pic = self.pic

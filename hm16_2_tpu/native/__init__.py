@@ -72,6 +72,42 @@ class RdoqBlob(ctypes.Structure):
                 ("scan_cg", ctypes.c_void_p)]
 
 
+class InterCtx(ctypes.Structure):
+    """Mirror of dsp_core InterCtx (native inter CU commit)."""
+    _fields_ = [("pic_w", ctypes.c_int32), ("pic_h", ctypes.c_int32),
+                ("parts_w", ctypes.c_int32),
+                ("num_comps", ctypes.c_int32),
+                ("chroma_fmt", ctypes.c_int32),
+                ("max_tb_log2", ctypes.c_int32),
+                ("try_tusplit", ctypes.c_int32),
+                ("allow_collapse", ctypes.c_int32),
+                ("bd", ctypes.c_int32 * 3),
+                ("qp_comp", ctypes.c_int32 * 3),
+                ("lam", ctypes.c_double),
+                ("chroma_weight", ctypes.c_double),
+                ("orig_p", ctypes.c_void_p * 3),
+                ("rec_p", ctypes.c_void_p * 3),
+                ("coeff_p", ctypes.c_void_p * 3),
+                ("orig_stride", ctypes.c_int64 * 3),
+                ("plane_stride", ctypes.c_int64 * 3),
+                ("mv", ctypes.c_void_p),
+                ("mv_list_stride", ctypes.c_int64),
+                ("ref_idx", ctypes.c_void_p),
+                ("ri_list_stride", ctypes.c_int64),
+                ("inter_dir", ctypes.c_void_p),
+                ("skip", ctypes.c_void_p),
+                ("merge_flag", ctypes.c_void_p),
+                ("tr_idx", ctypes.c_void_p),
+                ("cbf", ctypes.c_void_p * 3),
+                ("ref_pix", ctypes.c_void_p * 48),
+                ("ref_stride", ctypes.c_int64 * 48),
+                ("ref_w", ctypes.c_int32 * 48),
+                ("ref_h", ctypes.c_int32 * 48),
+                ("ref_poc", ctypes.c_int32 * 16),
+                ("n_ref", ctypes.c_int32 * 2),
+                ("blobs", ctypes.c_void_p * 12)]
+
+
 class CommitCtx(ctypes.Structure):
     """Mirror of dsp_core CommitCtx (native plan-commit engine)."""
     _fields_ = [("pic_w", ctypes.c_int32), ("pic_h", ctypes.c_int32),
@@ -284,6 +320,16 @@ def get_dsp():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
         ctypes.c_int]
+    lib.inter_commit_cu.argtypes = [
+        ctypes.POINTER(InterCtx), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.inter_commit_cu.restype = ctypes.c_int
+    lib.mc_block_native.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
+    lib.mc_block_native.restype = ctypes.c_int
     lib.set_intra_tables.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     from hm16_2_tpu.common.tables import ANG_TABLE, INV_ANG_TABLE
     global _intra_tables_keepalive

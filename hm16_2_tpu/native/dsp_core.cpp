@@ -1629,3 +1629,492 @@ void deblock_chroma_edges(int32_t *rec, int64_t stride, int n,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Motion-compensation interpolation (ops/interp_ref.mc_block twin; spec
+// 8.5.4.2.2, HM TComInterpolationFilter.cpp:94-383).  Border replication
+// equals the reference's extended picture margins.  Single block, both
+// separable stages, exact shift/offset/clip semantics of _filter_1d /
+// _copy_stage (IF_INTERNAL_PREC=14, IF_FILTER_PREC=6).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+static const int kLumaTaps[4][8] = {
+    {0, 0, 0, 64, 0, 0, 0, 0},
+    {-1, 4, -10, 58, 17, -5, 1, 0},
+    {-1, 4, -11, 40, 40, -11, 4, -1},
+    {0, 1, -5, 17, 58, -10, 4, -1}};
+static const int kChromaTaps[8][4] = {
+    {0, 64, 0, 0},  {-2, 58, 10, -2}, {-4, 54, 16, -2}, {-6, 46, 28, -4},
+    {-4, 36, 36, -4}, {-4, 28, 46, -6}, {-2, 16, 54, -4}, {-2, 10, 58, -2}};
+
+static inline int mc_clampi(int v, int lo, int hi) {
+  return v < lo ? lo : (v > hi ? hi : v);
+}
+
+}  // namespace
+
+extern "C" int mc_block_native(const int32_t *ref, int64_t stride, int ph,
+                               int pw, int x0, int y0, int w, int h,
+                               int mv_x, int mv_y, int frac_bits_x,
+                               int frac_bits_y, int is_luma, int bd,
+                               int keep_precision, int32_t *out) {
+  const int n = is_luma ? 8 : 4;
+  const int half = n / 2 - 1;
+  const int ix = x0 + (mv_x >> frac_bits_x);
+  const int iy = y0 + (mv_y >> frac_bits_y);
+  const int fx = mv_x & ((1 << frac_bits_x) - 1);
+  const int fy = mv_y & ((1 << frac_bits_y) - 1);
+  const int tx = is_luma ? fx : fx << (3 - frac_bits_x);
+  const int ty = is_luma ? fy : fy << (3 - frac_bits_y);
+  const int *tapx = is_luma ? kLumaTaps[tx] : kChromaTaps[tx];
+  const int *tapy = is_luma ? kLumaTaps[ty] : kChromaTaps[ty];
+  const int hr = (14 - bd) > 2 ? (14 - bd) : 2;
+  const int OFFS = 1 << 13;
+  const int maxv = (1 << bd) - 1;
+  const bool last = !keep_precision;
+
+  // clamped source fetch
+  auto src = [&](int r, int c) -> int64_t {
+    int rr = mc_clampi(r, 0, ph - 1);
+    int cc = mc_clampi(c, 0, pw - 1);
+    return ref[(int64_t)rr * stride + cc];
+  };
+
+  if (fy == 0 && fx == 0) {
+    for (int r = 0; r < h; r++)
+      for (int c = 0; c < w; c++) {
+        int64_t v = src(iy + r, ix + c);
+        out[r * w + c] =
+            last ? (int32_t)v : (int32_t)((v << hr) - OFFS);
+      }
+    return 0;
+  }
+  if (fy == 0) {  // horizontal only: is_first, is_last=last
+    int shift = last ? 6 : 6 - hr;
+    for (int r = 0; r < h; r++)
+      for (int c = 0; c < w; c++) {
+        int64_t acc = 0;
+        for (int k = 0; k < n; k++)
+          acc += (int64_t)tapx[k] * src(iy + r, ix + c - half + k);
+        int64_t off = last ? (int64_t)1 << (shift - 1)
+                           : -((int64_t)OFFS << shift);
+        int64_t v = (acc + off) >> shift;
+        if (last) v = mc_clampi((int)v, 0, maxv);
+        out[r * w + c] = (int32_t)v;
+      }
+    return 0;
+  }
+  if (fx == 0) {  // vertical only: is_first, is_last=last
+    int shift = last ? 6 : 6 - hr;
+    for (int r = 0; r < h; r++)
+      for (int c = 0; c < w; c++) {
+        int64_t acc = 0;
+        for (int k = 0; k < n; k++)
+          acc += (int64_t)tapy[k] * src(iy + r - half + k, ix + c);
+        int64_t off = last ? (int64_t)1 << (shift - 1)
+                           : -((int64_t)OFFS << shift);
+        int64_t v = (acc + off) >> shift;
+        if (last) v = mc_clampi((int)v, 0, maxv);
+        out[r * w + c] = (int32_t)v;
+      }
+    return 0;
+  }
+  // two-stage: horizontal (is_first, not last) into tmp, then vertical
+  // (not first, is_last=last)
+  const int rows = h + n - 1;
+  const int sh1 = 6 - hr;
+  static thread_local int64_t tmp_buf[(64 + 8) * 64];
+  int64_t *tmp = tmp_buf;
+  bool heap = (int64_t)rows * w > (int64_t)(64 + 8) * 64;
+  if (heap) tmp = new int64_t[(size_t)rows * w];
+  for (int r = 0; r < rows; r++)
+    for (int c = 0; c < w; c++) {
+      int64_t acc = 0;
+      for (int k = 0; k < n; k++)
+        acc += (int64_t)tapx[k] * src(iy + r - half, ix + c - half + k);
+      tmp[r * w + c] = (acc - ((int64_t)OFFS << sh1)) >> sh1;
+    }
+  int shift = last ? 6 + hr : 6;
+  for (int r = 0; r < h; r++)
+    for (int c = 0; c < w; c++) {
+      int64_t acc = 0;
+      for (int k = 0; k < n; k++)
+        acc += (int64_t)tapy[k] * tmp[(r + k) * w + c];
+      int64_t v;
+      if (last) {
+        v = (acc + ((int64_t)1 << (shift - 1)) + ((int64_t)OFFS << 6))
+            >> shift;
+        v = mc_clampi((int)v, 0, maxv);
+      } else {
+        v = acc >> shift;
+      }
+      out[r * w + c] = (int32_t)v;
+    }
+  if (heap) delete[] tmp;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Native inter CU commit (CtuSearch._inter_residual_commit twin): MC from
+// the committed motion fields (incl. bi averaging and the identical-motion
+// collapse), residual coding per component via code_tu (RDOQ), the
+// zero-residual (skip / root-cbf-0) RD decision, and the one-level TU
+// split trial.  Reference semantics: TEncSearch::encodeResAndCalcRdInterCU
+// (TEncSearch.cpp:4435) and xEstimateResidualQT (:4680), re-expressed as
+// a plan-driven single pass (no recursive trials).
+// Python keeps merge/AMVP signalling and the field writes; weighted
+// prediction and non-4:2:0 chroma fall back to the Python path.
+// ---------------------------------------------------------------------------
+
+struct InterCtx {
+  int32_t pic_w, pic_h;
+  int32_t parts_w;
+  int32_t num_comps, chroma_fmt;
+  int32_t max_tb_log2;
+  int32_t try_tusplit;
+  int32_t allow_collapse;      // B-slice && !weighted_bipred
+  int32_t bd[3], qp_comp[3];
+  double lam, chroma_weight;
+  // planes
+  const int32_t *orig_p[3];
+  int32_t *rec_p[3];
+  int32_t *coeff_p[3];
+  int64_t orig_stride[3];
+  int64_t plane_stride[3];
+  // part-grid arrays (row stride parts_w)
+  const int32_t *mv;           // (2, PH, PW, 2) int32
+  int64_t mv_list_stride;      // elements between lists
+  const int8_t *ref_idx;       // (2, PH, PW)
+  int64_t ri_list_stride;
+  const int8_t *inter_dir;
+  int8_t *skip;
+  const int8_t *merge_flag;
+  int8_t *tr_idx;
+  uint8_t *cbf[3];
+  // reference planes [lx][ridx][comp]
+  const int32_t *ref_pix[2][8][3];
+  int64_t ref_stride[2][8][3];
+  int32_t ref_w[2][8][3], ref_h[2][8][3];
+  int32_t ref_poc[2][8];
+  int32_t n_ref[2];
+  // RDOQ blobs per [chan][log2n] (scan 0; inter has no MDCS)
+  const RdoqBlob *blobs[2][6];
+};
+
+extern "C" int mc_block_native(const int32_t *, int64_t, int, int, int, int,
+                               int, int, int, int, int, int, int, int, int,
+                               int32_t *);
+
+namespace {
+
+// one component of the CU prediction into out (size_c x size_c)
+static int ic_pred_comp(const InterCtx *I, int px, int py, int log2,
+                        int comp, int32_t *out) {
+  int sx = comp ? 1 : 0, sy = comp ? 1 : 0;   // chroma_fmt 1 only
+  int x0 = (px * 4), y0 = (py * 4);
+  int w = 1 << log2, h = 1 << log2;
+  int part = py * I->parts_w + px;
+  int dir = I->inter_dir[part];
+  if (dir < 1 || dir > 3) return -1;
+  int bi = dir == 3;
+  int r[2] = {-1, -1};
+  const int32_t *mvp[2] = {nullptr, nullptr};
+  for (int lx = 0; lx < 2; lx++) {
+    if (!((dir >> lx) & 1)) continue;
+    r[lx] = I->ref_idx[lx * I->ri_list_stride + part];
+    if (r[lx] < 0 || r[lx] >= I->n_ref[lx]) return -1;
+    mvp[lx] = I->mv + (lx * I->mv_list_stride + part * 2);
+  }
+  if (bi && I->allow_collapse) {
+    // xCheckIdenticalMotion
+    if (I->ref_poc[0][r[0]] == I->ref_poc[1][r[1]] &&
+        mvp[0][0] == mvp[1][0] && mvp[0][1] == mvp[1][1]) {
+      bi = 0;
+      dir = 1;
+    }
+  }
+  static thread_local int32_t part_buf[2][64 * 64];
+  int cw = w >> sx, ch = h >> sy;
+  int bd = I->bd[comp];
+  int done = 0;
+  for (int lx = 0; lx < 2; lx++) {
+    if (!((dir >> lx) & 1)) continue;
+    const int32_t *rp = I->ref_pix[lx][r[lx]][comp];
+    if (!rp) return -1;
+    int32_t *dst = bi ? part_buf[lx] : out;
+    mc_block_native(rp, I->ref_stride[lx][r[lx]][comp],
+                    I->ref_h[lx][r[lx]][comp], I->ref_w[lx][r[lx]][comp],
+                    x0 >> sx, y0 >> sy, cw, ch, mvp[lx][0], mvp[lx][1],
+                    2 + sx, 2 + sy, comp == 0, bd, bi ? 1 : 0, dst);
+    done = 1;
+    if (!bi) break;
+  }
+  if (!done) return -1;
+  if (bi) {
+    int shift = 14 + 1 - bd;
+    int off = (1 << (shift - 1)) + 2 * (1 << 13);
+    int maxv = (1 << bd) - 1;
+    for (int i = 0; i < cw * ch; i++) {
+      int v = (part_buf[0][i] + part_buf[1][i] + off) >> shift;
+      out[i] = v < 0 ? 0 : (v > maxv ? maxv : v);
+    }
+  }
+  return 0;
+}
+
+static double ic_sse(const int32_t *a, int64_t astride, const int32_t *b,
+                     int64_t bstride, int n) {
+  double s = 0.0;
+  for (int y = 0; y < n; y++)
+    for (int x = 0; x < n; x++) {
+      double d = (double)(a[y * astride + x] - b[y * bstride + x]);
+      s += d * d;
+    }
+  return s;
+}
+
+static bool ic_any(const int32_t *a, int64_t stride, int n) {
+  for (int y = 0; y < n; y++)
+    for (int x = 0; x < n; x++)
+      if (a[y * stride + x]) return true;
+  return false;
+}
+
+static void ic_fill_u8(uint8_t *arr, int parts_w, int px, int py, int n,
+                       uint8_t v) {
+  for (int y = 0; y < n; y++)
+    for (int x = 0; x < n; x++) arr[(py + y) * parts_w + px + x] = v;
+}
+
+static void ic_or_u8(uint8_t *arr, int parts_w, int px, int py, int n,
+                     uint8_t v) {
+  for (int y = 0; y < n; y++)
+    for (int x = 0; x < n; x++) arr[(py + y) * parts_w + px + x] |= v;
+}
+
+static void ic_fill_i8(int8_t *arr, int parts_w, int px, int py, int n,
+                       int8_t v) {
+  for (int y = 0; y < n; y++)
+    for (int x = 0; x < n; x++) arr[(py + y) * parts_w + px + x] = v;
+}
+
+// copy of cc_res_bits on strided levels
+static double ic_res_bits(const int32_t *lvl, int64_t stride, int n) {
+  static thread_local int32_t tmp[64 * 64];
+  for (int y = 0; y < n; y++)
+    for (int x = 0; x < n; x++) tmp[y * n + x] = lvl[y * stride + x];
+  return cc_res_bits(tmp, n);
+}
+
+static int ic_code_tu(const InterCtx *I, int comp, int cx0, int cy0, int cs,
+                      const int32_t *pred, int64_t pred_stride) {
+  int bd = I->bd[comp];
+  int qp = I->qp_comp[comp];
+  int log2n = 0;
+  for (int t = cs; t > 1; t >>= 1) log2n++;
+  int chan = comp == 0 ? 0 : 1;
+  const RdoqBlob *blob = I->blobs[chan][log2n];
+  int64_t st = I->plane_stride[comp];
+  int64_t ost = I->orig_stride[comp];
+  return code_tu(I->orig_p[comp] + cy0 * ost + cx0, ost, pred, pred_stride,
+                 cs, log2n, bd, qp, 0, 0,
+                 I->coeff_p[comp] + cy0 * st + cx0, st,
+                 I->rec_p[comp] + cy0 * st + cx0, st, nullptr, blob);
+}
+
+}  // namespace
+
+extern "C" int inter_commit_cu(const InterCtx *I, int px, int py, int log2,
+                               int skip_hint, int is_merge) {
+  if (I->chroma_fmt != 1 && I->num_comps != 1) return -1;
+  int size = 1 << log2;
+  int n = size >> 2;
+  int x0 = px * 4, y0 = py * 4;
+  static thread_local int32_t pred[3][64 * 64];
+  for (int comp = 0; comp < I->num_comps; comp++)
+    if (ic_pred_comp(I, px, py, log2, comp, pred[comp]) < 0) return -1;
+
+  if (skip_hint) {
+    for (int comp = 0; comp < I->num_comps; comp++) {
+      int sx = comp ? 1 : 0;
+      int cs = size >> sx;
+      int cx0 = x0 >> sx, cy0 = y0 >> sx;
+      int64_t st = I->plane_stride[comp];
+      for (int y = 0; y < cs; y++)
+        for (int x = 0; x < cs; x++) {
+          I->coeff_p[comp][(cy0 + y) * st + cx0 + x] = 0;
+          I->rec_p[comp][(cy0 + y) * st + cx0 + x] = pred[comp][y * cs + x];
+        }
+      ic_fill_u8(I->cbf[comp], I->parts_w, px, py, n, 0);
+    }
+    ic_fill_i8(I->tr_idx, I->parts_w, px, py, n, 0);
+    ic_fill_i8(I->skip, I->parts_w, px, py, n, is_merge ? 1 : 0);
+    return 0;
+  }
+
+  int any_cbf = 0;
+  int max_tb = 1 << I->max_tb_log2;
+  for (int comp = 0; comp < I->num_comps; comp++) {
+    int sx = comp ? 1 : 0;
+    int cs = size >> sx;
+    int cx0 = x0 >> sx, cy0 = y0 >> sx;
+    if (size > max_tb) {
+      // implicit TU split: four max-TB TUs per component
+      int hs = cs / 2, hn = n / 2;
+      int kids[4];
+      for (int q = 0; q < 4; q++) {
+        int ty = (q >> 1) * hs, tx = (q & 1) * hs;
+        int k = ic_code_tu(I, comp, cx0 + tx, cy0 + ty, hs,
+                           pred[comp] + ty * cs + tx, cs);
+        if (k < 0) return -1;
+        kids[q] = k;
+      }
+      int cbf = 0;
+      for (int q = 0; q < 4; q++) {
+        int ty = (q >> 1) * hn, tx = (q & 1) * hn;
+        uint8_t v = (uint8_t)(kids[q] << 1);
+        if (comp == 0) v |= (uint8_t)kids[q];
+        ic_fill_u8(I->cbf[comp], I->parts_w, px + tx, py + ty, hn, v);
+        cbf |= kids[q];
+      }
+      if (comp)
+        ic_or_u8(I->cbf[comp], I->parts_w, px, py, n, (uint8_t)cbf);
+      else if (cbf)
+        ic_or_u8(I->cbf[0], I->parts_w, px, py, n, 1);
+      ic_fill_i8(I->tr_idx, I->parts_w, px, py, n, 1);
+      any_cbf |= cbf;
+      continue;
+    }
+    int cbf = ic_code_tu(I, comp, cx0, cy0, cs, pred[comp], cs);
+    if (cbf < 0) return -1;
+    ic_fill_u8(I->cbf[comp], I->parts_w, px, py, n, (uint8_t)cbf);
+    any_cbf |= cbf;
+  }
+
+  // one-level TU split trial (_try_inter_tusplit)
+  if (any_cbf && I->try_tusplit && log2 >= 4 && size <= max_tb) {
+    static thread_local int32_t snap_rec[3][64 * 64], snap_lvl[3][64 * 64];
+    double tot_w = 0.0;
+    for (int comp = 0; comp < I->num_comps; comp++) {
+      int sx = comp ? 1 : 0;
+      int cs = size >> sx;
+      int cx0 = x0 >> sx, cy0 = y0 >> sx;
+      int64_t st = I->plane_stride[comp];
+      int64_t ost = I->orig_stride[comp];
+      double w = comp == 0 ? 1.0 : I->chroma_weight;
+      for (int y = 0; y < cs; y++)
+        for (int x = 0; x < cs; x++) {
+          snap_rec[comp][y * cs + x] =
+              I->rec_p[comp][(cy0 + y) * st + cx0 + x];
+          snap_lvl[comp][y * cs + x] =
+              I->coeff_p[comp][(cy0 + y) * st + cx0 + x];
+        }
+      tot_w += w * ic_sse(I->orig_p[comp] + cy0 * ost + cx0, ost,
+                          snap_rec[comp], cs, cs);
+      if (ic_any(snap_lvl[comp], cs, cs))
+        tot_w += I->lam * cc_res_bits(snap_lvl[comp], cs);
+    }
+    double tot_s = I->lam * 1.0;
+    int child[3][4] = {{0}};
+    int hn = n / 2;
+    bool ok = true;
+    for (int comp = 0; comp < I->num_comps && ok; comp++) {
+      int sx = comp ? 1 : 0;
+      int cs = size >> sx;
+      int hs = cs / 2;
+      int cx0 = x0 >> sx, cy0 = y0 >> sx;
+      int64_t st = I->plane_stride[comp];
+      int64_t ost = I->orig_stride[comp];
+      double w = comp == 0 ? 1.0 : I->chroma_weight;
+      for (int q = 0; q < 4; q++) {
+        int ty = (q >> 1) * hs, tx = (q & 1) * hs;
+        int k = ic_code_tu(I, comp, cx0 + tx, cy0 + ty, hs,
+                           pred[comp] + ty * cs + tx, cs);
+        if (k < 0) { ok = false; break; }
+        child[comp][q] = k;
+        tot_s += I->lam * 1.0;
+        if (k)
+          tot_s += I->lam * ic_res_bits(
+              I->coeff_p[comp] + (cy0 + ty) * st + cx0 + tx, st, hs);
+      }
+      if (ok)
+        tot_s += w * ic_sse(I->orig_p[comp] + cy0 * ost + cx0, ost,
+                            I->rec_p[comp] + cy0 * st + cx0, st, cs);
+    }
+    if (ok && tot_s < tot_w) {
+      ic_fill_i8(I->tr_idx, I->parts_w, px, py, n, 1);
+      any_cbf = 0;
+      for (int comp = 0; comp < I->num_comps; comp++) {
+        int cany = 0;
+        for (int q = 0; q < 4; q++) {
+          int ty = (q >> 1) * hn, tx = (q & 1) * hn;
+          uint8_t v = (uint8_t)(child[comp][q] << 1);
+          if (comp == 0) v |= (uint8_t)child[comp][q];
+          ic_fill_u8(I->cbf[comp], I->parts_w, px + tx, py + ty, hn, v);
+          cany |= child[comp][q];
+        }
+        if (comp && cany)
+          ic_or_u8(I->cbf[comp], I->parts_w, px, py, n, 1);
+        any_cbf |= cany;
+      }
+      if (child[0][0] | child[0][1] | child[0][2] | child[0][3])
+        ic_or_u8(I->cbf[0], I->parts_w, px, py, n, 1);
+    } else {
+      // keep whole-TU coding: restore planes
+      for (int comp = 0; comp < I->num_comps; comp++) {
+        int sx = comp ? 1 : 0;
+        int cs = size >> sx;
+        int cx0 = x0 >> sx, cy0 = y0 >> sx;
+        int64_t st = I->plane_stride[comp];
+        for (int y = 0; y < cs; y++)
+          for (int x = 0; x < cs; x++) {
+            I->rec_p[comp][(cy0 + y) * st + cx0 + x] =
+                snap_rec[comp][y * cs + x];
+            I->coeff_p[comp][(cy0 + y) * st + cx0 + x] =
+                snap_lvl[comp][y * cs + x];
+          }
+      }
+    }
+  }
+
+  // zero-residual RD alternative (skip / rqt_root_cbf = 0)
+  if (any_cbf) {
+    double dist_c = 0.0, dist_z = 0.0, bits_c = 1.0;
+    for (int comp = 0; comp < I->num_comps; comp++) {
+      int sx = comp ? 1 : 0;
+      int cs = size >> sx;
+      int cx0 = x0 >> sx, cy0 = y0 >> sx;
+      int64_t st = I->plane_stride[comp];
+      int64_t ost = I->orig_stride[comp];
+      double w = comp == 0 ? 1.0 : I->chroma_weight;
+      dist_c += w * ic_sse(I->orig_p[comp] + cy0 * ost + cx0, ost,
+                           I->rec_p[comp] + cy0 * st + cx0, st, cs);
+      dist_z += w * ic_sse(I->orig_p[comp] + cy0 * ost + cx0, ost,
+                           pred[comp], cs, cs);
+      if (ic_any(I->coeff_p[comp] + cy0 * st + cx0, st, cs))
+        bits_c += ic_res_bits(I->coeff_p[comp] + cy0 * st + cx0, st, cs);
+    }
+    if (dist_z + I->lam * 1.0 < dist_c + I->lam * bits_c) {
+      for (int comp = 0; comp < I->num_comps; comp++) {
+        int sx = comp ? 1 : 0;
+        int cs = size >> sx;
+        int cx0 = x0 >> sx, cy0 = y0 >> sx;
+        int64_t st = I->plane_stride[comp];
+        for (int y = 0; y < cs; y++)
+          for (int x = 0; x < cs; x++) {
+            I->coeff_p[comp][(cy0 + y) * st + cx0 + x] = 0;
+            I->rec_p[comp][(cy0 + y) * st + cx0 + x] =
+                pred[comp][y * cs + x];
+          }
+        ic_fill_u8(I->cbf[comp], I->parts_w, px, py, n, 0);
+      }
+      ic_fill_i8(I->tr_idx, I->parts_w, px, py, n, 0);
+      any_cbf = 0;
+    }
+  }
+  ic_fill_i8(I->skip, I->parts_w, px, py, n,
+             (is_merge && !any_cbf) ? 1 : 0);
+  return 0;
+}

@@ -61,7 +61,25 @@ def mc_block(ref_plane: np.ndarray, x0: int, y0: int, w: int, h: int,
     keep_precision: True for the bi-pred intermediate (14-bit internal).
     Out-of-picture reference samples use border replication (equivalent to
     the reference's picture-margin extension).
+
+    Dispatches to the native twin (dsp_core mc_block_native) when the
+    library is available; the numpy path below is the reference
+    implementation and the fallback.
     """
+    from hm16_2_tpu import native
+    lib = native.get_dsp()
+    if lib is not None and ref_plane.dtype == np.int32 and \
+            ref_plane.flags.c_contiguous:
+        import ctypes
+        out = np.empty((h, w), dtype=np.int32)
+        lib.mc_block_native(
+            ref_plane.ctypes.data_as(ctypes.c_void_p),
+            ref_plane.strides[0] // 4, ref_plane.shape[0],
+            ref_plane.shape[1], x0, y0, w, h, mv_x, mv_y,
+            frac_bits_x, frac_bits_y, int(is_luma), bit_depth,
+            int(keep_precision),
+            out.ctypes.data_as(ctypes.c_void_p))
+        return out.astype(np.int64)
     taps = LUMA_FILTER if is_luma else CHROMA_FILTER
     n = taps.shape[1]
     ix = x0 + (mv_x >> frac_bits_x)

@@ -61,6 +61,7 @@ from hm16_2_tpu.ops import analysis
 
 COARSE_R = 16          # coarse-offset radius (x4 = full-pel +-64)
 REFINE_R = 3           # full-res int refinement radius
+MAXREF_PLAN = 4        # fixed per-list ref-count the plan is compiled for
 MARGIN = 80            # subpel-plane padding (covers +-67 int + filter)
 
 # plan-stage bit-cost constants (fractional bins; calibrated on content —
@@ -344,15 +345,17 @@ SIZES = (8, 16, 32, 64)
 KIND_MERGE, KIND_UNI0, KIND_UNI1, KIND_BI = 0, 1, 2, 3
 
 
-@partial(jax.jit, static_argnames=("h", "w", "bd", "is_b", "map0", "map1",
-                                   "nmerge"))
-def _plan_device(cur, refs, mvp8, lam, lam_sqrt, qp, *, h: int, w: int,
-                 bd: int, is_b: bool, map0: tuple, map1: tuple,
+@partial(jax.jit, static_argnames=("h", "w", "bd", "is_b", "nmerge"))
+def _plan_device(cur, refs, mvp8, lam, lam_sqrt, qp, map0, map1,
+                 nref0, nref1, *, h: int, w: int, bd: int, is_b: bool,
                  nmerge: int):
     """One device dispatch deciding the whole inter frame (see module
     docstring).  cur: (h, w) int32; refs: (R, h, w) int32 deduplicated
-    reference planes; map0/map1: per-list tuples of indices into refs;
-    mvp8: (h//8, w//8, 2) int32 full-pel TMVP prior (dy, dx).
+    reference planes PADDED to a fixed R (so every GOP hierarchy level
+    reuses ONE compiled program per slice kind instead of respecializing
+    on the ref-list shape); map0/map1: (MAXREF,) int32 device arrays of
+    indices into refs with nref0/nref1 live entries; mvp8: (h//8, w//8, 2)
+    int32 full-pel TMVP prior (dy, dx).
     Returns a packed (16, h4, w4) int16 plan tensor."""
     lamf = lam.astype(jnp.float32)
     lams = lam_sqrt.astype(jnp.float32)
@@ -364,7 +367,7 @@ def _plan_device(cur, refs, mvp8, lam, lam_sqrt, qp, *, h: int, w: int,
     sub = _subpel_planes(refs, bd, h, w)
     R = refs.shape[0]
     suball = sub.reshape((R * 16,) + sub.shape[2:])
-    lists = [map0, map1] if is_b else [map0]
+    lists = [(map0, nref0), (map1, nref1)] if is_b else [(map0, nref0)]
 
     per_size = {}
     for s in SIZES:
@@ -388,29 +391,30 @@ def _plan_device(cur, refs, mvp8, lam, lam_sqrt, qp, *, h: int, w: int,
                                      lams, s)
             mvq_r.append(mvq)
             satd_r.append(satd)
+        mvq_all = jnp.stack(mvq_r)                       # (R, N, 2)
+        satd_all = jnp.stack(satd_r)                     # (R, N)
 
-        # per-list best reference (SATD + MVD/ref/dir bins)
+        # per-list best reference (SATD + MVD/ref/dir bins); the list
+        # mapping is a dynamic gather with an nref mask so one compiled
+        # program serves every DPB/ref-list shape
         uni = {}
-        for lx, lmap in enumerate(lists):
-            nrefs = len(lmap)
-            if nrefs == 0:
-                continue
-            costs, bits_l = [], []
-            for ri, r in enumerate(lmap):
-                mb = _mvd_bits_j(mvq_r[r][:, 1] - pred4[:, 1],
-                                 mvq_r[r][:, 0] - pred4[:, 0])
-                rb = float(min(ri + 1, nrefs - 1)) if nrefs > 1 else 0.0
-                b = mb + rb + UNI_BASE_BITS
-                costs.append(satd_r[r] + lams * b)
-                bits_l.append(b)
-            costs = jnp.stack(costs)                     # (nrefs, N)
-            bits_l = jnp.stack(bits_l)
-            k = jnp.argmin(costs, axis=0)                # (N,)
-            mv_sel = jnp.stack([mvq_r[r] for r in lmap])  # (nrefs, N, 2)
-            satd_sel = jnp.stack([satd_r[r] for r in lmap])
+        for lx, (lmap_v, nref_v) in enumerate(lists):
+            mr = lmap_v.shape[0]
+            mv_sel = jnp.take(mvq_all, lmap_v, axis=0)    # (mr, N, 2)
+            satd_sel = jnp.take(satd_all, lmap_v, axis=0)  # (mr, N)
+            mb = _mvd_bits_j(mv_sel[:, :, 1] - pred4[None, :, 1],
+                             mv_sel[:, :, 0] - pred4[None, :, 0])
+            ri = jnp.arange(mr)
+            rb = jnp.where(nref_v > 1,
+                           jnp.minimum(ri + 1, nref_v - 1), 0) \
+                .astype(jnp.float32)
+            bits_l = mb + rb[:, None] + UNI_BASE_BITS     # (mr, N)
+            costs = satd_sel + lams * bits_l
+            costs = jnp.where((ri < nref_v)[:, None], costs, jnp.inf)
+            k = jnp.argmin(costs, axis=0)                 # (N,)
             uni[lx] = {
                 "ridx": k.astype(jnp.int32),
-                "uref": jnp.asarray(lmap, jnp.int32)[k],
+                "uref": lmap_v[k],
                 "mv": jnp.take_along_axis(
                     mv_sel, k[None, :, None], axis=0)[0],
                 "satd": jnp.take_along_axis(satd_sel, k[None], axis=0)[0],
@@ -460,10 +464,10 @@ def _plan_device(cur, refs, mvp8, lam, lam_sqrt, qp, *, h: int, w: int,
         for mv_c in (tmvp_mv, zero_mv):
             ent = {}
             for lx in uni:
-                lmap = lists[lx]
+                lmap_v = lists[lx][0]
                 ent[lx] = {
                     "mv": mv_c,
-                    "uref": jnp.full((N,), lmap[0], jnp.int32),
+                    "uref": jnp.broadcast_to(lmap_v[0], (N,)),
                     "ridx": jnp.zeros((N,), jnp.int32),
                 }
             ent["invalid"] = jnp.zeros((N,), bool)
@@ -855,14 +859,26 @@ def plan_frame(orig_y, sps, sh, rc, prev_mv8, lam, lam_sqrt, device):
                 uniq.append((key, ref.rec[0]))
     if not uniq:
         return None
-    map0 = tuple(keymap[(0, i)] for i in range(len(
-        [k for k in keymap if k[0] == 0])))
-    map1 = tuple(keymap[(1, i)] for i in range(len(
-        [k for k in keymap if k[0] == 1]))) if is_b else ()
+    map0 = [keymap[(0, i)] for i in range(len(
+        [k for k in keymap if k[0] == 0]))]
+    map1 = [keymap[(1, i)] for i in range(len(
+        [k for k in keymap if k[0] == 1]))] if is_b else []
+    # Pad the unique-ref stack to a fixed R and the list maps to a fixed
+    # MAXREF so every GOP hierarchy level / DPB fill state hits the SAME
+    # compiled program (one per slice kind) — ref-shape respecialization
+    # used to recompile on the first B of each level (20-40s each on TPU).
+    R_PAD = max(len(uniq), MAXREF_PLAN)
+    pad_plane = uniq[0][1]
+    planes_u = [p for _, p in uniq] + \
+        [pad_plane] * (R_PAD - len(uniq))
+    map0 = (map0 + [0] * MAXREF_PLAN)[:MAXREF_PLAN]
+    map1 = (map1 + [0] * MAXREF_PLAN)[:MAXREF_PLAN]
+    nref0 = min(len([k for k in keymap if k[0] == 0]), MAXREF_PLAN)
+    nref1 = min(len([k for k in keymap if k[0] == 1]), MAXREF_PLAN)
     qp_luma = sh.qp + 6 * (bd - 8)
     with jax.default_device(device):
         refs = jnp.stack([jnp.asarray(p[:h, :w], jnp.int32)
-                          for _, p in uniq])
+                          for p in planes_u])
         cur = jnp.asarray(orig_y[:h, :w], jnp.int32)
         if prev_mv8 is None:
             mvp8 = jnp.zeros((h // 8, w // 8, 2), jnp.int32)
@@ -870,8 +886,10 @@ def plan_frame(orig_y, sps, sh, rc, prev_mv8, lam, lam_sqrt, device):
             mvp8 = jnp.asarray(prev_mv8, jnp.int32)
         packed = _plan_device(
             cur, refs, mvp8, jnp.float32(lam), jnp.float32(lam_sqrt),
-            jnp.int32(qp_luma), h=h, w=w, bd=bd, is_b=is_b,
-            map0=map0, map1=map1, nmerge=sh.max_num_merge_cand)
+            jnp.int32(qp_luma),
+            jnp.asarray(map0, jnp.int32), jnp.asarray(map1, jnp.int32),
+            jnp.int32(nref0), jnp.int32(nref1),
+            h=h, w=w, bd=bd, is_b=is_b, nmerge=sh.max_num_merge_cand)
         try:
             packed.copy_to_host_async()
         except Exception:

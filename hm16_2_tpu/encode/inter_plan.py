@@ -131,6 +131,7 @@ def _dequant_t(levels, qp, bit_depth: int, log2_tr: int):
 
 def _int_me_grids(cur, refs, mvp8, lam_sqrt, h, w):
     """Best full-pel MV per (ref, size-block), sizes 8/16/32/64.
+    mvp8: (R, h//8, w//8, 2) PER-REF full-pel prior (dy, dx).
     Returns {s: (R, ny, nx, 2) int32 (dy, dx)}."""
     R = refs.shape[0]
     hc, wc = h // 4, w // 4
@@ -177,10 +178,12 @@ def _int_me_grids(cur, refs, mvp8, lam_sqrt, h, w):
             continue
         g = grids[s].reshape(R, O, ny * nx)
         step = s // 8
-        mvp = mvp8[::step, ::step][:ny, :nx].reshape(ny * nx, 2)
-        mvb = (_mvd_bits_j(4 * (offs[:, None, 1] - mvp[None, :, 1]),
-                           4 * (offs[:, None, 0] - mvp[None, :, 0])))
-        best_o = jnp.argmin(g + lamf * mvb[None], axis=1)     # (R, N)
+        mvp = mvp8[:, ::step, ::step][:, :ny, :nx] \
+            .reshape(R, ny * nx, 2)                           # per ref
+        mvb = (_mvd_bits_j(
+            4 * (offs[None, :, None, 1] - mvp[:, None, :, 1]),
+            4 * (offs[None, :, None, 0] - mvp[:, None, :, 0])))
+        best_o = jnp.argmin(g + lamf * mvb, axis=1)           # (R, N)
         coarse_mv = 4 * offs[best_o]                          # (R, N, 2)
 
         ys = jnp.repeat(jnp.arange(ny) * s, nx)
@@ -215,12 +218,14 @@ def _int_me_grids(cur, refs, mvp8, lam_sqrt, h, w):
         mvs = []
         for r_idx in range(R):
             cands = []
+            mvp_r = mvp[r_idx]
             for centers in (coarse_mv[r_idx],
                             jnp.zeros_like(coarse_mv[r_idx])):
                 sse = refine(r_idx, centers)
                 mv_cand = centers[:, None, :] + roffs[None, :, :]
-                bits = _mvd_bits_j(4 * (mv_cand[:, :, 1] - mvp[:, None, 1]),
-                                   4 * (mv_cand[:, :, 0] - mvp[:, None, 0]))
+                bits = _mvd_bits_j(
+                    4 * (mv_cand[:, :, 1] - mvp_r[:, None, 1]),
+                    4 * (mv_cand[:, :, 0] - mvp_r[:, None, 0]))
                 cost = sse + lamf * bits
                 k = jnp.argmin(cost, axis=1)
                 cands.append((jnp.take_along_axis(
@@ -346,7 +351,7 @@ KIND_MERGE, KIND_UNI0, KIND_UNI1, KIND_BI = 0, 1, 2, 3
 
 
 @partial(jax.jit, static_argnames=("h", "w", "bd", "is_b", "nmerge"))
-def _plan_device(cur, refs, mvp8, lam, lam_sqrt, qp, map0, map1,
+def _plan_device(cur, refs, mvn16, dists, lam, lam_sqrt, qp, map0, map1,
                  nref0, nref1, *, h: int, w: int, bd: int, is_b: bool,
                  nmerge: int):
     """One device dispatch deciding the whole inter frame (see module
@@ -354,16 +359,22 @@ def _plan_device(cur, refs, mvp8, lam, lam_sqrt, qp, map0, map1,
     reference planes PADDED to a fixed R (so every GOP hierarchy level
     reuses ONE compiled program per slice kind instead of respecializing
     on the ref-list shape); map0/map1: (MAXREF,) int32 device arrays of
-    indices into refs with nref0/nref1 live entries; mvp8: (h//8, w//8, 2)
-    int32 full-pel TMVP prior (dy, dx).
+    indices into refs with nref0/nref1 live entries; mvn16:
+    (h//8, w//8, 2) int32 POC-normalized motion prior (q-pel x16 per POC
+    unit, (dy, dx)); dists: (R,) int32 SIGNED POC distance cur - ref of
+    each unique reference, so the prior scales per ref like TMVP does
+    (an L1 ref in the future gets the opposite sign automatically).
     Returns a packed (16, h4, w4) int16 plan tensor."""
     lamf = lam.astype(jnp.float32)
     lams = lam_sqrt.astype(jnp.float32)
-    # the TMVP prior comes from an unbounded motion field; keep every MV
-    # the plan can evaluate inside the subpel-plane margin
+    # per-ref full-pel prior (dy, dx): mvn16 is q-pel*16/poc, so full-pel
+    # at distance d is mvn16*d/64; clamp inside the subpel-plane margin
     mv_cap = MARGIN - REFINE_R - 8
-    mvp8 = jnp.clip(mvp8, -mv_cap, mv_cap)
-    mv_int = _int_me_grids(cur, refs, mvp8, lams, h, w)
+    mvp_full = jnp.clip(jnp.rint(
+        mvn16[None].astype(jnp.float32) *
+        dists[:, None, None, None].astype(jnp.float32) / 64.0
+    ).astype(jnp.int32), -mv_cap, mv_cap)        # (R, h8, w8, 2)
+    mv_int = _int_me_grids(cur, refs, mvp_full, lams, h, w)
     sub = _subpel_planes(refs, bd, h, w)
     R = refs.shape[0]
     suball = sub.reshape((R * 16,) + sub.shape[2:])
@@ -381,14 +392,15 @@ def _plan_device(cur, refs, mvp8, lam, lam_sqrt, qp, map0, map1,
         blocks = cur[: ny * s, : nx * s].reshape(ny, s, nx, s) \
             .swapaxes(1, 2).reshape(N, s, s).astype(jnp.int32)
         step = s // 8
-        pred4 = 4 * mvp8[::step, ::step][:ny, :nx].reshape(N, 2)
+        pred4_all = 4 * mvp_full[:, ::step, ::step][:, :ny, :nx] \
+            .reshape(R, N, 2)                             # per-ref q-pel
 
         # refined quarter MV + SATD per unique reference
         mvq_r, satd_r = [], []
         for r in range(R):
             mv0 = mv_int[s][r].reshape(N, 2)[:, ::1]
-            mvq, satd = _frac_refine(sub[r], blocks, ys, xs, mv0, pred4,
-                                     lams, s)
+            mvq, satd = _frac_refine(sub[r], blocks, ys, xs, mv0,
+                                     pred4_all[r], lams, s)
             mvq_r.append(mvq)
             satd_r.append(satd)
         mvq_all = jnp.stack(mvq_r)                       # (R, N, 2)
@@ -402,8 +414,9 @@ def _plan_device(cur, refs, mvp8, lam, lam_sqrt, qp, map0, map1,
             mr = lmap_v.shape[0]
             mv_sel = jnp.take(mvq_all, lmap_v, axis=0)    # (mr, N, 2)
             satd_sel = jnp.take(satd_all, lmap_v, axis=0)  # (mr, N)
-            mb = _mvd_bits_j(mv_sel[:, :, 1] - pred4[None, :, 1],
-                             mv_sel[:, :, 0] - pred4[None, :, 0])
+            pred4_sel = jnp.take(pred4_all, lmap_v, axis=0)
+            mb = _mvd_bits_j(mv_sel[:, :, 1] - pred4_sel[:, :, 1],
+                             mv_sel[:, :, 0] - pred4_sel[:, :, 0])
             ri = jnp.arange(mr)
             rb = jnp.where(nref_v > 1,
                            jnp.minimum(ri + 1, nref_v - 1), 0) \
@@ -448,8 +461,7 @@ def _plan_device(cur, refs, mvp8, lam, lam_sqrt, qp, map0, map1,
                 (jnp.repeat(jnp.arange(ny), nx) == 0)
             return m                                     # (N,) True=invalid
 
-        tmvp_mv = pred4                                   # 4*prior, q-pel
-        zero_mv = jnp.zeros_like(pred4)
+        zero_mv = jnp.zeros((N, 2), jnp.int32)
         mcands = []                                       # per candidate
         for src, (axis_is_x,) in ((0, (True,)), (1, (False,))):
             ent = {}
@@ -461,12 +473,16 @@ def _plan_device(cur, refs, mvp8, lam, lam_sqrt, qp, map0, map1,
                 }
             ent["invalid"] = col0_mask(axis_is_x)
             mcands.append(ent)
-        for mv_c in (tmvp_mv, zero_mv):
+        for use_prior in (True, False):
+            # TMVP-like candidate: the prior scaled to EACH list's first
+            # reference (opposite POC directions get opposite signs, as
+            # the real TMVP scaling produces); then the zero-MV pair
             ent = {}
             for lx in uni:
                 lmap_v = lists[lx][0]
                 ent[lx] = {
-                    "mv": mv_c,
+                    "mv": jnp.take(pred4_all, lmap_v[0], axis=0)
+                    if use_prior else zero_mv,
                     "uref": jnp.broadcast_to(lmap_v[0], (N,)),
                     "ridx": jnp.zeros((N,), jnp.int32),
                 }
@@ -876,16 +892,25 @@ def plan_frame(orig_y, sps, sh, rc, prev_mv8, lam, lam_sqrt, device):
     nref0 = min(len([k for k in keymap if k[0] == 0]), MAXREF_PLAN)
     nref1 = min(len([k for k in keymap if k[0] == 1]), MAXREF_PLAN)
     qp_luma = sh.qp + 6 * (bd - 8)
+    # SIGNED POC distance of each unique reference (scales the
+    # POC-normalized motion prior per ref, like TMVP scaling)
+    poc_of = {}
+    for lx in range(nlists):
+        for r_idx in range(min(sh.num_ref_idx[lx], len(rc.ref_lists[lx]))):
+            poc_of[keymap[(lx, r_idx)]] = rc.ref_lists[lx][r_idx].poc
+    dists = [sh.poc - poc_of.get(j, sh.poc - 1)
+             for j in range(len(planes_u))]
     with jax.default_device(device):
         refs = jnp.stack([jnp.asarray(p[:h, :w], jnp.int32)
                           for p in planes_u])
         cur = jnp.asarray(orig_y[:h, :w], jnp.int32)
         if prev_mv8 is None:
-            mvp8 = jnp.zeros((h // 8, w // 8, 2), jnp.int32)
+            mvn16 = jnp.zeros((h // 8, w // 8, 2), jnp.int32)
         else:
-            mvp8 = jnp.asarray(prev_mv8, jnp.int32)
+            mvn16 = jnp.asarray(prev_mv8, jnp.int32)
         packed = _plan_device(
-            cur, refs, mvp8, jnp.float32(lam), jnp.float32(lam_sqrt),
+            cur, refs, mvn16, jnp.asarray(dists, jnp.int32),
+            jnp.float32(lam), jnp.float32(lam_sqrt),
             jnp.int32(qp_luma),
             jnp.asarray(map0, jnp.int32), jnp.asarray(map1, jnp.int32),
             jnp.int32(nref0), jnp.int32(nref1),

@@ -628,7 +628,12 @@ class Encoder:
         sh.max_num_merge_cand = 5
         if total:
             sh.temporal_mvp_enabled = 1
-            sh.collocated_from_l0 = 1
+            # B slices take the collocated picture from L1 (the future
+            # anchor, always inter-coded).  With col from L0 the level-1
+            # B's collocated picture is the intra anchor, TMVP returns
+            # nothing, and the merge lists lose every temporal/bi
+            # candidate (HM: TEncSlice colFromL0Flag per GOP entry).
+            sh.collocated_from_l0 = 0 if sh.slice_type == B_SLICE else 1
             sh.collocated_ref_idx = 0
         rc_lam = self._rc_begin(planes, sh, gop_id)
         alpha, mult = self._lambda_args(sh, slot)
@@ -767,8 +772,16 @@ class Encoder:
                 from hm16_2_tpu.encode import inter_me
                 from hm16_2_tpu.encode.intra_rd import _pick_device
                 lam_sq = np.sqrt(0.85 * 2.0 ** ((sh.qp - 12) / 3.0))
+                # the stored prior is POC-normalized (q-pel x16 / POC);
+                # de-normalize to full-pel at the L0[0] distance for the
+                # shared-prior fallback ME
+                prior = self._prev_mv8
+                if prior is not None and rc.ref_lists[0]:
+                    d0 = sh.poc - rc.ref_lists[0][0].poc
+                    prior = np.rint(prior.astype(np.float64) * d0 / 64.0) \
+                        .astype(np.int32)
                 fetch = inter_me.submit_me(
-                    planes[0], rc.ref_lists, self._prev_mv8, lam_sq,
+                    planes[0], rc.ref_lists, prior, lam_sq,
                     sps.pic_height, sps.pic_width, _pick_device())
                 search.me_plan = fetch()
         # pass 1: mode decisions + reconstruction (TEncSlice::compressSlice).
@@ -978,11 +991,22 @@ class Encoder:
                                 depth=pic.depth.copy(),
                                 col_depth=col_depth,
                                 is_intra=sh.slice_type == I_SLICE))
-        # motion-field prior for the next frame's device ME plan
+        # motion-field prior for the next frame's device ME plan,
+        # POC-NORMALIZED (q-pel x16 per POC unit): the plan scales it by
+        # each target reference's signed POC distance, so RA hierarchy
+        # levels with different distances/directions all get a correctly
+        # signed and scaled prior (like TMVP's dist_scale_factor)
         h8, w8 = sps.pic_height // 8, sps.pic_width // 8
         mvq = pic.mv[0][: h8 * 2: 2, : w8 * 2: 2]          # (h8, w8, 2) q-pel
-        self._prev_mv8 = np.stack(
-            [mvq[:, :, 1] >> 2, mvq[:, :, 0] >> 2], axis=-1)
+        rpoc = pic.ref_poc[0][: h8 * 2: 2, : w8 * 2: 2]
+        d = poc - rpoc.astype(np.int64)
+        valid = (rpoc > -(10 ** 8)) & (d != 0)
+        dsafe = np.where(valid, d, 1).astype(np.float64)
+        self._prev_mv8 = np.where(
+            valid[:, :, None],
+            np.rint(np.stack([mvq[:, :, 1], mvq[:, :, 0]], axis=-1)
+                    * 16.0 / dsafe[:, :, None]).astype(np.int64),
+            0).astype(np.int32)
 
         au = write_annexb(nals)
         self.bits_per_frame.append(len(au) * 8)
@@ -1520,15 +1544,15 @@ class CtuSearch:
             pic.mvd[lx][sl] = 0
             pic.ref_poc[lx][sl] = -(10 ** 9)
 
-        if kind == 0:
-            # planned merge: find the exact candidate carrying the planned
-            # motion; if the approximate plan-side list diverged, re-rank
-            # the exact candidates by SATD (merge repair) so skip density
-            # survives the approximation
-            cands = self.mvp.merge_candidates(
-                x0, y0, size, size, 0, SIZE_2Nx2N, px, py)
-            cands = cands[:sh.max_num_merge_cand]
-            m_idx = None
+        # exact merge list from committed neighbors (needed by both the
+        # planned-merge mapping and the AMVP merge-representation check)
+        cands = self.mvp.merge_candidates(
+            x0, y0, size, size, 0, SIZE_2Nx2N, px, py)
+        cands = cands[:sh.max_num_merge_cand]
+
+        def _match_merge():
+            """Index of the exact candidate identical to the planned
+            motion (dir + per-list ref/mv), or None."""
             for i, (cd, m0, m1) in enumerate(cands):
                 if cd != dirv:
                     continue
@@ -1539,23 +1563,63 @@ class CtuSearch:
                         ok = False
                         break
                 if ok:
-                    m_idx = i
-                    break
-            if m_idx is None:
-                lam_s = np.sqrt(self.lam)
-                orig = self.orig[0][y0:y0 + size,
-                                    x0:x0 + size].astype(np.int64)
-                best = None
-                for i, cand in enumerate(cands):
-                    pred = self._mc_luma_cand(x0, y0, size, cand)
-                    if pred is None:
-                        continue
-                    c = satd_block(orig - pred) + lam_s * (i + 1)
-                    if best is None or c < best[0]:
-                        best = (c, i)
-                if best is None:
-                    return False
+                    return i
+            return None
+
+        if kind != 0:
+            # AMVP-planned motion that the exact merge list can carry
+            # verbatim is strictly cheaper signalled as merge
+            # (TEncSearch::xMergeEstimation finds these in HM)
+            if _match_merge() is not None:
+                kind = 0
+
+        if kind == 0:
+            # planned merge: rank EVERY exact candidate by luma SSE + a
+            # small index price.  SSE (not SATD) because merge CUs are
+            # usually committed skip/zero-residual, where the candidate's
+            # prediction IS the reconstruction — the SATD+first-index
+            # ranking systematically favored early spatial (uni)
+            # candidates and halved the bi density HM gets from its
+            # merge RD (TEncCu::xCheckRDCostMerge2Nx2N).
+            lam = self.lam
+            orig = self.orig[0][y0:y0 + size,
+                                x0:x0 + size].astype(np.int64)
+            best = None
+            for i, cand in enumerate(cands):
+                pred = self._mc_luma_cand(x0, y0, size, cand)
+                if pred is None:
+                    continue
+                d = (orig - pred).astype(np.float64).ravel()
+                c = np.dot(d, d) + lam * (i + 1)
+                if best is None or c < best[0]:
+                    best = (c, i)
+            if best is None:
+                return False
+            # AMVP escape: the planned (non-merge-representable)
+            # motion may predict much better than any exact merge
+            # candidate — compare and code with MVDs when it wins
+            planned_kind = int(plan.kind[py, px])
+            if planned_kind == 0 and dirv in (1, 2) and \
+                    _match_merge() is None:
+                lx = active[0]
+                mpair = (prefs[0], mv[lx])
+                pred_p = self._mc_luma_cand(
+                    x0, y0, size, (dirv, mpair, mpair))
+                if pred_p is not None:
+                    amvp = self.mvp.amvp_candidates(
+                        x0, y0, size, size, lx, prefs[0])
+                    mvq = mv[lx]
+                    mbits = min(
+                        self._mvd_bits((mvq[0] - amvp[k][0],
+                                        mvq[1] - amvp[k][1]))
+                        for k in range(2))
+                    d = (orig - pred_p).astype(np.float64).ravel()
+                    c_amvp = np.dot(d, d) + lam * (mbits + 3.0)
+                    if c_amvp < best[0]:
+                        kind = 1 if lx == 0 else 2
+            if kind == 0:
                 m_idx = best[1]
+        if kind == 0:
             cd, m0, m1 = cands[m_idx]
             pic.merge_flag[sl] = 1
             pic.mvp_idx[0][sl] = m_idx
@@ -2228,9 +2292,10 @@ class CtuSearch:
     def _inter_residual_commit(self, px, py, log2, is_merge,
                                skip_hint=False):
         """MC + residual coding + zero-residual RD for an inter CU whose
-        motion fields are already committed.  skip_hint: the frame plan
-        decided the zero-residual alternative wins — commit it directly
-        (no transform trial)."""
+        motion fields are already committed.  skip_hint is NOT trusted
+        for the coding decision (the plan priced it with luma-only SSE
+        and estimated bits, and merge repair may have changed the MV) —
+        the true zero-vs-coded RD comparison below decides."""
         pic, sh = self.pic, self.sh
         size = 1 << log2
         x0, y0 = px * 4, py * 4
@@ -2240,19 +2305,6 @@ class CtuSearch:
         # exact prediction through the shared decoder MC path (incl.
         # bi averaging and identical-motion collapse)
         preds = self.cenc.inter_pred_cu(px, py, log2)
-        if skip_hint:
-            for comp in range(pic.num_comps):
-                sx, sy = pic.comp_shift[comp]
-                cx0, cy0 = x0 >> sx, y0 >> sy
-                cs = size >> sx
-                bdc = self.bit_depth[comp]
-                pic.coeff[comp][cy0:cy0 + cs, cx0:cx0 + cs] = 0
-                pic.rec[comp][cy0:cy0 + cs, cx0:cx0 + cs] = np.clip(
-                    preds[comp], 0, (1 << bdc) - 1)
-                pic.cbf[comp][sl] = 0
-            pic.tr_idx[sl] = 0
-            pic.skip[sl] = 1 if is_merge else 0
-            return True
 
         # residual per component (TU == CU; CUs above the max TB size are
         # only usable with an all-zero residual: skip / root-cbf-0)

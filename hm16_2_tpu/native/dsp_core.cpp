@@ -1936,23 +1936,13 @@ extern "C" int inter_commit_cu(const InterCtx *I, int px, int py, int log2,
   for (int comp = 0; comp < I->num_comps; comp++)
     if (ic_pred_comp(I, px, py, log2, comp, pred[comp]) < 0) return -1;
 
-  if (skip_hint) {
-    for (int comp = 0; comp < I->num_comps; comp++) {
-      int sx = comp ? 1 : 0;
-      int cs = size >> sx;
-      int cx0 = x0 >> sx, cy0 = y0 >> sx;
-      int64_t st = I->plane_stride[comp];
-      for (int y = 0; y < cs; y++)
-        for (int x = 0; x < cs; x++) {
-          I->coeff_p[comp][(cy0 + y) * st + cx0 + x] = 0;
-          I->rec_p[comp][(cy0 + y) * st + cx0 + x] = pred[comp][y * cs + x];
-        }
-      ic_fill_u8(I->cbf[comp], I->parts_w, px, py, n, 0);
-    }
-    ic_fill_i8(I->tr_idx, I->parts_w, px, py, n, 0);
-    ic_fill_i8(I->skip, I->parts_w, px, py, n, is_merge ? 1 : 0);
-    return 0;
-  }
+  // skip_hint is intentionally NOT trusted for the coding decision: the
+  // plan priced it with luma-only SSE and estimated bits, and merge
+  // repair may have committed a different MV than the plan evaluated.
+  // Always code the residual and let the true zero-vs-coded RD choice at
+  // the end of this function decide (TEncSearch.cpp:4680
+  // xEstimateResidualQT's zero-cost comparison).
+  (void)skip_hint;
 
   int any_cbf = 0;
   int max_tb = 1 << I->max_tb_log2;

@@ -342,6 +342,41 @@ def _frac_refine(sub_r, blocks, ys, xs, mv_int, pred4, lam_sqrt, s: int):
     return mv4, jnp.take_along_axis(satd, k[:, None], axis=1)[:, 0]
 
 
+def _frac_refine_any(suball, blocks, ys, xs, mv4_cur, uref, anchor4,
+                     lam_sqrt, s: int):
+    """Like _frac_refine but with a PER-BLOCK reference index (gathers
+    from the stacked all-ref phase planes) and a q-pel starting MV.
+    blocks may be a 14-bit-ish bi target (2*orig - other_pred); anchor4
+    is the per-block q-pel MVD pricing anchor.  Returns (mv4, satd)."""
+    M = MARGIN
+    mv_int = mv4_cur >> 2                       # floor toward -inf
+
+    def one(y, x, mv, r):
+        return jax.lax.dynamic_slice(
+            suball, (r * 16, y + mv[0] - 1 + M, x + mv[1] - 1 + M),
+            (16, s + 2, s + 2))
+
+    wins = jax.vmap(one)(ys, xs, mv_int, uref)   # (N, 16, s+2, s+2)
+    preds, bits = [], []
+    for (qy, qx) in _QOFFS:
+        ph = (qy & 3) * 4 + (qx & 3)
+        oy = 1 + (qy >> 2)
+        ox = 1 + (qx >> 2)
+        preds.append(wins[:, ph, oy:oy + s, ox:ox + s])
+        mv4y = 4 * mv_int[:, 0] + qy
+        mv4x = 4 * mv_int[:, 1] + qx
+        bits.append(_mvd_bits_j(mv4x - anchor4[:, 1],
+                                mv4y - anchor4[:, 0]))
+    pred = jnp.stack(preds, axis=1).astype(jnp.int32)
+    satd = analysis.batched_satd(
+        blocks[:, None] - pred).astype(jnp.float32)
+    cost = satd + lam_sqrt * jnp.stack(bits, axis=1)
+    k = jnp.argmin(cost, axis=1)
+    qoffs = jnp.asarray(_QOFFS, jnp.int32)
+    mv4 = 4 * mv_int + qoffs[k]
+    return mv4, jnp.take_along_axis(satd, k[:, None], axis=1)[:, 0]
+
+
 # ---------------------------------------------------------------------------
 # the fused frame program
 # ---------------------------------------------------------------------------
@@ -433,6 +468,11 @@ def _plan_device(cur, refs, mvn16, dists, lam, lam_sqrt, qp, map0, map1,
                 "satd": jnp.take_along_axis(satd_sel, k[None], axis=0)[0],
                 "bits": jnp.take_along_axis(bits_l, k[None], axis=0)[0],
                 "cost": jnp.min(costs, axis=0),
+                # MVD pricing anchor + ref bits of the selected entry
+                # (the bi refinement re-prices refined MVs against these)
+                "anchor": jnp.take_along_axis(
+                    pred4_sel, k[None, :, None], axis=0)[0],
+                "rbits": rb[k],
             }
 
         # per-block predicted blocks for the per-list winners (for bi and
@@ -532,14 +572,50 @@ def _plan_device(cur, refs, mvn16, dists, lam, lam_sqrt, qp, map0, map1,
         merge_ridx = {lx: msel("ridx", lx) for lx in uni}
         merge_dir = 3 if len(uni) == 2 else (1 if 0 in uni else 2)
 
-        # ---- bi-prediction from the per-list winners ----
+        # ---- bi-prediction: per-list-winner average, then an iterative
+        # two-pass refinement against the bi target (TEncSearch.cpp:3260
+        # xMotionEstimation's iterative bi loop).  The refinement finds a
+        # SECOND MV on the same reference in the GPB case, which is how
+        # HM's anchors win on zoom/divergent motion. ----
         bi = None
         if len(uni) == 2:
             pred = (uni[0]["pred"] + uni[1]["pred"] + 1) >> 1
             satd = analysis.batched_satd(blocks - pred).astype(jnp.float32)
             bits = uni[0]["bits"] + uni[1]["bits"] + \
                 (BI_BASE_BITS - 2 * UNI_BASE_BITS)
-            bi = {"cost": satd + lams * bits, "bits": bits, "pred": pred}
+            cost = satd + lams * bits
+            # pass 1: refine list1 against 2*orig - pred0
+            tgt1 = 2 * blocks - uni[0]["pred"]
+            mv1b, _ = _frac_refine_any(
+                suball, tgt1, ys, xs, uni[1]["mv"], uni[1]["uref"],
+                uni[1]["anchor"], lams, s)
+            pred1b = _gather_pred(suball, ys, xs, mv1b,
+                                  uni[1]["uref"], s)
+            # pass 2: refine list0 against 2*orig - pred1'
+            tgt0 = 2 * blocks - pred1b
+            mv0b, _ = _frac_refine_any(
+                suball, tgt0, ys, xs, uni[0]["mv"], uni[0]["uref"],
+                uni[0]["anchor"], lams, s)
+            pred0b = _gather_pred(suball, ys, xs, mv0b,
+                                  uni[0]["uref"], s)
+            pred_it = (pred0b + pred1b + 1) >> 1
+            satd_it = analysis.batched_satd(
+                blocks - pred_it).astype(jnp.float32)
+            mb_it = _mvd_bits_j(mv0b[:, 1] - uni[0]["anchor"][:, 1],
+                                mv0b[:, 0] - uni[0]["anchor"][:, 0]) + \
+                _mvd_bits_j(mv1b[:, 1] - uni[1]["anchor"][:, 1],
+                            mv1b[:, 0] - uni[1]["anchor"][:, 0])
+            bits_it = mb_it + uni[0]["rbits"] + uni[1]["rbits"] + \
+                BI_BASE_BITS
+            cost_it = satd_it + lams * bits_it
+            it_wins = cost_it < cost
+            bi = {
+                "cost": jnp.where(it_wins, cost_it, cost),
+                "bits": jnp.where(it_wins, bits_it, bits),
+                "pred": jnp.where(it_wins[:, None, None], pred_it, pred),
+                "mv0": jnp.where(it_wins[:, None], mv0b, uni[0]["mv"]),
+                "mv1": jnp.where(it_wins[:, None], mv1b, uni[1]["mv"]),
+            }
 
         # ---- kind selection (SATD domain) ----
         kind_list = [(KIND_MERGE, m_best["cost"], m_best["bits"],
@@ -585,9 +661,9 @@ def _plan_device(cur, refs, mvn16, dists, lam, lam_sqrt, qp, map0, map1,
         m1r = merge_ridx.get(1, zeroN)
         bi_valid = bi is not None
         mv0 = pick(kind, m0mv, u0mv, zero2,
-                   u0mv if bi_valid else zero2)
+                   bi["mv0"] if bi_valid else zero2)
         mv1 = pick(kind, m1mv, zero2, u1mv,
-                   u1mv if bi_valid else zero2)
+                   bi["mv1"] if bi_valid else zero2)
         ref0 = pick(kind, jnp.where(merge_dir & 1, m0r, negN),
                     u0r, negN, u0r if bi_valid else negN)
         ref1 = pick(kind, jnp.where(merge_dir & 2, m1r, negN),

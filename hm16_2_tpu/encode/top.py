@@ -1501,6 +1501,7 @@ class CtuSearch:
                 self._rdoq_blob(comp, s, 0, I.qp_comp[comp])
                 blob = self._rdoq_blobs[(chan, s, 0, I.qp_comp[comp])][1]
                 I.blobs[chan * 6 + log2n] = ctypes.addressof(blob)
+        self._ictx_keep = self._fill_bits_kit(I)
         self._ictx = I
         return I
 
@@ -1788,6 +1789,50 @@ class CtuSearch:
             pic.cbf[1][sl] = self._code_tu(px, py, 3, 1, cmode)
             pic.cbf[2][sl] = self._code_tu(px, py, 3, 2, cmode)
 
+    def _fill_bits_kit(self, C):
+        """Exact-TU-bit kit for the native commit engines: decisions
+        price residual bits by counting the REAL residual_coding syntax
+        through cabac_core's counting encoder (TEncBinCABACCounter twin)
+        with fresh slice-init contexts per TU, replacing the linear
+        regression estimate.  Returns objects that must stay alive."""
+        import ctypes
+        import os
+
+        from hm16_2_tpu import native
+        lib = native.get_lib()
+        if lib is None or os.environ.get("HM16_NO_EXACT_BITS"):
+            return []
+        from hm16_2_tpu.bitstream.cabac import ContextSet
+        keep = []
+        ctx = ContextSet()
+        ctx.reset(self.sh.slice_type, min(max(self.sh.qp, 0), 51))
+        keep.append(ctx.state)
+        C.resenc = ctypes.cast(lib.encode_residual, ctypes.c_void_p)
+        C.bits_ctx_init = ctx.state.ctypes.data
+        C.bits_ctx_n = ctx.state.size
+        enc = self.cenc
+        cu = type("CU", (), {})()
+        cu.tqb = 0
+        cu.pred_mode = None
+        be_valid = bool(self.pps.sign_data_hiding)
+        for w in (4, 8, 16, 32):
+            log2w = w.bit_length() - 1
+            for st_ in ((0, 1, 2) if w <= 8 else (0,)):
+                ti = (log2w - 2) * 3 + st_
+                scan, scan_cg = type(enc)._scan32(w, st_)
+                keep.append((scan, scan_cg))
+                C.bits_scan[ti] = scan.ctypes.data
+                C.bits_scan_cg[ti] = scan_cg.ctypes.data
+                for chan, comp in ((0, 0), (1, 1)):
+                    if chan == 1 and w > 16:
+                        continue
+                    if comp >= self.pic.num_comps:
+                        continue
+                    p = enc._res_params(cu, log2w, comp, st_, 0, be_valid)
+                    keep.append(p)
+                    C.bits_params[chan * 12 + ti] = ctypes.addressof(p)
+        return keep
+
     def _commit_ctx(self):
         """ctypes CommitCtx for the native plan-commit engine, or None
         when the fast path's preconditions don't hold."""
@@ -1898,6 +1943,7 @@ class CtuSearch:
                     blob = self._rdoq_blobs[key][1]
                     C.blobs[chan * 18 + log2n * 3 + sc] = \
                         ctypes.addressof(blob)
+        keep += self._fill_bits_kit(C)
         self._cctx = C
         self._cctx_keep = keep
         return C

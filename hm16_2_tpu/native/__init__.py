@@ -105,7 +105,13 @@ class InterCtx(ctypes.Structure):
                 ("ref_h", ctypes.c_int32 * 48),
                 ("ref_poc", ctypes.c_int32 * 16),
                 ("n_ref", ctypes.c_int32 * 2),
-                ("blobs", ctypes.c_void_p * 12)]
+                ("blobs", ctypes.c_void_p * 12),
+                ("resenc", ctypes.c_void_p),
+                ("bits_ctx_init", ctypes.c_void_p),
+                ("bits_ctx_n", ctypes.c_int64),
+                ("bits_params", ctypes.c_void_p * 24),
+                ("bits_scan", ctypes.c_void_p * 12),
+                ("bits_scan_cg", ctypes.c_void_p * 12)]
 
 
 class CommitCtx(ctypes.Structure):
@@ -143,7 +149,13 @@ class CommitCtx(ctypes.Structure):
                 ("plan_tusplit", ctypes.c_void_p),
                 ("plan_cmode", ctypes.c_void_p),
                 ("plan_cands", ctypes.c_void_p),
-                ("blobs", ctypes.c_void_p * 36)]
+                ("blobs", ctypes.c_void_p * 36),
+                ("resenc", ctypes.c_void_p),
+                ("bits_ctx_init", ctypes.c_void_p),
+                ("bits_ctx_n", ctypes.c_int64),
+                ("bits_params", ctypes.c_void_p * 24),
+                ("bits_scan", ctypes.c_void_p * 12),
+                ("bits_scan_cg", ctypes.c_void_p * 12)]
 
 
 class CtuEncCtx(ctypes.Structure):

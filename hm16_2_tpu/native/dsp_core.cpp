@@ -712,6 +712,15 @@ struct CommitCtx {
   const int8_t *plan_cands;
   // RDOQ blobs indexed [chan][log2n][scan_type] (log2n 2..5); null = none
   const RdoqBlob *blobs[2][6][3];
+  // exact TU bit-counting kit (resenc == 0 => regression estimate):
+  // counts the real residual_coding syntax through cabac_core's counting
+  // encoder with fresh slice-init contexts per TU
+  const void *resenc;            // cabac_core encode_residual
+  const uint8_t *bits_ctx_init;  // context states for slice type/QP
+  int64_t bits_ctx_n;
+  const void *bits_params[24];   // ResParams: chan*12 + (log2w-2)*3 + scan
+  const void *bits_scan[12];
+  const void *bits_scan_cg[12];
 };
 
 static inline int cc_mdcs_scan(int size, int comp, int mode) {
@@ -752,6 +761,53 @@ static double cc_res_bits(const int32_t *lvl, int n) {
                 0.616 * esc_bits + 2.275 * lastpos + 1.173 * ncg - 12.817 +
                 1.0;
   return bits > 2.0 ? bits : 2.0;
+}
+
+
+// ---- exact TU bit counting through cabac_core's counting encoder ----
+// layout mirror of cabac_core EncState (keep in sync)
+struct CntEncState {
+  uint8_t *out; int64_t n; uint32_t low; int32_t range_; int32_t bits_left;
+  int32_t num_buffered; int32_t buffered_byte; int32_t counting;
+  int32_t _pad; int64_t frac_bits; int64_t bins;
+};
+typedef int (*resenc_fn_t)(void *, uint8_t *, const void *, const int32_t *,
+                           const int32_t *, const int32_t *, int64_t *);
+
+static double exact_tu_bits_raw(const void *resenc, const uint8_t *ctx_init,
+                                int64_t ctx_n, const void *params,
+                                const void *scan, const void *scan_cg,
+                                const int32_t *lvl, int64_t stride, int n) {
+  if (!resenc || !params || !scan || !ctx_init) return -1.0;
+  static thread_local uint8_t ctx[1024];
+  static thread_local int32_t buf[32 * 32];
+  int64_t rice[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+  if (ctx_n > (int64_t)sizeof(ctx)) return -1.0;
+  for (int y = 0; y < n; y++)
+    for (int x = 0; x < n; x++) buf[y * n + x] = lvl[y * stride + x];
+  memcpy(ctx, ctx_init, (size_t)ctx_n);
+  CntEncState es; memset(&es, 0, sizeof es); es.counting = 1;
+  int r = ((resenc_fn_t)resenc)(&es, ctx, params, (const int32_t *)scan,
+                                (const int32_t *)scan_cg, buf, rice);
+  if (r < 0) return 0.0;                        // all-zero TU
+  return (double)es.frac_bits / 32768.0;
+}
+
+static double cc_tu_bits(const CommitCtx *C, const int32_t *lvl,
+                         int64_t stride, int n, int chan, int scan_type) {
+  int log2w = 31 - __builtin_clz((unsigned)n);
+  int ti = (log2w - 2) * 3 + scan_type;
+  double b = exact_tu_bits_raw(C->resenc, C->bits_ctx_init, C->bits_ctx_n,
+                               C->bits_params[chan * 12 + ti],
+                               C->bits_scan[ti], C->bits_scan_cg[ti],
+                               lvl, stride, n);
+  if (b < 0.0) {
+    static thread_local int32_t tmp[32 * 32];
+    for (int y = 0; y < n; y++)
+      for (int x = 0; x < n; x++) tmp[y * n + x] = lvl[y * stride + x];
+    return cc_res_bits(tmp, n);
+  }
+  return b > 0.0 ? b : 0.8;
 }
 
 // getIntraDirPredictor (decode/ctu_dec._intra_mpm), single-slice fast path
@@ -872,7 +928,9 @@ static int cc_refine(const CommitCtx *C, int px, int py, int log2,
       double mb = 6.0;
       if (mode == mpm[0]) mb = 2.0;
       else if (mode == mpm[1] || mode == mpm[2]) mb = 3.0;
-      double bits = (cbf ? cc_res_bits(lvl_s, size) : 0.8) + mb;
+      double bits = (cbf ? cc_tu_bits(C, lvl_s, size, size, 0,
+                                      cc_mdcs_scan(size, 0, mode))
+                         : 0.8) + mb;
       double cost = dist + C->lam * bits;
       if (getenv("HM16_CC_DEBUG"))
         fprintf(stderr, "ccref %d,%d l%d m%d d%.1f b%.2f c%.1f\n", px, py,
@@ -924,6 +982,15 @@ static void cc_chroma_mode(const CommitCtx *C, int px, int py, int luma_mode,
   *actual = *stored;
 }
 
+
+// strided copy of cc_res_bits for the commit-time RQT trial
+static double cc_res_bits_strided(const int32_t *lvl, int64_t stride, int n) {
+  static thread_local int32_t tmp[32 * 32];
+  for (int y = 0; y < n; y++)
+    for (int x = 0; x < n; x++) tmp[y * n + x] = lvl[y * stride + x];
+  return cc_res_bits(tmp, n);
+}
+
 static int cc_commit_cu(const CommitCtx *C, int px, int py, int log2,
                         int mode, int tusplit) {
   int n = (1 << log2) >> 2;
@@ -934,6 +1001,81 @@ static int cc_commit_cu(const CommitCtx *C, int px, int py, int log2,
     if (r < 0) return -1;
     mode = r >> 1;
     int cbf_y = r & 1;
+    // Commit-time one-level intra RQT (TEncSearch.cpp:1364
+    // xRecurIntraCodingQT): trial-split the luma TU with the winning
+    // mode on the TRUE reconstructed references this walk maintains;
+    // adopt the split when SSE + estimated bits wins, then fall into
+    // the shared-mode split commit below for fields and chroma.
+    int size = 1 << log2;
+    if (size >= 16 && size <= 32 && !getenv("HM16_NO_INTRA_RQT")) {
+      static thread_local int32_t srec[32 * 32], scoef[32 * 32];
+      int64_t st = C->plane_stride[0];
+      int64_t ost = C->orig_stride[0];
+      int x0 = px * 4, y0 = py * 4;
+      const int32_t *orig = C->orig_p[0] + (int64_t)y0 * ost + x0;
+      int32_t *rec = C->rec_p[0] + (int64_t)y0 * st + x0;
+      int32_t *coef = C->coeff_p[0] + (int64_t)y0 * st + x0;
+      for (int y = 0; y < size; y++)
+        for (int x = 0; x < size; x++) {
+          srec[y * size + x] = rec[y * st + x];
+          scoef[y * size + x] = coef[y * st + x];
+        }
+      double dist_w = 0.0;
+      for (int y = 0; y < size; y++)
+        for (int x = 0; x < size; x++) {
+          double d = (double)(orig[y * ost + x] - rec[y * st + x]);
+          dist_w += d * d;
+        }
+      double bits_w = cbf_y ? cc_tu_bits(C, coef, st, size, 0,
+                                         cc_mdcs_scan(size, 0, mode))
+                            : 0.8;
+      double cost_w = dist_w + C->lam * (bits_w + 1.0);
+      int hn = n / 2 > 0 ? n / 2 : 1;
+      int hs = size / 2;
+      int kids[4];
+      int ok = 1;
+      double bits_s = 1.0;                       // split_transform_flag
+      for (int sub = 0; sub < 4 && ok; sub++) {
+        int cx = px + (sub & 1) * hn;
+        int cy = py + (sub >> 1) * hn;
+        int k = cc_code_tu(C, cx, cy, log2 - 1, 0, mode, 0, 0);
+        if (k < 0) { ok = 0; break; }
+        kids[sub] = k;
+        bits_s += 1.0;                           // per-sub luma cbf bin
+        if (k)
+          bits_s += cc_tu_bits(
+              C, C->coeff_p[0] + (int64_t)(cy * 4) * st + cx * 4, st, hs,
+              0, cc_mdcs_scan(hs, 0, mode));
+        // mark the quadrant coded so the next quadrant's prediction
+        // references its fresh reconstruction (TU-split semantics)
+        for (int y = 0; y < hn; y++)
+          for (int x = 0; x < hn; x++)
+            C->coded[(cy + y) * W + cx + x] = 1;
+      }
+      int adopt = 0;
+      if (ok) {
+        double dist_s = 0.0;
+        for (int y = 0; y < size; y++)
+          for (int x = 0; x < size; x++) {
+            double d = (double)(orig[y * ost + x] - rec[y * st + x]);
+            dist_s += d * d;
+          }
+        if (dist_s + C->lam * bits_s < cost_w) adopt = 1;
+      }
+      if (!adopt) {
+        for (int y = 0; y < size; y++)
+          for (int x = 0; x < size; x++) {
+            rec[y * st + x] = srec[y * size + x];
+            coef[y * st + x] = scoef[y * size + x];
+          }
+      } else {
+        // fields + chroma handled by the shared-mode split path below
+        // (the luma sub-TUs recode deterministically to the same result)
+        tusplit = 1;
+      }
+      (void)kids;
+    }
+    if (!tusplit) {
     int stored, cmode;
     cc_chroma_mode(C, px, py, mode, &stored, &cmode);
     for (int y = 0; y < n; y++)
@@ -954,6 +1096,7 @@ static int cc_commit_cu(const CommitCtx *C, int px, int py, int log2,
         }
     }
     return 0;
+    }
   }
   // shared-mode one-level TU split
   int stored, cmode;
@@ -1655,6 +1798,7 @@ static inline int mc_clampi(int v, int lo, int hi) {
 
 }  // namespace
 
+
 extern "C" int mc_block_native(const int32_t *ref, int64_t stride, int ph,
                                int pw, int x0, int y0, int w, int h,
                                int mv_x, int mv_y, int frac_bits_x,
@@ -1801,6 +1945,13 @@ struct InterCtx {
   int32_t n_ref[2];
   // RDOQ blobs per [chan][log2n] (scan 0; inter has no MDCS)
   const RdoqBlob *blobs[2][6];
+  // exact TU bit-counting kit (see CommitCtx)
+  const void *resenc;
+  const uint8_t *bits_ctx_init;
+  int64_t bits_ctx_n;
+  const void *bits_params[24];
+  const void *bits_scan[12];
+  const void *bits_scan_cg[12];
 };
 
 extern "C" int mc_block_native(const int32_t *, int64_t, int, int, int, int,
@@ -1898,6 +2049,29 @@ static void ic_fill_i8(int8_t *arr, int parts_w, int px, int py, int n,
                        int8_t v) {
   for (int y = 0; y < n; y++)
     for (int x = 0; x < n; x++) arr[(py + y) * parts_w + px + x] = v;
+}
+
+static double ic_tu_bits(const InterCtx *I, const int32_t *lvl,
+                         int64_t stride, int n, int chan) {
+  if (n > 32 || (chan == 1 && n > 16)) {
+    // region spans four coded TUs (implicit split): sum the quadrants
+    int h = n / 2;
+    return ic_tu_bits(I, lvl, stride, h, chan) +
+           ic_tu_bits(I, lvl + h, stride, h, chan) +
+           ic_tu_bits(I, lvl + h * stride, stride, h, chan) +
+           ic_tu_bits(I, lvl + h * stride + h, stride, h, chan);
+  }
+  int log2w = 31 - __builtin_clz((unsigned)n);
+  int ti = (log2w - 2) * 3;                    // inter residuals scan diag
+  double b = exact_tu_bits_raw(I->resenc, I->bits_ctx_init, I->bits_ctx_n,
+                               I->bits_params[chan * 12 + ti],
+                               I->bits_scan[ti], I->bits_scan_cg[ti],
+                               lvl, stride, n);
+  if (b >= 0.0) return b > 0.0 ? b : 0.8;
+  static thread_local int32_t tmp[32 * 32];
+  for (int y = 0; y < n; y++)
+    for (int x = 0; x < n; x++) tmp[y * n + x] = lvl[y * stride + x];
+  return cc_res_bits(tmp, n);
 }
 
 // copy of cc_res_bits on strided levels
@@ -2004,7 +2178,8 @@ extern "C" int inter_commit_cu(const InterCtx *I, int px, int py, int log2,
       tot_w += w * ic_sse(I->orig_p[comp] + cy0 * ost + cx0, ost,
                           snap_rec[comp], cs, cs);
       if (ic_any(snap_lvl[comp], cs, cs))
-        tot_w += I->lam * cc_res_bits(snap_lvl[comp], cs);
+        tot_w += I->lam * ic_tu_bits(I, snap_lvl[comp], cs, cs,
+                                     comp ? 1 : 0);
     }
     double tot_s = I->lam * 1.0;
     int child[3][4] = {{0}};
@@ -2026,8 +2201,9 @@ extern "C" int inter_commit_cu(const InterCtx *I, int px, int py, int log2,
         child[comp][q] = k;
         tot_s += I->lam * 1.0;
         if (k)
-          tot_s += I->lam * ic_res_bits(
-              I->coeff_p[comp] + (cy0 + ty) * st + cx0 + tx, st, hs);
+          tot_s += I->lam * ic_tu_bits(
+              I, I->coeff_p[comp] + (cy0 + ty) * st + cx0 + tx, st, hs,
+              comp ? 1 : 0);
       }
       if (ok)
         tot_s += w * ic_sse(I->orig_p[comp] + cy0 * ost + cx0, ost,
@@ -2084,7 +2260,8 @@ extern "C" int inter_commit_cu(const InterCtx *I, int px, int py, int log2,
       dist_z += w * ic_sse(I->orig_p[comp] + cy0 * ost + cx0, ost,
                            pred[comp], cs, cs);
       if (ic_any(I->coeff_p[comp] + cy0 * st + cx0, st, cs))
-        bits_c += ic_res_bits(I->coeff_p[comp] + cy0 * st + cx0, st, cs);
+        bits_c += ic_tu_bits(I, I->coeff_p[comp] + cy0 * st + cx0, st, cs,
+                             comp ? 1 : 0);
     }
     if (dist_z + I->lam * 1.0 < dist_c + I->lam * bits_c) {
       for (int comp = 0; comp < I->num_comps; comp++) {
@@ -2107,4 +2284,11 @@ extern "C" int inter_commit_cu(const InterCtx *I, int px, int py, int log2,
   ic_fill_i8(I->skip, I->parts_w, px, py, n,
              (is_merge && !any_cbf) ? 1 : 0);
   return 0;
+}
+
+extern "C" void dsp_struct_probe(int64_t *out) {
+  out[0] = (int64_t)sizeof(InterCtx);
+  out[1] = (int64_t)__builtin_offsetof(InterCtx, resenc);
+  out[2] = (int64_t)sizeof(CommitCtx);
+  out[3] = (int64_t)__builtin_offsetof(CommitCtx, resenc);
 }

@@ -32,7 +32,8 @@ from hm16_2_tpu.encode.ctu_enc import CtuEncoder
 from hm16_2_tpu.headers import write as W
 from hm16_2_tpu.headers.params import (
     B_SLICE, I_SLICE, P_SLICE, NAL_CRA, NAL_IDR_N_LP, NAL_IDR_W_RADL,
-    NAL_RASL_R, NAL_TRAIL_R, PPS, SPS, ShortTermRPS, SliceHeader, VPS)
+    NAL_RASL_R, NAL_TRAIL_R, PPS, SPS, ShortTermRPS, SliceHeader, VPS,
+    is_irap)
 from hm16_2_tpu.ops import interp_ref, intra_ref, transforms_ref
 from hm16_2_tpu.ops.intra_ref import DM_CHROMA_IDX
 from hm16_2_tpu.ops.satd import satd_block
@@ -46,7 +47,9 @@ class EncoderConfig:
                  wpp=False, tile_cols=1, tile_rows=1, der=16, hash_type=0,
                  gop_table=None, weighted_pred=False, slices=1,
                  sei_timing=False, transform_skip=False,
-                 aq=False, aq_strength=1.0, rc_ctu=False):
+                 aq=False, aq_strength=1.0, rc_ctu=False,
+                 scaling_list=0, scaling_list_file=None,
+                 sei_buffering_period=False, sei_recovery_point=False):
         self.width, self.height = width, height
         self.qp = qp
         self.bit_depth = bit_depth
@@ -72,6 +75,10 @@ class EncoderConfig:
         self.transform_skip = transform_skip  # 4x4 TU tskip eval
         self.aq = aq                 # TM5 adaptive QP (per-CTU dQP)
         self.aq_strength = aq_strength
+        self.scaling_list = scaling_list   # 0 off / 1 default / 2 file
+        self.scaling_list_file = scaling_list_file
+        self.sei_buffering_period = sei_buffering_period  # HRD + BP SEI
+        self.sei_recovery_point = sei_recovery_point
         self.rc_ctu = rc_ctu         # CTU-level R-lambda RC (LCULevelRC)
         self.hash_type = hash_type   # decoded-picture-hash SEI: 0 MD5 / 1 CRC / 2 checksum
         # explicit GOPEntry table (TEncCfg.h:49-88) parsed from the cfg
@@ -153,6 +160,24 @@ def build_sps_pps(cfg: EncoderConfig):
         sps.vui_num_units_in_tick = 1
         sps.vui_time_scale = cfg.frame_rate
         sps.vui_frame_field_info = 1
+    if cfg.sei_buffering_period:
+        # HRD parameters in the VUI (TEncTop::xSetHrdParameters): nominal
+        # rate from rate control when on, else a generous resolution-based
+        # default; CPB sized for one second at the nominal rate
+        sps.vui_present = 1
+        sps.vui_num_units_in_tick = 1
+        sps.vui_time_scale = cfg.frame_rate
+        sps.vui_hrd_present = 1
+        rate = cfg.target_bps or max(
+            cfg.width * cfg.height * cfg.frame_rate // 10, 1 << 16)
+        sps.hrd_bit_rate = int(rate)
+        sps.hrd_cpb_size = int(rate)
+    if cfg.scaling_list:
+        sps.scaling_list_enabled = 1
+        if cfg.scaling_list == 2:
+            from hm16_2_tpu.headers.params import parse_scaling_list_file
+            sps.scaling_list_present = 1
+            sps.scaling_list = parse_scaling_list_file(cfg.scaling_list_file)
     if cfg.tile_cols > 1 or cfg.tile_rows > 1:
         pps.tiles_enabled = 1
         pps.num_tile_cols = cfg.tile_cols
@@ -967,8 +992,24 @@ class Encoder:
             nals += [W.write_vps(self.vps), W.write_sps(sps), W.write_pps(pps)]
             if cfg.sei_timing:
                 nals.append(W.write_active_parameter_sets_sei(0, sps.sps_id))
+        irap = is_irap(sh.nal_type)
+        if cfg.sei_buffering_period and (irap or self.frames_coded == 0):
+            # buffering period at every IRAP (TEncGOP: bufferingPeriodSEI
+            # on RAP access units); restarts the cpb removal-delay clock
+            nals.append(W.write_buffering_period_sei(sps, sps.sps_id))
+            self._cpb_anchor = self.frames_coded
+        if cfg.sei_recovery_point and irap:
+            nals.append(W.write_recovery_point_sei(0, 1, 0))
         if cfg.sei_timing:
-            nals.append(W.write_pic_timing_sei())
+            if sps.vui_hrd_present:
+                anchor = getattr(self, "_cpb_anchor", 0)
+                nals.append(W.write_pic_timing_sei(
+                    0, sps,
+                    au_cpb_removal_delay=self.frames_coded - anchor + 1,
+                    pic_dpb_output_delay=int(sps.num_reorder_pics[0]
+                                             + poc - self.frames_coded)))
+            else:
+                nals.append(W.write_pic_timing_sei())
         nals += slice_nals + [sei_nal]
         self.frames_coded += 1
         self.last_recon = recon
@@ -1431,6 +1472,7 @@ class CtuSearch:
               and sps.chroma_format_idc in (0, 1)
               and not wp_active
               and not pps.cu_qp_delta_enabled
+              and not sps.scaling_list_enabled
               and all(len(l) <= 8 for l in rc.ref_lists)
               and not os.environ.get("HM16_NO_COMMIT_ENGINE"))
         if not ok:
@@ -1849,6 +1891,7 @@ class CtuSearch:
         lib = native.get_dsp()
         ok = (lib is not None and self.rdoq and self.plan is not None
               and not pps.constrained_intra_pred
+              and not sps.scaling_list_enabled
               and sps.chroma_format_idc in (0, 1)
               and len(pic.tiles.col_bounds) == 2
               and len(pic.tiles.row_bounds) == 2
@@ -2407,8 +2450,10 @@ class CtuSearch:
                                          cx0:cx0 + cs].astype(np.int64)
                     fwd = transforms_ref.forward_transform(co - cpred, bd,
                                                            False)
+                    slm = self._scaling_for(comp, log2_tr, False)
                     levels = transforms_ref.quant(fwd, qp, bd, log2_tr,
-                                                  is_intra=False)
+                                                  is_intra=False,
+                                                  scaling_list_coeffs=slm)
                     scan = self._sbh_scan(cs, comp, -1)
                     if scan is not None and np.any(levels):
                         levels = transforms_ref.sign_bit_hiding(
@@ -2417,7 +2462,8 @@ class CtuSearch:
                     pic.coeff[comp][cy0:cy0 + cs, cx0:cx0 + cs] = levels
                     rec_resi = 0
                     if cbf:
-                        deq = transforms_ref.dequant(levels, qp, bd, log2_tr)
+                        deq = transforms_ref.dequant(levels, qp, bd, log2_tr,
+                                                     slm)
                         rec_resi = transforms_ref.inverse_transform(deq, bd,
                                                                     False)
                     pic.rec[comp][cy0:cy0 + cs, cx0:cx0 + cs] = np.clip(
@@ -3049,7 +3095,9 @@ class CtuSearch:
         orig = self.orig[comp][y0:y0 + size, x0:x0 + size].astype(np.int64)
         resi = orig - pred
         fwd = transforms_ref.forward_transform(resi, bd, use_dst)
-        levels = transforms_ref.quant(fwd, qp, bd, log2_tr, is_intra=True)
+        slm = self._scaling_for(comp, log2_tr, True)
+        levels = transforms_ref.quant(fwd, qp, bd, log2_tr, is_intra=True,
+                                      scaling_list_coeffs=slm)
         scan = self._sbh_scan(size, comp, int(mode))
         if scan is not None and np.any(levels):
             levels = transforms_ref.sign_bit_hiding(levels, fwd, qp, bd,
@@ -3057,7 +3105,7 @@ class CtuSearch:
         cbf = 1 if np.any(levels) else 0
         pic.coeff[comp][y0:y0 + size, x0:x0 + size] = levels
         if cbf:
-            deq = transforms_ref.dequant(levels, qp, bd, log2_tr)
+            deq = transforms_ref.dequant(levels, qp, bd, log2_tr, slm)
             rec_resi = transforms_ref.inverse_transform(deq, bd, use_dst)
         else:
             rec_resi = 0
@@ -3087,15 +3135,17 @@ class CtuSearch:
                     (resi >> (-tshift))
             else:
                 fwd = transforms_ref.forward_transform(resi, bd, use_dst)
+            slm = self._scaling_for(comp, log2_tr, True)
             levels = transforms_ref.quant(fwd, qp, bd, log2_tr,
-                                          is_intra=True)
+                                          is_intra=True,
+                                          scaling_list_coeffs=slm)
             scan = self._sbh_scan(size, comp, int(mode))
             if scan is not None and np.any(levels):
                 levels = transforms_ref.sign_bit_hiding(
                     levels, fwd, qp, bd, log2_tr, scan)
             cbf = 1 if np.any(levels) else 0
             if cbf:
-                deq = transforms_ref.dequant(levels, qp, bd, log2_tr)
+                deq = transforms_ref.dequant(levels, qp, bd, log2_tr, slm)
                 if ts:
                     rec_resi = transforms_ref.inverse_transform_skip(
                         deq, bd)
@@ -3128,6 +3178,7 @@ class CtuSearch:
         lib = native.get_dsp()
         pic = self.pic
         if lib is None or self.pps.constrained_intra_pred or \
+                self.sps.scaling_list_enabled or \
                 len(pic.tiles.col_bounds) != 2 or \
                 len(pic.tiles.row_bounds) != 2 or len(pic.slices) != 1:
             return -1
@@ -3189,7 +3240,9 @@ class CtuSearch:
         Writes levels and reconstruction directly into the picture planes."""
         from hm16_2_tpu import native
         lib = native.get_dsp()
-        if lib is None:
+        if lib is None or self.sps.scaling_list_enabled:
+            # the native TU coder quantizes with the flat matrix only;
+            # scaling lists take the python path (transforms_ref)
             return -1
         import ctypes
         pic = self.pic
@@ -3358,6 +3411,27 @@ class CtuSearch:
                 get_scan(size, size, scan_type, grouped=True), dtype=np.int32)
             self._sbh_scan_cache[key] = arr
         return arr
+
+    def _scaling_for(self, comp, log2_tr, is_intra):
+        """Flat per-coefficient scaling matrix for the encoder's
+        quant/dequant, or None when scaling lists are off (HM
+        getQuantCoeff/getDequantCoeff selection in xQuant/xDeQuant)."""
+        if not self.sps.scaling_list_enabled:
+            return None
+        key = (comp, log2_tr, bool(is_intra))
+        cache = getattr(self, "_sl_enc_cache", None)
+        if cache is None:
+            cache = self._sl_enc_cache = {}
+        m = cache.get(key)
+        if m is None:
+            from hm16_2_tpu.headers.params import scaling_matrix_flat
+            sl = self.pps.scaling_list if self.pps.scaling_list_present \
+                else (self.sps.scaling_list if self.sps.scaling_list_present
+                      else None)
+            m = scaling_matrix_flat(sl, log2_tr,
+                                    (0 if is_intra else 3) + comp)
+            cache[key] = m
+        return m
 
     def _tu_qp(self, px, py, comp):
         sps, pps, sh = self.sps, self.pps, self.sh

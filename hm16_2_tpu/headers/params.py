@@ -167,6 +167,9 @@ class SPS:
     vui_time_scale: int = 30
     vui_frame_field_info: int = 0
     vui_raw_bits: tuple = ()
+    vui_hrd_present: int = 0      # NAL HRD parameters in VUI (E.2.2)
+    hrd_bit_rate: int = 0         # nominal CPB input rate, bits/s
+    hrd_cpb_size: int = 0         # CPB size, bits
     # range extension
     extended_precision: int = 0
     transform_skip_rotation: int = 0
@@ -330,3 +333,96 @@ def default_scaling_list_coeffs(size_id: int, list_id: int) -> np.ndarray:
     intra = (list_id < 3) if size_id < 3 else (list_id == 0)
     return (SCALING_LIST_DEFAULT_8x8_INTRA if intra
             else SCALING_LIST_DEFAULT_8x8_INTER).copy()
+
+
+SCALING_FILE_MATRIX_NAMES = [
+    ["INTRA4X4_LUMA", "INTRA4X4_CHROMAU", "INTRA4X4_CHROMAV",
+     "INTER4X4_LUMA", "INTER4X4_CHROMAU", "INTER4X4_CHROMAV"],
+    ["INTRA8X8_LUMA", "INTRA8X8_CHROMAU", "INTRA8X8_CHROMAV",
+     "INTER8X8_LUMA", "INTER8X8_CHROMAU", "INTER8X8_CHROMAV"],
+    ["INTRA16X16_LUMA", "INTRA16X16_CHROMAU", "INTRA16X16_CHROMAV",
+     "INTER16X16_LUMA", "INTER16X16_CHROMAU", "INTER16X16_CHROMAV"],
+    ["INTRA32X32_LUMA", None, None, "INTER32X32_LUMA", None, None],
+]
+SCALING_FILE_DC_NAMES = [
+    [None] * 6, [None] * 6,
+    ["INTRA16X16_LUMA_DC", "INTRA16X16_CHROMAU_DC", "INTRA16X16_CHROMAV_DC",
+     "INTER16X16_LUMA_DC", "INTER16X16_CHROMAU_DC", "INTER16X16_CHROMAV_DC"],
+    ["INTRA32X32_LUMA_DC", None, None, "INTER32X32_LUMA_DC", None, None],
+]
+
+
+def parse_scaling_list_file(path: str) -> "ScalingList":
+    """Parse an HM ScalingListFile (TComScalingList::xParseScalingList,
+    TComSlice.cpp:2108): each matrix is introduced by a line containing its
+    name, followed by 16/64 comma- or whitespace-separated values in raster
+    order of the base matrix, with a separate _DC entry for >=16x16.
+    32x32 chroma lists are derived from the 16x16 ones."""
+    import re
+    with open(path) as f:
+        text = f.read()
+    lines = text.splitlines()
+
+    def read_values(name, count):
+        for i, ln in enumerate(lines):
+            if name in ln:
+                # reject a match that is really the _DC entry
+                if not name.endswith("_DC") and name + "_DC" in ln:
+                    continue
+                after = ln.split(name, 1)[1]
+                nums = re.findall(r"-?\d+",
+                                  after + "\n" + "\n".join(lines[i + 1:]))
+                if len(nums) < count:
+                    raise ValueError(
+                        f"scaling list file: matrix {name} truncated")
+                return [int(v) for v in nums[:count]]
+        raise ValueError(f"scaling list file: matrix {name} not found")
+
+    sl = ScalingList()
+    for size_id in range(4):
+        count = 16 if size_id == 0 else 64
+        for list_id in range(6):
+            name = SCALING_FILE_MATRIX_NAMES[size_id][list_id]
+            if name is None:        # 32x32 chroma: derive from 16x16
+                sl.lists[(size_id, list_id)] = \
+                    sl.lists[(size_id - 1, list_id)].copy()
+                sl.dc[(size_id, list_id)] = sl.dc[(size_id - 1, list_id)]
+                continue
+            vals = np.array(read_values(name, count), dtype=np.int64)
+            if np.any(vals < 1) or np.any(vals > 255):
+                raise ValueError(f"scaling list {name}: out of range")
+            sl.lists[(size_id, list_id)] = vals
+            if size_id > 1:
+                dc = read_values(SCALING_FILE_DC_NAMES[size_id][list_id],
+                                 1)[0]
+                if not 1 <= dc <= 255:
+                    raise ValueError(f"scaling list {name}: DC out of range")
+                sl.dc[(size_id, list_id)] = dc
+    return sl
+
+
+def scaling_matrix_flat(sl: "ScalingList | None", log2_tr: int,
+                        list_id: int) -> np.ndarray:
+    """Per-coefficient scaling matrix for a TU, flat in raster order.
+
+    Upsamples >=16x16 lists (coded as 8x8 + DC) by pixel repetition and
+    substitutes the DC (HM xSetScalingListDec / processScalingListDec,
+    TComTrQuant.cpp:3090); falls back to the default lists for absent
+    entries.  Shared by the decoder dequant and the encoder quant paths.
+    """
+    size_id = log2_tr - 2
+    if sl is not None and (size_id, list_id) in sl.lists:
+        coefs = sl.lists[(size_id, list_id)]
+        dc = sl.dc.get((size_id, list_id), 16)
+    else:
+        coefs = default_scaling_list_coeffs(size_id, list_id)
+        dc = 16
+    size = 1 << log2_tr
+    if size_id <= 1:
+        mat = np.asarray(coefs).reshape(size, size).copy()
+    else:
+        ratio = size // 8
+        base = np.asarray(coefs).reshape(8, 8)
+        mat = np.repeat(np.repeat(base, ratio, 0), ratio, 1).copy()
+        mat[0, 0] = dc
+    return mat.astype(np.int64).ravel()

@@ -121,7 +121,9 @@ def write_sps(s: SPS) -> bytes:
     bw.ue(s.max_tr_hierarchy_depth_intra - 1)
     bw.flag(s.scaling_list_enabled)
     if s.scaling_list_enabled:
-        bw.flag(0)                # sps_scaling_list_data_present (use defaults)
+        bw.flag(s.scaling_list_present)
+        if s.scaling_list_present:
+            write_scaling_list_data(bw, s.scaling_list)
     bw.flag(s.amp_enabled)
     bw.flag(s.sao_enabled)
     bw.flag(s.pcm_enabled)
@@ -194,7 +196,9 @@ def write_pps(p: PPS) -> bytes:
         if not p.deblocking_filter_disabled:
             bw.se(p.beta_offset_div2)
             bw.se(p.tc_offset_div2)
-    bw.flag(0)                    # pps_scaling_list_data_present
+    bw.flag(p.scaling_list_present)
+    if p.scaling_list_present:
+        write_scaling_list_data(bw, p.scaling_list)
     bw.flag(p.lists_modification_present)
     bw.ue(p.log2_parallel_merge_level - 2)
     bw.flag(p.slice_header_extension_present)
@@ -218,8 +222,137 @@ def _write_vui(bw: BitWriter, s: SPS):
     bw.u(s.vui_num_units_in_tick, 32)
     bw.u(s.vui_time_scale, 32)
     bw.flag(0)                    # poc_proportional_to_timing
-    bw.flag(0)                    # hrd_parameters_present
+    bw.flag(1 if s.vui_hrd_present else 0)
+    if s.vui_hrd_present:
+        write_hrd_parameters(bw, s)
     bw.flag(0)                    # bitstream_restriction
+
+
+# ---------------------------------------------------------------------------
+# HRD (hypothetical reference decoder) parameters + the SEI messages that
+# depend on them.  Mirrors TEncCavlc::codeHrdParameters (TEncCavlc.cpp) and
+# SEIwrite.cpp xWriteSEIBufferingPeriod / xWriteSEIPictureTiming; the
+# fixed-length delay fields all use 24 bits (length_minus1 = 23), the HM
+# default.
+# ---------------------------------------------------------------------------
+
+HRD_DELAY_BITS = 24               # initial/au-removal/dpb-output delay lengths
+
+
+def hrd_scale_values(sps: SPS):
+    """(bit_rate_scale, bit_rate_value_minus1, cpb_size_scale,
+    cpb_size_value_minus1) for the single CPB (cpb_cnt = 1).
+
+    BitRate = (value+1) << (6 + scale); CpbSize = (value+1) << (4 + scale)
+    (spec E.2.3).  Scales are chosen so the value fits the spec's strict
+    rounding with small error, like TEncTop's xSetHrdParameters."""
+    def split(val, base):
+        scale = 0
+        while (val >> (base + scale + 1)) >= (1 << 20) and scale < 15:
+            scale += 1
+        return scale, max((val >> (base + scale)) - 1, 0)
+
+    br_scale, br_val = split(max(sps.hrd_bit_rate, 1 << 6), 6)
+    cpb_scale, cpb_val = split(max(sps.hrd_cpb_size, 1 << 4), 4)
+    return br_scale, br_val, cpb_scale, cpb_val
+
+
+def write_hrd_parameters(bw: BitWriter, s: SPS):
+    """hrd_parameters() with commonInfPresent = 1, NAL HRD only, one
+    sub-layer, one CPB, no sub-pic HRD (E.2.2)."""
+    br_scale, br_val, cpb_scale, cpb_val = hrd_scale_values(s)
+    bw.flag(1)                    # nal_hrd_parameters_present
+    bw.flag(0)                    # vcl_hrd_parameters_present
+    bw.flag(0)                    # sub_pic_hrd_params_present
+    bw.u(br_scale, 4)             # bit_rate_scale
+    bw.u(cpb_scale, 4)            # cpb_size_scale
+    bw.u(HRD_DELAY_BITS - 1, 5)   # initial_cpb_removal_delay_length_minus1
+    bw.u(HRD_DELAY_BITS - 1, 5)   # au_cpb_removal_delay_length_minus1
+    bw.u(HRD_DELAY_BITS - 1, 5)   # dpb_output_delay_length_minus1
+    for _ in range(s.max_sub_layers):
+        bw.flag(1)                # fixed_pic_rate_general_flag
+        bw.ue(0)                  # elemental_duration_in_tc_minus1
+        bw.ue(0)                  # cpb_cnt_minus1
+        # nal_hrd sub-layer parameters, one CPB
+        bw.ue(br_val)             # bit_rate_value_minus1
+        bw.ue(cpb_val)            # cpb_size_value_minus1
+        bw.flag(0)                # cbr_flag
+
+
+def write_buffering_period_sei(sps: SPS, sps_id: int = 0) -> bytes:
+    """buffering_period SEI (type 0, D.2.2; SEIwrite.cpp
+    xWriteSEIBufferingPeriod).  initial_cpb_removal_delay is the 90 kHz
+    time to fill the CPB at the nominal rate."""
+    bw = BitWriter()
+    bw.ue(sps_id)                 # bp_seq_parameter_set_id
+    bw.flag(0)                    # irap_cpb_params_present_flag
+    bw.flag(0)                    # concatenation_flag
+    bw.u(0, HRD_DELAY_BITS)       # au_cpb_removal_delay_delta_minus1
+    br_scale, br_val, cpb_scale, cpb_val = hrd_scale_values(sps)
+    bit_rate = (br_val + 1) << (6 + br_scale)
+    cpb_size = (cpb_val + 1) << (4 + cpb_scale)
+    delay = max(int(90000 * cpb_size / bit_rate), 1)
+    delay = min(delay, (1 << HRD_DELAY_BITS) - 1)
+    offset = (1 << HRD_DELAY_BITS) - 1 - delay
+    bw.u(delay, HRD_DELAY_BITS)   # nal_initial_cpb_removal_delay[0]
+    bw.u(offset, HRD_DELAY_BITS)  # nal_initial_cpb_removal_offset[0]
+    bw.byte_align_with_stop_bit()
+    return _make_sei(0, bw.get_bytes())
+
+
+def write_recovery_point_sei(recovery_poc_cnt: int = 0, exact_match: int = 1,
+                             broken_link: int = 0) -> bytes:
+    """recovery_point SEI (type 6, D.2.8; SEIwrite.cpp
+    xWriteSEIRecoveryPoint)."""
+    bw = BitWriter()
+    bw.se(recovery_poc_cnt)
+    bw.flag(exact_match)
+    bw.flag(broken_link)
+    bw.byte_align_with_stop_bit()
+    return _make_sei(6, bw.get_bytes())
+
+
+# ---------------------------------------------------------------------------
+# scaling_list_data (7.3.4; TEncCavlc::codeScalingList) — dual of
+# parse.parse_scaling_list
+# ---------------------------------------------------------------------------
+
+def write_scaling_list_data(bw: BitWriter, sl) -> None:
+    """Write scaling_list_data().  Lists equal to the default (or absent)
+    are coded in copy mode with delta 0; others in DPCM mode over the
+    diagonal scan, with a separate DC for 16x16/32x32."""
+    import numpy as np
+    from hm16_2_tpu.common.tables import get_scan, SCAN_DIAG
+    from hm16_2_tpu.headers.params import default_scaling_list_coeffs
+    for size_id in range(4):
+        for list_id in range(6):
+            if size_id == 3 and list_id % 3 != 0:
+                continue          # 32x32 codes lists 0 and 3 only
+            coefs = sl.lists.get((size_id, list_id)) if sl else None
+            dc = sl.dc.get((size_id, list_id), 16) if sl else 16
+            if coefs is None or (
+                    np.array_equal(coefs,
+                                   default_scaling_list_coeffs(size_id,
+                                                               list_id))
+                    and (size_id <= 1 or dc == 16)):
+                bw.flag(0)        # scaling_list_pred_mode_flag: copy
+                bw.ue(0)          # pred_matrix_id_delta 0 = use default
+                continue
+            bw.flag(1)            # DPCM-coded
+            coef_num = min(64, (16, 64, 256, 1024)[size_id])
+            next_coef = 8
+            if size_id > 1:
+                bw.se(int(dc) - 8)
+                next_coef = int(dc)
+            side = 4 if size_id == 0 else 8
+            scan = get_scan(side, side, SCAN_DIAG, grouped=False)
+            for i in range(coef_num):
+                cur = int(coefs[scan[i]])
+                delta = (cur - next_coef + 256) % 256
+                if delta > 127:
+                    delta -= 256
+                bw.se(delta)
+                next_coef = cur
 
 
 def _make_sei(payload_type: int, payload: bytes, nal_type=NAL_SEI_PREFIX):
@@ -250,13 +383,20 @@ def write_active_parameter_sets_sei(vps_id=0, sps_id=0) -> bytes:
     return _make_sei(129, bw.get_bytes())
 
 
-def write_pic_timing_sei(pic_struct=0) -> bytes:
-    """pic_timing SEI (type 1) with frame-field info only (no HRD:
-    cpb/dpb delays absent; requires SPS vui_frame_field_info=1)."""
+def write_pic_timing_sei(pic_struct=0, sps: SPS | None = None,
+                         au_cpb_removal_delay: int = 1,
+                         pic_dpb_output_delay: int = 0) -> bytes:
+    """pic_timing SEI (type 1) with frame-field info; when the SPS carries
+    HRD parameters (vui_hrd_present) the cpb-removal/dpb-output delays are
+    written too (D.2.3; SEIwrite.cpp xWriteSEIPictureTiming)."""
     bw = BitWriter()
     bw.u(pic_struct, 4)
     bw.u(0, 2)                    # source_scan_type: progressive
     bw.flag(0)                    # duplicate_flag
+    if sps is not None and sps.vui_hrd_present:
+        mask = (1 << HRD_DELAY_BITS) - 1
+        bw.u(max(au_cpb_removal_delay - 1, 0) & mask, HRD_DELAY_BITS)
+        bw.u(pic_dpb_output_delay & mask, HRD_DELAY_BITS)
     bw.byte_align_with_stop_bit()
     return _make_sei(1, bw.get_bytes())
 

@@ -125,15 +125,23 @@ def inverse_transform_skip(coeffs: np.ndarray, bit_depth: int,
 
 def quant(coeffs: np.ndarray, qp: int, bit_depth: int, log2_tr_size: int,
           is_intra: bool, max_tr_dynamic_range: int = 15,
-          lambda_scale: int | None = None) -> np.ndarray:
-    """Plain (non-RDOQ) quantization (HM xQuant :1087), flat scaling list.
+          lambda_scale: int | None = None,
+          scaling_list_coeffs: np.ndarray | None = None) -> np.ndarray:
+    """Plain (non-RDOQ) quantization (HM xQuant :1087).
 
     Rounding offset: 171/512 intra, 85/512 inter (HM default f).
+    scaling_list_coeffs: flat per-coefficient scales (upsampled to this
+    block size, DC substituted) or None for the flat default.  The
+    per-coefficient quantiser is (quantScales << 4) / w, same q_bits
+    (xSetScalingListEnc / processScalingListEnc, TComTrQuant.cpp:3062).
     """
     per, rem = qp // 6, qp % 6
     tshift = transform_shift(bit_depth, log2_tr_size, max_tr_dynamic_range)
     q_bits = 14 + per + tshift   # QUANT_SHIFT=14
     scale = int(QUANT_SCALES[rem])
+    if scaling_list_coeffs is not None:
+        scale = (scale << 4) // scaling_list_coeffs.reshape(
+            coeffs.shape).astype(np.int64)
     add = (171 if is_intra else 85) << (q_bits - 9)
     c = coeffs.astype(np.int64)
     sign = np.where(c < 0, -1, 1)

@@ -47,6 +47,13 @@ def build_options() -> Options:
     o.add("NumTileRowsMinus1", 0, "Number of tile rows minus 1")
     o.add("TileUniformSpacing", True, "Uniform tile grid")
     o.add("SEIDecodedPictureHash", 1, "Hash SEI: 1 MD5 / 2 CRC / 3 checksum")
+    o.add("SEIBufferingPeriod", 0, "Buffering period SEI + HRD in VUI")
+    o.add("SEIRecoveryPoint", 0, "Recovery point SEI on IRAP pictures")
+    o.add("SEIPictureTiming", 0, "Picture timing SEI (+ VUI timing info)")
+    o.add("SEIActiveParameterSets", 0, "Active parameter sets SEI")
+    o.add("ScalingList", 0,
+          "0: no scaling lists, 1: default lists, 2: from ScalingListFile")
+    o.add("ScalingListFile", "", "Scaling list file (HM matrix format)")
     o.add("RateControl", False, "Rate control: enable R-lambda model")
     o.add("TargetBitrate", 0, "Rate control: target bit-rate")
     o.add("LCULevelRateControl", True,
@@ -82,7 +89,7 @@ def build_options() -> Options:
                  "PCMEnabledFlag PCMFilterDisableFlag PCMInputBitDepthFlag "
                  "PCMLog2MaxSize PCMLog2MinSize RCForceIntraQP "
                  "RCLCUSeparateModel RDOQ RDOQTS ResidualRotation "
-                 "SAOLcuBoundary ScalingList ScalingListFile SearchRange "
+                 "SAOLcuBoundary SearchRange "
                  "SingleSignificanceMapContext SliceArgument SliceMode Tier "
                  "TransformSkip TransformSkipFast TransformSkipLog2MaxSize "
                  "TransquantBypassEnableFlag UniformSpacingIdc "
@@ -147,6 +154,11 @@ def main(argv=None):
         rc_ctu=bool(o["RateControl"] and o["LCULevelRateControl"]),
         frame_rate=o["FrameRate"], total_frames=n,
         hash_type=max(0, int(o["SEIDecodedPictureHash"]) - 1),
+        sei_timing=bool(o["SEIPictureTiming"] or o["SEIActiveParameterSets"]),
+        sei_buffering_period=bool(o["SEIBufferingPeriod"]),
+        sei_recovery_point=bool(o["SEIRecoveryPoint"]),
+        scaling_list=int(o["ScalingList"]),
+        scaling_list_file=o["ScalingListFile"] or None,
         gop_table=gop_table or None)
     cfg.der = o["DER"]
     enc = Encoder(cfg)

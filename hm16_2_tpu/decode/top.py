@@ -144,6 +144,9 @@ class Decoder:
         # C.5.2 output-order bumping state
         self._reorder: list[DecodedPicture] = []
         self.display: list[DecodedPicture] = []
+        # dependent slice segments: owner slice index + saved CABAC state
+        self._slice_owner_idx = 0
+        self._dss_ctx = None
 
     # ------------------------------------------------------------------
 
@@ -212,12 +215,31 @@ class Decoder:
             self.cur_pic.temporal_id = temporal_id
             self.cur_pic.is_irap = P.is_irap(nal_type)
         pic = self.cur_pic
+        if sh.dependent_slice_segment:
+            # dependent slice segment (7.4.7.1): every field the short
+            # header doesn't carry is inherited from the preceding slice
+            # segment; in-picture prediction continues across the boundary
+            import copy as _copy
+            prev = pic.slices[-1]
+            inh = _copy.copy(prev)
+            inh.first_slice_in_pic = 0
+            inh.dependent_slice_segment = 1
+            inh.segment_address = sh.segment_address
+            inh.entry_point_offsets = sh.entry_point_offsets
+            inh.nal_type = sh.nal_type
+            sh = inh
         pic.slices.append(sh)
         if temporal_id == 0 and not P.is_rasl(nal_type) and \
                 not P.is_radl(nal_type) and P.is_reference_nal(nal_type):
             self.prev_tid0_poc = sh.poc
 
         slice_idx = len(pic.slices) - 1
+        if sh.dependent_slice_segment:
+            # segments of one slice share the owner's index so intra/merge
+            # availability and SAO merge cross dependent boundaries
+            slice_idx = self._slice_owner_idx
+        else:
+            self._slice_owner_idx = slice_idx
         sd = SliceDecoder(pic, sh, slice_idx)
         ref_lists = build_ref_lists(sh, self.dpb)
         rc = RefCtx(sh, ref_lists)
@@ -231,7 +253,13 @@ class Decoder:
         for size in sh.entry_point_offsets:
             starts.append(starts[-1] + size)
 
-        sd.ctx = sd.init_contexts()
+        if sh.dependent_slice_segment and self._dss_ctx is not None:
+            # CABAC contexts continue from the end of the previous slice
+            # segment (9.3.1 TableStateIdxDs; HM
+            # m_lastSliceSegmentEndContextState)
+            sd.ctx = self._dss_ctx.copy()
+        else:
+            sd.ctx = sd.init_contexts()
         sd.dec = CabacDecoder(ByteFifo(rbsp, starts[0]), sd.ctx)
 
         tiles = pic.tiles
@@ -275,6 +303,8 @@ class Decoder:
             ctu_ts += 1
             if end:
                 break
+        if sh.pps.dependent_slice_segments_enabled:
+            self._dss_ctx = sd.ctx.copy()
 
     @staticmethod
     def _ctu_same_slice_tile(pic, cur_rs, other_rs, slice_idx):

@@ -49,7 +49,8 @@ class EncoderConfig:
                  sei_timing=False, transform_skip=False,
                  aq=False, aq_strength=1.0, rc_ctu=False,
                  scaling_list=0, scaling_list_file=None,
-                 sei_buffering_period=False, sei_recovery_point=False):
+                 sei_buffering_period=False, sei_recovery_point=False,
+                 dependent_slices=False):
         self.width, self.height = width, height
         self.qp = qp
         self.bit_depth = bit_depth
@@ -79,6 +80,7 @@ class EncoderConfig:
         self.scaling_list_file = scaling_list_file
         self.sei_buffering_period = sei_buffering_period  # HRD + BP SEI
         self.sei_recovery_point = sei_recovery_point
+        self.dependent_slices = dependent_slices  # slices 2..N dependent
         self.rc_ctu = rc_ctu         # CTU-level R-lambda RC (LCULevelRC)
         self.hash_type = hash_type   # decoded-picture-hash SEI: 0 MD5 / 1 CRC / 2 checksum
         # explicit GOPEntry table (TEncCfg.h:49-88) parsed from the cfg
@@ -178,6 +180,8 @@ def build_sps_pps(cfg: EncoderConfig):
             from hm16_2_tpu.headers.params import parse_scaling_list_file
             sps.scaling_list_present = 1
             sps.scaling_list = parse_scaling_list_file(cfg.scaling_list_file)
+    if cfg.dependent_slices and cfg.slices > 1:
+        pps.dependent_slice_segments_enabled = 1
     if cfg.tile_cols > 1 or cfg.tile_rows > 1:
         pps.tiles_enabled = 1
         pps.num_tile_cols = cfg.tile_cols
@@ -438,12 +442,13 @@ class Encoder:
             cx, cy = rs % pic.w_ctbs, rs // pic.w_ctbs
             px0, py0 = cx * parts, cy * parts
             # decoders reset qPY_PREV to SliceQpY at every slice segment
-            # start (7.4.7.1); mirror that so the encoder-side QP plane
-            # (which feeds deblocking strength) matches the derivation
-            si = int(pic.slice_id[py0, px0])
-            if si != cur_slice:
-                cur_slice = si
-                pred = pic.slices[si].qp
+            # start (7.4.7.1) — including DEPENDENT segments, whose
+            # slice_id matches the owner's; detect starts by address
+            for si, s_ in enumerate(pic.slices):
+                if si != cur_slice and s_.segment_address == ts:
+                    cur_slice = si
+                    pred = s_.qp
+                    break
             intended = int(pic.qp[py0, px0])
             state = {"seen": False}
 
@@ -486,32 +491,64 @@ class Encoder:
         def slice_at(cx, cy):
             return int(pic.slice_id[cy * parts, cx * parts])
 
+        wpp = bool(pps.entropy_coding_sync)
+        dep = any(s.dependent_slice_segment for s in shs)
+        dss_ctx = None          # CABAC state at the end of the previous
+        #                         segment (9.3.1 TableStateIdxDs)
         for si, (ts0, ts1) in enumerate(slice_bounds):
             sh = shs[si]
-            enc = CtuEncoder(pic, sh, si)
+            enc = CtuEncoder(pic, sh, 0 if dep else si)
             ctx = ContextSet()
-            ctx.reset(sh.slice_type, sh.qp)
-            sbw = BitWriter()
-            cab = CabacEncoder(sbw, ctx)
-            enc.attach(cab)
+            if sh.dependent_slice_segment and dss_ctx is not None:
+                ctx.load(dss_ctx)
+            else:
+                ctx.reset(sh.slice_type, sh.qp)
+            datas = []
+            sbw = cab = None
+            wpp_saved = None     # per-slice: the cross-slice candidate is
+            #                      never available (other slice), so each
+            #                      slice's first row fresh-inits
             for ts in range(ts0, ts1):
                 rs = int(tiles.ctu_ts_to_rs[ts])
                 cx, cy = rs % pic.w_ctbs, rs // pic.w_ctbs
+                row_start = wpp and cx == 0 and ts > ts0
+                if cab is None or row_start:
+                    if cab is not None:
+                        cab.encode_bin_trm(1)    # end_of_subset_one_bit
+                        cab.finish()
+                        total_bins += cab.bins
+                        sbw.u(1, 1)
+                        sbw.align_zero()
+                        datas.append(sbw.get_bytes())
+                        if wpp_saved is not None:
+                            ctx.load(wpp_saved)
+                        else:
+                            ctx.reset(sh.slice_type, sh.qp)
+                    sbw = BitWriter()
+                    cab = CabacEncoder(sbw, ctx)
+                    enc.attach(cab)
                 if use_sao:
-                    left_ok = cx > 0 and slice_at(cx - 1, cy) == si
-                    above_ok = cy > 0 and slice_at(cx, cy - 1) == si
+                    own = 0 if dep else si
+                    left_ok = cx > 0 and slice_at(cx - 1, cy) == own
+                    above_ok = cy > 0 and slice_at(cx, cy - 1) == own
                     enc.enc_sao(rs, left_ok, above_ok)
                 enc.encode_ctu(cx, cy, last_in_slice=(ts == ts1 - 1))
+                if wpp and cx == 1:
+                    wpp_saved = ctx.copy()
+            if dep:
+                dss_ctx = ctx.copy()
             cab.finish()
             total_bins += cab.bins
             sbw.u(1, 1)
             sbw.align_zero()
-            sh.entry_point_offsets = []
+            datas.append(sbw.get_bytes())
+            sh.entry_point_offsets = [
+                len(d) + count_emulation_prevention(d) for d in datas[:-1]]
             bw = BitWriter()
             W.write_slice_header(bw, sh, sps, pps)
             hdr_bits += len(bw.get_bytes()) * 8
             nals.append(make_nal(sh.nal_type,
-                                 bw.get_bytes() + sbw.get_bytes()))
+                                 bw.get_bytes() + b"".join(datas)))
         return nals, total_bins, hdr_bits
 
     def _rc_begin(self, planes, sh, gop_id):
@@ -710,36 +747,64 @@ class Encoder:
         n_ctus_total = pic.w_ctbs * pic.h_ctbs
         n_slices = max(1, min(getattr(cfg, "slices", 1), n_ctus_total))
         if n_slices > 1:
-            assert not pps.entropy_coding_sync and \
-                len(pic.tiles.col_bounds) == 2 and \
+            assert len(pic.tiles.col_bounds) == 2 and \
                 len(pic.tiles.row_bounds) == 2, \
-                "multi-slice encode supports single-tile, non-WPP only"
+                "multi-slice encode supports single-tile only"
+        if n_slices > 1 and pps.entropy_coding_sync:
+            # WPP x slices: slice segments start at CTU-row boundaries so
+            # every row is a whole substream of exactly one slice
+            # (TEncSlice conformance check on WaveFrontSynchro + slices)
+            n_slices = min(n_slices, pic.h_ctbs)
         import copy as _copy
-        per_slice = (n_ctus_total + n_slices - 1) // n_slices
         slice_bounds = []
         shs = [sh]
-        startc = 0
-        for i in range(n_slices):
-            endc = min(n_ctus_total, startc + per_slice)
-            if i > 0:
-                shi = _copy.copy(sh)
-                shi.first_slice_in_pic = 0
-                shi.segment_address = startc
-                pic.slices.append(shi)
-                shs.append(shi)
-            slice_bounds.append((startc, endc))
-            startc = endc
+        if n_slices > 1 and pps.entropy_coding_sync:
+            rows_per = (pic.h_ctbs + n_slices - 1) // n_slices
+            cuts = list(range(0, pic.h_ctbs, rows_per)) + [pic.h_ctbs]
+            slice_bounds = [(r0 * pic.w_ctbs, r1 * pic.w_ctbs)
+                            for r0, r1 in zip(cuts[:-1], cuts[1:])]
+            n_slices = len(slice_bounds)
+            for i, (startc, _) in enumerate(slice_bounds):
+                if i > 0:
+                    shi = _copy.copy(sh)
+                    shi.first_slice_in_pic = 0
+                    shi.segment_address = startc
+                    pic.slices.append(shi)
+                    shs.append(shi)
+        else:
+            per_slice = (n_ctus_total + n_slices - 1) // n_slices
+            startc = 0
+            for i in range(n_slices):
+                if startc >= n_ctus_total:
+                    break       # ceil division can leave trailing empties
+                endc = min(n_ctus_total, startc + per_slice)
+                if i > 0:
+                    shi = _copy.copy(sh)
+                    shi.first_slice_in_pic = 0
+                    shi.segment_address = startc
+                    pic.slices.append(shi)
+                    shs.append(shi)
+                slice_bounds.append((startc, endc))
+                startc = endc
         sh.first_slice_in_pic = 1
         sh.segment_address = 0
         # prefill the per-part slice map (commit no longer writes it; the
         # decode-order availability rules read it during both passes)
+        dep_slices = bool(getattr(cfg, "dependent_slices", False)) and \
+            n_slices > 1 and not pps.entropy_coding_sync
+        if dep_slices:
+            for shi in shs[1:]:
+                shi.dependent_slice_segment = 1
         parts_per = pic.ctb // 4
         for i, (ts0, ts1) in enumerate(slice_bounds):
+            # dependent slice segments all belong to ONE slice: in-picture
+            # prediction crosses their boundaries, so they share id 0
+            sid = 0 if dep_slices else i
             for ts in range(ts0, ts1):
                 rs_ = int(pic.tiles.ctu_ts_to_rs[ts])
                 cx_, cy_ = rs_ % pic.w_ctbs, rs_ // pic.w_ctbs
                 pic.slice_id[cy_ * parts_per:(cy_ + 1) * parts_per,
-                             cx_ * parts_per:(cx_ + 1) * parts_per] = i
+                             cx_ * parts_per:(cx_ + 1) * parts_per] = sid
 
         self.last_qp = sh.qp
         search = CtuSearch(pic, sh, planes, rdo=cfg.rdo, qp_factor=qp_factor,

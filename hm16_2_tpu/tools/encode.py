@@ -54,6 +54,11 @@ def build_options() -> Options:
     o.add("ScalingList", 0,
           "0: no scaling lists, 1: default lists, 2: from ScalingListFile")
     o.add("ScalingListFile", "", "Scaling list file (HM matrix format)")
+    o.add("SliceMode", 0, "0: single slice, 1: max SliceArgument CTUs/slice")
+    o.add("SliceArgument", 0, "CTUs per slice for SliceMode 1")
+    o.add("SliceSegmentMode", 0,
+          "0: off, 1: dependent segments of SliceSegmentArgument CTUs")
+    o.add("SliceSegmentArgument", 0, "CTUs per dependent slice segment")
     o.add("RateControl", False, "Rate control: enable R-lambda model")
     o.add("TargetBitrate", 0, "Rate control: target bit-rate")
     o.add("LCULevelRateControl", True,
@@ -90,7 +95,7 @@ def build_options() -> Options:
                  "PCMLog2MaxSize PCMLog2MinSize RCForceIntraQP "
                  "RCLCUSeparateModel RDOQ RDOQTS ResidualRotation "
                  "SAOLcuBoundary SearchRange "
-                 "SingleSignificanceMapContext SliceArgument SliceMode Tier "
+                 "SingleSignificanceMapContext Tier "
                  "TransformSkip TransformSkipFast TransformSkipLog2MaxSize "
                  "TransquantBypassEnableFlag UniformSpacingIdc "
                  "ColumnWidthArray RowHeightArray TileColumnWidthArray "
@@ -160,6 +165,13 @@ def main(argv=None):
         scaling_list=int(o["ScalingList"]),
         scaling_list_file=o["ScalingListFile"] or None,
         gop_table=gop_table or None)
+    n_ctus = ((w + 63) // 64) * ((h + 63) // 64)
+    if o["SliceMode"] == 1 and o["SliceArgument"] > 0:
+        cfg.slices = (n_ctus + o["SliceArgument"] - 1) // o["SliceArgument"]
+    elif o["SliceSegmentMode"] == 1 and o["SliceSegmentArgument"] > 0:
+        cfg.slices = (n_ctus + o["SliceSegmentArgument"] - 1) \
+            // o["SliceSegmentArgument"]
+        cfg.dependent_slices = True
     cfg.der = o["DER"]
     enc = Encoder(cfg)
 

@@ -50,7 +50,7 @@ class EncoderConfig:
                  aq=False, aq_strength=1.0, rc_ctu=False,
                  scaling_list=0, scaling_list_file=None,
                  sei_buffering_period=False, sei_recovery_point=False,
-                 dependent_slices=False):
+                 dependent_slices=False, transquant_bypass=False):
         self.width, self.height = width, height
         self.qp = qp
         self.bit_depth = bit_depth
@@ -81,6 +81,9 @@ class EncoderConfig:
         self.sei_buffering_period = sei_buffering_period  # HRD + BP SEI
         self.sei_recovery_point = sei_recovery_point
         self.dependent_slices = dependent_slices  # slices 2..N dependent
+        # lossless: every CU coded with cu_transquant_bypass_flag = 1
+        # (HM TransquantBypassEnableFlag + CUTransquantBypassFlagForce)
+        self.transquant_bypass = transquant_bypass
         self.rc_ctu = rc_ctu         # CTU-level R-lambda RC (LCULevelRC)
         self.hash_type = hash_type   # decoded-picture-hash SEI: 0 MD5 / 1 CRC / 2 checksum
         # explicit GOPEntry table (TEncCfg.h:49-88) parsed from the cfg
@@ -182,6 +185,8 @@ def build_sps_pps(cfg: EncoderConfig):
             sps.scaling_list = parse_scaling_list_file(cfg.scaling_list_file)
     if cfg.dependent_slices and cfg.slices > 1:
         pps.dependent_slice_segments_enabled = 1
+    if cfg.transquant_bypass:
+        pps.transquant_bypass_enabled = 1
     if cfg.tile_cols > 1 or cfg.tile_rows > 1:
         pps.tiles_enabled = 1
         pps.num_tile_cols = cfg.tile_cols
@@ -737,6 +742,11 @@ class Encoder:
 
         pic = PictureState(sps, pps)
         pic.poc = poc
+        if cfg.transquant_bypass:
+            # CUTransquantBypassFlagForce: every CU lossless; the emitter
+            # reads pic.tqb for cu_transquant_bypass_flag and the TU coders
+            # take the bypass branch
+            pic.tqb[:] = 1
         if pps.cu_qp_delta_enabled:
             # whole-frame plan commits bypass decide_ctu's per-CTU QP
             # pre-mark; the emitter and QG reconciliation read pic.qp
@@ -1538,6 +1548,7 @@ class CtuSearch:
               and not wp_active
               and not pps.cu_qp_delta_enabled
               and not sps.scaling_list_enabled
+              and not pps.transquant_bypass_enabled
               and all(len(l) <= 8 for l in rc.ref_lists)
               and not os.environ.get("HM16_NO_COMMIT_ENGINE"))
         if not ok:
@@ -1957,6 +1968,7 @@ class CtuSearch:
         ok = (lib is not None and self.rdoq and self.plan is not None
               and not pps.constrained_intra_pred
               and not sps.scaling_list_enabled
+              and not pps.transquant_bypass_enabled
               and sps.chroma_format_idc in (0, 1)
               and len(pic.tiles.col_bounds) == 2
               and len(pic.tiles.row_bounds) == 2
@@ -2471,6 +2483,40 @@ class CtuSearch:
             qp = self._tu_qp(px, py, comp)
             bd = self.bit_depth[comp]
             cpred = preds[comp]
+            if self.pps.transquant_bypass_enabled and pic.tqb[py, px]:
+                # lossless CU: residual coded directly; a >max-TB CU still
+                # implicitly splits into four TUs per component, but the
+                # samples are identical so only cbf granularity changes
+                self._code_tu_bypass(comp, cx0, cy0, cs, cpred)
+                if size > max_tb:
+                    hn, hc = n // 2, cs // 2
+                    kids = []
+                    for q in range(4):
+                        qsl = np.s_[py + (q >> 1) * hn:
+                                    py + (q >> 1) * hn + hn,
+                                    px + (q & 1) * hn:px + (q & 1) * hn + hn]
+                        sub = pic.coeff[comp][
+                            cy0 + (q >> 1) * hc:cy0 + (q >> 1) * hc + hc,
+                            cx0 + (q & 1) * hc:cx0 + (q & 1) * hc + hc]
+                        k = 1 if np.any(sub) else 0
+                        kids.append(k)
+                        v = k << 1
+                        if comp == 0:
+                            v |= k
+                        pic.cbf[comp][qsl] = v
+                    kcbf = 1 if any(kids) else 0
+                    if comp:
+                        pic.cbf[comp][sl] |= kcbf
+                    elif kcbf:
+                        pic.cbf[0][sl] |= 1
+                    pic.tr_idx[sl] = 1
+                    any_cbf |= kcbf
+                else:
+                    cbf = 1 if np.any(pic.coeff[comp][cy0:cy0 + cs,
+                                                      cx0:cx0 + cs]) else 0
+                    pic.cbf[comp][sl] = cbf
+                    any_cbf |= cbf
+                continue
             if size > max_tb:
                 # CU above the max TB: the transform tree implicitly
                 # splits, so code four max-TB TUs per component with
@@ -3140,6 +3186,9 @@ class CtuSearch:
         x0 = (px * 4) >> (sx if comp else 0)
         y0 = (py * 4) >> (sy if comp else 0)
         bd = self.bit_depth[comp]
+        if self.pps.transquant_bypass_enabled and pic.tqb[py, px]:
+            pred = self._predict(px, py, log2, comp, mode)
+            return self._code_tu_bypass(comp, x0, y0, size, pred)
         if self.pps.transform_skip_enabled and \
                 size <= (1 << self.pps.log2_max_transform_skip_block_size):
             return self._code_tu_with_tskip(px, py, log2, comp, mode, size,
@@ -3177,6 +3226,17 @@ class CtuSearch:
         pic.rec[comp][y0:y0 + size, x0:x0 + size] = np.clip(
             pred + rec_resi, 0, (1 << bd) - 1)
         return cbf
+
+    def _code_tu_bypass(self, comp, x0, y0, cs, pred) -> int:
+        """Transquant-bypass TU (cu_transquant_bypass_flag = 1): the
+        residual samples are the coded coefficients, reconstruction is
+        lossless (HM QpParam/TComTrQuant transquant-bypass branches)."""
+        pic = self.pic
+        orig = self.orig[comp][y0:y0 + cs, x0:x0 + cs].astype(np.int64)
+        resi = orig - pred
+        pic.coeff[comp][y0:y0 + cs, x0:x0 + cs] = resi
+        pic.rec[comp][y0:y0 + cs, x0:x0 + cs] = orig
+        return 1 if np.any(resi) else 0
 
     def _code_tu_with_tskip(self, px, py, log2, comp, mode, size, x0, y0,
                             bd):
@@ -3244,6 +3304,7 @@ class CtuSearch:
         pic = self.pic
         if lib is None or self.pps.constrained_intra_pred or \
                 self.sps.scaling_list_enabled or \
+                self.pps.transquant_bypass_enabled or \
                 len(pic.tiles.col_bounds) != 2 or \
                 len(pic.tiles.row_bounds) != 2 or len(pic.slices) != 1:
             return -1
@@ -3305,9 +3366,10 @@ class CtuSearch:
         Writes levels and reconstruction directly into the picture planes."""
         from hm16_2_tpu import native
         lib = native.get_dsp()
-        if lib is None or self.sps.scaling_list_enabled:
+        if lib is None or self.sps.scaling_list_enabled or \
+                self.pps.transquant_bypass_enabled:
             # the native TU coder quantizes with the flat matrix only;
-            # scaling lists take the python path (transforms_ref)
+            # scaling lists / lossless CUs take the python path
             return -1
         import ctypes
         pic = self.pic

@@ -59,6 +59,10 @@ def build_options() -> Options:
     o.add("SliceSegmentMode", 0,
           "0: off, 1: dependent segments of SliceSegmentArgument CTUs")
     o.add("SliceSegmentArgument", 0, "CTUs per dependent slice segment")
+    o.add("TransquantBypassEnableFlag", 0,
+          "PPS transquant_bypass_enabled (lossless capability)")
+    o.add("CUTransquantBypassFlagForce", 0,
+          "Force cu_transquant_bypass on every CU (lossless coding)")
     o.add("RateControl", False, "Rate control: enable R-lambda model")
     o.add("TargetBitrate", 0, "Rate control: target bit-rate")
     o.add("LCULevelRateControl", True,
@@ -81,7 +85,7 @@ def build_options() -> Options:
     # reference config files parse cleanly; tools behind them land in later
     # build stages (TAppEncCfg.cpp:360-900)
     for name in ("AMP AlignCABACBeforeBypass BipredSearchRange "
-                 "CUTransquantBypassFlagForce CrossComponentPrediction "
+                 "CrossComponentPrediction "
                  "DeblockingFilterControlPresent DeblockingFilterMetric "
                  "DeltaQpRD ExplicitResidualDPCM ExtendedPrecision FDM FEN "
                  "FastSearch GolombRiceParameterAdaptation HadamardME "
@@ -97,7 +101,7 @@ def build_options() -> Options:
                  "SAOLcuBoundary SearchRange "
                  "SingleSignificanceMapContext Tier "
                  "TransformSkip TransformSkipFast TransformSkipLog2MaxSize "
-                 "TransquantBypassEnableFlag UniformSpacingIdc "
+                 "UniformSpacingIdc "
                  "ColumnWidthArray RowHeightArray TileColumnWidthArray "
                  "TileRowHeightArray").split():
         o.add(name, "", "(accepted; see build-stage notes)")
@@ -164,6 +168,8 @@ def main(argv=None):
         sei_recovery_point=bool(o["SEIRecoveryPoint"]),
         scaling_list=int(o["ScalingList"]),
         scaling_list_file=o["ScalingListFile"] or None,
+        transquant_bypass=bool(o["TransquantBypassEnableFlag"]
+                               and o["CUTransquantBypassFlagForce"]),
         gop_table=gop_table or None)
     n_ctus = ((w + 63) // 64) * ((h + 63) // 64)
     if o["SliceMode"] == 1 and o["SliceArgument"] > 0:

@@ -150,9 +150,45 @@ class CtuEncoder(SliceDecoder):
             e.encode_bin(1 if part_size == SIZE_2Nx2N else 0, c.idx("part_size"))
         if sps.pcm_enabled and part_size == SIZE_2Nx2N and \
                 sps.log2_min_pcm_cb <= log2 <= sps.log2_max_pcm_cb:
-            e.encode_bin_trm(0)   # pcm_flag (not used by this encoder)
+            ipcm = int(pic.ipcm[py, px])
+            e.encode_bin_trm(ipcm)
+            if ipcm:
+                self._emit_pcm_samples(px, py, log2)
+                return        # a PCM CU codes no prediction/transform tree
         self._enc_intra_dirs(px, py, log2, part_size)
         self._enc_tu_tree_root(px, py, log2, part_size)
+
+    def _emit_pcm_samples(self, px, py, log2):
+        """pcm_sample emission, dual of _parse_pcm (TEncSbac::codeIPCMInfo
+        TEncSbac.cpp:1025, TEncBinCABAC::encodePCMAlignBits): flush +
+        byte-align the arithmetic engine, write the raw samples, restart.
+        The committed reconstruction already holds sample << (bd - pbd)."""
+        e, sps, pic = self.enc, self.sps, self.pic
+        size = 1 << log2
+        x0, y0 = px * 4, py * 4
+        bds = [sps.bit_depth_luma, sps.bit_depth_chroma,
+               sps.bit_depth_chroma]
+        pcm_bds = [sps.pcm_bit_depth_luma, sps.pcm_bit_depth_chroma,
+                   sps.pcm_bit_depth_chroma]
+        if not hasattr(e, "bw"):      # RD counting pass: raw bits only
+            total = sum(((size >> pic.comp_shift[c][0])
+                         * (size >> pic.comp_shift[c][1])) * pcm_bds[c]
+                        for c in range(pic.num_comps))
+            e.encode_bins_ep(0, total)
+            return
+        e.finish()                    # pcm alignment (stop bit + zeros)
+        e.bw.u(1, 1)
+        e.bw.align_zero()
+        for comp in range(pic.num_comps):
+            sx, sy = pic.comp_shift[comp]
+            w, h = size >> sx, size >> sy
+            cx0, cy0 = x0 >> sx, y0 >> sy
+            pbd, bd = pcm_bds[comp], bds[comp]
+            block = pic.rec[comp][cy0:cy0 + h, cx0:cx0 + w] >> (bd - pbd)
+            for row in np.asarray(block):
+                for v in row:
+                    e.bw.u(int(v), pbd)
+        e.start()                     # TEncBinCABAC::resetBac
 
     # ------------------------------------------------------------------
     # inter CU syntax (2Nx2N only in the round-1 encoder)

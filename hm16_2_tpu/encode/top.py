@@ -50,7 +50,9 @@ class EncoderConfig:
                  aq=False, aq_strength=1.0, rc_ctu=False,
                  scaling_list=0, scaling_list_file=None,
                  sei_buffering_period=False, sei_recovery_point=False,
-                 dependent_slices=False, transquant_bypass=False):
+                 dependent_slices=False, transquant_bypass=False,
+                 pcm=False, pcm_log2_min=3, pcm_log2_max=5,
+                 pcm_loop_filter_disabled=True):
         self.width, self.height = width, height
         self.qp = qp
         self.bit_depth = bit_depth
@@ -84,6 +86,10 @@ class EncoderConfig:
         # lossless: every CU coded with cu_transquant_bypass_flag = 1
         # (HM TransquantBypassEnableFlag + CUTransquantBypassFlagForce)
         self.transquant_bypass = transquant_bypass
+        self.pcm = pcm               # IPCM mode search (PCMEnabledFlag)
+        self.pcm_log2_min = pcm_log2_min
+        self.pcm_log2_max = pcm_log2_max
+        self.pcm_loop_filter_disabled = pcm_loop_filter_disabled
         self.rc_ctu = rc_ctu         # CTU-level R-lambda RC (LCULevelRC)
         self.hash_type = hash_type   # decoded-picture-hash SEI: 0 MD5 / 1 CRC / 2 checksum
         # explicit GOPEntry table (TEncCfg.h:49-88) parsed from the cfg
@@ -187,6 +193,14 @@ def build_sps_pps(cfg: EncoderConfig):
         pps.dependent_slice_segments_enabled = 1
     if cfg.transquant_bypass:
         pps.transquant_bypass_enabled = 1
+    if cfg.pcm:
+        sps.pcm_enabled = 1
+        sps.pcm_bit_depth_luma = sps.bit_depth_luma
+        sps.pcm_bit_depth_chroma = sps.bit_depth_chroma
+        sps.log2_min_pcm_cb = cfg.pcm_log2_min
+        sps.log2_max_pcm_cb = cfg.pcm_log2_max
+        sps.pcm_loop_filter_disabled = 1 if cfg.pcm_loop_filter_disabled \
+            else 0
     if cfg.tile_cols > 1 or cfg.tile_rows > 1:
         pps.tiles_enabled = 1
         pps.num_tile_cols = cfg.tile_cols
@@ -940,7 +954,12 @@ class Encoder:
         if aq_off is not None or ctu_rc:
             self._reconcile_group_qps(pic, sh)
 
-        # deblock, then SAO parameter estimation on the deblocked recon
+        # deblock, then SAO parameter estimation on the deblocked recon.
+        # PCM/lossless samples must survive the in-loop filters exactly as
+        # in the decoder (xPCMRestoration) — snapshot now, restore after SAO
+        from hm16_2_tpu.decode.loopfilter import (
+            restore_lossless_samples, snapshot_lossless_samples)
+        lossless_saved = snapshot_lossless_samples(pic)
         use_sao = bool(sps.sao_enabled)
         if not sh.deblocking_filter_disabled:
             from hm16_2_tpu.ops.deblock_ref import deblock_picture
@@ -1053,6 +1072,7 @@ class Encoder:
         if use_sao:
             from hm16_2_tpu.ops.sao_ref import sao_picture
             sao_picture(pic)
+        restore_lossless_samples(pic, lossless_saved)
 
         bds = [sps.bit_depth_luma] + [sps.bit_depth_chroma] * (pic.num_comps - 1)
         recon = [pic.crop_output(c) for c in range(pic.num_comps)]
@@ -1830,6 +1850,7 @@ class CtuSearch:
             if pic.num_comps > 1:
                 pic.cbf[1][sl] = self._code_tu(px, py, log2, 1, cmode)
                 pic.cbf[2][sl] = self._code_tu(px, py, log2, 2, cmode)
+            self._maybe_pcm(px, py, log2)
             return
         pic.intra_luma[sl] = mode
         cstored, cmode = self._plan_chroma(px, py, mode)
@@ -1899,6 +1920,7 @@ class CtuSearch:
             for comp in (1, 2):
                 if np.any(pic.cbf[comp][sl] & 2):
                     pic.cbf[comp][sl] |= 1
+            self._maybe_pcm(px, py, 3)
             return
         cstored, cmode = self._plan_chroma(px, py,
                                            int(pic.intra_luma[py, px]))
@@ -1906,6 +1928,9 @@ class CtuSearch:
         if pic.num_comps > 1:
             pic.cbf[1][sl] = self._code_tu(px, py, 3, 1, cmode)
             pic.cbf[2][sl] = self._code_tu(px, py, 3, 2, cmode)
+        # PCM competes with the NxN coding too (the override rewrites
+        # part_size to 2Nx2N, which is what pcm_flag follows)
+        self._maybe_pcm(px, py, 3)
 
     def _fill_bits_kit(self, C):
         """Exact-TU-bit kit for the native commit engines: decisions
@@ -1969,6 +1994,7 @@ class CtuSearch:
               and not pps.constrained_intra_pred
               and not sps.scaling_list_enabled
               and not pps.transquant_bypass_enabled
+              and not sps.pcm_enabled
               and sps.chroma_format_idc in (0, 1)
               and len(pic.tiles.col_bounds) == 2
               and len(pic.tiles.row_bounds) == 2
@@ -2187,6 +2213,7 @@ class CtuSearch:
             cbf_cr = self._code_tu(px, py, log2, 2, chroma_mode)
             pic.cbf[1][py:py + n, px:px + n] = cbf_cb
             pic.cbf[2][py:py + n, px:px + n] = cbf_cr
+        self._maybe_pcm(px, py, log2)
         return True
 
     # ------------------------------------------------------------------
@@ -3226,6 +3253,57 @@ class CtuSearch:
         pic.rec[comp][y0:y0 + size, x0:x0 + size] = np.clip(
             pred + rec_resi, 0, (1 << bd) - 1)
         return cbf
+
+    def _maybe_pcm(self, px, py, log2):
+        """IPCM mode check after a 2Nx2N intra CU commit (TEncSearch::
+        IPCMSearch / TEncCu::xCheckIntraPCM): when the committed coding
+        costs more than the raw samples, recode the CU as PCM.  With
+        pcm bit depth == internal bit depth the PCM distortion is zero."""
+        sps, pic = self.sps, self.pic
+        if not sps.pcm_enabled or \
+                not (sps.log2_min_pcm_cb <= log2 <= sps.log2_max_pcm_cb):
+            return
+        size = 1 << log2
+        n = size // 4
+        x0, y0 = px * 4, py * 4
+        lam = getattr(self, "lam", 1.0)
+        sse, bits, pcm_bits = 0.0, 4.0, 1.0     # mode bits vs pcm_flag
+        for comp in range(pic.num_comps):
+            sx, sy = pic.comp_shift[comp]
+            w, h = size >> sx, size >> sy
+            cx0, cy0 = x0 >> sx, y0 >> sy
+            o = self.orig[comp][cy0:cy0 + h, cx0:cx0 + w]
+            r = pic.rec[comp][cy0:cy0 + h, cx0:cx0 + w]
+            d = (o - r).astype(np.float64).ravel()
+            wgt = 1.0 if comp == 0 else getattr(self, "chroma_weight", 1.0)
+            sse += wgt * float(np.dot(d, d))
+            lv = pic.coeff[comp][cy0:cy0 + h, cx0:cx0 + w]
+            bits += self._res_bits_est(lv) if np.any(lv) else 1.0
+            pbd = sps.pcm_bit_depth_luma if comp == 0 \
+                else sps.pcm_bit_depth_chroma
+            pcm_bits += w * h * pbd
+        if lam * pcm_bits >= sse + lam * bits:
+            return
+        from hm16_2_tpu.ops.intra_ref import DC_IDX
+        sl = np.s_[py:py + n, px:px + n]
+        pic.ipcm[sl] = 1
+        pic.part_size[sl] = SIZE_2Nx2N    # pcm_flag follows 2Nx2N part only
+        pic.intra_luma[sl] = DC_IDX
+        pic.intra_chroma[sl] = DM_CHROMA_IDX
+        pic.tr_idx[sl] = 0
+        pic.coded[sl] = True
+        for comp in range(pic.num_comps):
+            sx, sy = pic.comp_shift[comp]
+            w, h = size >> sx, size >> sy
+            cx0, cy0 = x0 >> sx, y0 >> sy
+            bd = self.bit_depth[comp]
+            pbd = sps.pcm_bit_depth_luma if comp == 0 \
+                else sps.pcm_bit_depth_chroma
+            o = self.orig[comp][cy0:cy0 + h, cx0:cx0 + w]
+            pic.rec[comp][cy0:cy0 + h, cx0:cx0 + w] = \
+                (o >> (bd - pbd)) << (bd - pbd)
+            pic.coeff[comp][cy0:cy0 + h, cx0:cx0 + w] = 0
+            pic.cbf[comp][sl] = 0
 
     def _code_tu_bypass(self, comp, x0, y0, cs, pred) -> int:
         """Transquant-bypass TU (cu_transquant_bypass_flag = 1): the

@@ -63,6 +63,10 @@ def build_options() -> Options:
           "PPS transquant_bypass_enabled (lossless capability)")
     o.add("CUTransquantBypassFlagForce", 0,
           "Force cu_transquant_bypass on every CU (lossless coding)")
+    o.add("PCMEnabledFlag", 0, "IPCM mode search")
+    o.add("PCMLog2MinSize", 3, "Log2 of minimum PCM block size")
+    o.add("PCMLog2MaxSize", 5, "Log2 of maximum PCM block size")
+    o.add("PCMFilterDisableFlag", 1, "Disable loop filters on PCM samples")
     o.add("RateControl", False, "Rate control: enable R-lambda model")
     o.add("TargetBitrate", 0, "Rate control: target bit-rate")
     o.add("LCULevelRateControl", True,
@@ -95,8 +99,7 @@ def build_options() -> Options:
                  "LFCrossSliceBoundaryFlag LFCrossTileBoundaryFlag "
                  "LoopFilterBetaOffset_div2 LoopFilterOffsetInPPS "
                  "LoopFilterTcOffset_div2 MaxCuDQPDepth MaxDeltaQP "
-                 "PCMEnabledFlag PCMFilterDisableFlag PCMInputBitDepthFlag "
-                 "PCMLog2MaxSize PCMLog2MinSize RCForceIntraQP "
+                 "PCMInputBitDepthFlag RCForceIntraQP "
                  "RCLCUSeparateModel RDOQ RDOQTS ResidualRotation "
                  "SAOLcuBoundary SearchRange "
                  "SingleSignificanceMapContext Tier "
@@ -170,6 +173,9 @@ def main(argv=None):
         scaling_list_file=o["ScalingListFile"] or None,
         transquant_bypass=bool(o["TransquantBypassEnableFlag"]
                                and o["CUTransquantBypassFlagForce"]),
+        pcm=bool(o["PCMEnabledFlag"]),
+        pcm_log2_min=o["PCMLog2MinSize"], pcm_log2_max=o["PCMLog2MaxSize"],
+        pcm_loop_filter_disabled=bool(o["PCMFilterDisableFlag"]),
         gop_table=gop_table or None)
     n_ctus = ((w + 63) // 64) * ((h + 63) // 64)
     if o["SliceMode"] == 1 and o["SliceArgument"] > 0:

@@ -145,7 +145,24 @@ def _phase(name):
     if name.startswith("bd_") or name.endswith("_cpu"):
         import jax
         jax.config.update("jax_platforms", "cpu")
-    if name == "ai_fps":
+    if name == "prewarm":
+        # Compile (into the persistent cache) every program the timed
+        # phases need, at the exact shapes they use.  Crash-prone cold
+        # TPU compiles happen here instead of inside a timed phase.
+        from hm16_2_tpu.encode.top import Encoder, EncoderConfig
+        for kw, planes, (w, h) in (
+            (dict(qp=32, intra_period=1), bench_content(2), (416, 240)),
+            (dict(qp=32, intra_period=-1, gop="ldp"),
+             real_content(5), (416, 240)),
+            (dict(qp=32, intra_period=-1, gop="ra8"),
+             real_content(10), (416, 240)),
+            (dict(qp=32, intra_period=-1, gop="ra8", bit_depth=10),
+             real_content(10, 1920, 1080, bit_depth=10), (1920, 1080)),
+        ):
+            enc = Encoder(EncoderConfig(w, h, **kw))
+            list(enc.encode_stream(planes))
+        v = 1.0
+    elif name == "ai_fps":
         v = bench_end_to_end(bench_content())
     elif name == "ai_cpu":
         os.environ["HM16_ANALYSIS_CPU"] = "1"
@@ -176,12 +193,25 @@ def _phase(name):
     print(f"PHASE_RESULT {v}")
 
 
-def _run_phase(name, retries=3, timeout=2400):
+_T0 = time.time()
+_BUDGET = float(os.environ.get("HM16_BENCH_BUDGET_S", "4800"))
+
+
+def _remaining():
+    return _BUDGET - (time.time() - _T0)
+
+
+def _run_phase(name, retries=2, timeout=1800):
+    """Run one phase in a subprocess; never exceed the global budget."""
     for attempt in range(retries + 1):
+        t = min(timeout, max(60, _remaining() - 30))
+        if _remaining() < 90:
+            sys.stderr.write(f"{name}: skipped (budget exhausted)\n")
+            return None
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--phase", name],
-                capture_output=True, text=True, timeout=timeout,
+                capture_output=True, text=True, timeout=t,
                 cwd=os.path.dirname(os.path.abspath(__file__)) or ".")
             for ln in r.stdout.splitlines():
                 if ln.startswith("PHASE_RESULT "):
@@ -195,25 +225,46 @@ def _run_phase(name, retries=3, timeout=2400):
         except subprocess.TimeoutExpired:
             sys.stderr.write(f"{name} attempt {attempt}: timeout\n")
         if attempt < retries:
-            time.sleep(30)
+            time.sleep(10)
     return None
 
 
+def _emit(out):
+    """Stream the cumulative result line after every phase.
+
+    The driver records the process tail; printing the full JSON object
+    each time a phase lands means a timeout still leaves the latest
+    complete line on record (round-4 lesson: rc=124 ate everything).
+    """
+    out["elapsed_s"] = round(time.time() - _T0, 1)
+    print(json.dumps(out), flush=True)
+
+
 def main():
-    out = {}
+    out = {
+        "metric": "AI encode fps (416x240, QP32, end-to-end, 1 TPU chip)",
+        "value": None, "unit": "frames/s", "vs_baseline": None,
+    }
+    _emit(out)
+
+    # Prewarm: populate the persistent XLA compile cache for the big
+    # fused plans in a throwaway subprocess.  The first cold compile of
+    # the inter plan is what crashed the TPU worker in round 4; doing it
+    # here (with retries, untimed) makes every timed phase predictable.
+    _run_phase("prewarm", retries=3, timeout=1500)
+
     fps = _run_phase("ai_fps")
     if fps is None:
         fps = _run_phase("ai_cpu")
     hm_fps = measure_hm_fps()
     baseline = hm_fps if hm_fps else HM_AI_416_FPS_STORED
-    out = {
-        "metric": "AI encode fps (416x240, QP32, end-to-end, 1 TPU chip)",
+    out.update({
         "value": round(fps, 4) if fps else None,
-        "unit": "frames/s",
         "vs_baseline": round(fps / baseline, 4) if fps else None,
         "hm_fps_same_content": round(baseline, 4),
         "hm_measured_live": bool(hm_fps),
-    }
+    })
+    _emit(out)
 
     # --- Inter fps on real content (same clip for us and HM) ---
     v = _run_phase("ldp_fps")
@@ -222,42 +273,50 @@ def main():
         hm_v = measure_hm_inter_fps("ldp")
         out["hm_fps_ldp"] = round(hm_v or HM_LDP_416_FPS_STORED, 4)
         out["ldp_vs_hm"] = round(out["fps_ldp"] / out["hm_fps_ldp"], 2)
+        _emit(out)
     v = _run_phase("ra_fps")
     if v is not None:
         out["fps_ra"] = round(v, 4)
         hm_v = measure_hm_inter_fps("ra")
         out["hm_fps_ra"] = round(hm_v or HM_RA_416_FPS_STORED, 4)
         out["ra_vs_hm"] = round(out["fps_ra"] / out["hm_fps_ra"], 2)
+        _emit(out)
 
     # --- NORTH STAR: 1080p random-access Main10 fps/chip ---
-    v = _run_phase("ra10_1080_fps")
+    v = _run_phase("ra10_1080_fps", timeout=2400)
     if v is not None:
         out["fps_1080p_ra_main10"] = round(v, 4)
-        hm_v = measure_hm_ra10_1080p_fps()
+        hm_v = measure_hm_ra10_1080p_fps() if _remaining() > 400 else None
         out["hm_fps_1080p_ra_main10"] = round(
             hm_v or HM_RA10_1080P_FPS_STORED, 4)
         out["ra_main10_1080p_vs_hm"] = round(
             v / out["hm_fps_1080p_ra_main10"], 2)
         out["hm_1080p_measured_live"] = bool(hm_v)
+        _emit(out)
 
-    v = _run_phase("ai_cpu", retries=1)
-    if v is not None:
-        out["fps_cpu_pinned"] = round(v, 4)
-    v = _run_phase("ai_1080", retries=2)
-    if v is not None:
-        out["fps_1080p_ai"] = round(v, 4)
-
-    for mode in ("ai", "ldp", "ra"):
-        bd = _run_phase(f"bd_{mode}_syn", retries=1, timeout=3600)
-        if bd is not None:
-            out[f"{mode}_bdrate_pct_vs_hm"] = round(bd, 2)
-        bd = _run_phase(f"bd_{mode}_real", retries=1, timeout=3600)
-        if bd is not None:
-            out[f"{mode}_bdrate_real_pct_vs_hm"] = round(bd, 2)
+    # --- BD-rate: quality evidence before the optional extras ---
     out["bdrate_qps"] = [22, 27, 32, 37]
     out["bdrate_content"] = {"synthetic": "make_yuv seed1234 held-out",
                              "real": "realclip grace_hopper pan/zoom"}
-    print(json.dumps(out))
+    for mode in ("ldp", "ra", "ai"):
+        bd = _run_phase(f"bd_{mode}_real", retries=0, timeout=2700)
+        if bd is not None:
+            out[f"{mode}_bdrate_real_pct_vs_hm"] = round(bd, 2)
+            _emit(out)
+    for mode in ("ai", "ldp", "ra"):
+        bd = _run_phase(f"bd_{mode}_syn", retries=0, timeout=2400)
+        if bd is not None:
+            out[f"{mode}_bdrate_pct_vs_hm"] = round(bd, 2)
+            _emit(out)
+
+    v = _run_phase("ai_1080", retries=1)
+    if v is not None:
+        out["fps_1080p_ai"] = round(v, 4)
+        _emit(out)
+    v = _run_phase("ai_cpu", retries=0)
+    if v is not None:
+        out["fps_cpu_pinned"] = round(v, 4)
+    _emit(out)
 
 
 if __name__ == "__main__":

@@ -61,6 +61,9 @@ def real_content(frames=17, w=416, h=240, bit_depth=8):
     return make_clip(w, h, frames, bit_depth=bit_depth)
 
 
+LAST_STAGES = {}
+
+
 def bench_end_to_end(planes, w=416, h=240, **cfg_kw):
     from hm16_2_tpu.encode.top import Encoder, EncoderConfig
     kw = dict(qp=32, intra_period=1)
@@ -71,7 +74,11 @@ def bench_end_to_end(planes, w=416, h=240, **cfg_kw):
     enc = Encoder(EncoderConfig(w, h, **kw))
     t0 = time.time()
     n = sum(1 for _ in enc.encode_stream(planes))
-    return n / (time.time() - t0)
+    fps = n / (time.time() - t0)
+    LAST_STAGES.clear()
+    LAST_STAGES.update({k: round(v / max(n, 1), 1)
+                        for k, v in enc.stage_ms.items()})
+    return fps
 
 
 def _run_hm(cfg, src, w, h, n, qp=32, extra=()):
@@ -190,11 +197,16 @@ def _phase(name):
             v = measure_bdrate(mode, nf)
     else:
         raise SystemExit(f"unknown phase {name}")
+    if LAST_STAGES:
+        # per-frame ms breakdown (plan dispatch+fetch / host commit /
+        # filters / pass-2 CABAC / hash+NAL) of the phase's encode
+        print("PHASE_STAGES " + json.dumps(LAST_STAGES))
     print(f"PHASE_RESULT {v}")
 
 
 _T0 = time.time()
 _BUDGET = float(os.environ.get("HM16_BENCH_BUDGET_S", "4800"))
+_LAST_EXTRAS: dict = {}
 
 
 def _remaining():
@@ -213,12 +225,18 @@ def _run_phase(name, retries=2, timeout=1800):
                 [sys.executable, os.path.abspath(__file__), "--phase", name],
                 capture_output=True, text=True, timeout=t,
                 cwd=os.path.dirname(os.path.abspath(__file__)) or ".")
+            val = None
             for ln in r.stdout.splitlines():
+                if ln.startswith("PHASE_STAGES "):
+                    try:
+                        _LAST_EXTRAS[name] = json.loads(
+                            ln.split(None, 1)[1])
+                    except ValueError:
+                        pass
                 if ln.startswith("PHASE_RESULT "):
                     val = ln.split(None, 1)[1]
-                    if val == "None":
-                        return None
-                    return float(val)
+            if val is not None:
+                return None if val == "None" else float(val)
             sys.stderr.write(
                 f"{name} attempt {attempt}: no result "
                 f"(rc={r.returncode})\n{r.stderr[-400:]}\n")
@@ -292,6 +310,8 @@ def main():
         out["ra_main10_1080p_vs_hm"] = round(
             v / out["hm_fps_1080p_ra_main10"], 2)
         out["hm_1080p_measured_live"] = bool(hm_v)
+        if "ra10_1080_fps" in _LAST_EXTRAS:
+            out["stage_ms_1080p"] = _LAST_EXTRAS["ra10_1080_fps"]
         _emit(out)
 
     # --- BD-rate: quality evidence before the optional extras ---

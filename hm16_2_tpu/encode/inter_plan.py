@@ -41,6 +41,7 @@ at commit against the exact list).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import numpy as np
@@ -72,6 +73,7 @@ UNI_BASE_BITS = 4.0        # inter_dir + mvp flag + part/pred_mode bins
 BI_BASE_BITS = 6.0
 SPLIT_BITS = 3.0
 INTRA_EXTRA_BITS = 3.0     # pred_mode flag + mpm signalling vs I-slice
+RECT_PART_BITS = 1.5       # part_mode rect bins + PU1 merge_flag margin
 
 
 # ---------------------------------------------------------------------------
@@ -129,14 +131,98 @@ def _dequant_t(levels, qp, bit_depth: int, log2_tr: int):
 # stage 1: dense integer ME (me_frame's pyramid, grid-shaped output)
 # ---------------------------------------------------------------------------
 
-def _int_me_grids(cur, refs, mvp8, lam_sqrt, h, w):
-    """Best full-pel MV per (ref, size-block), sizes 8/16/32/64.
+def _me_shape(cur, refp, P, offs, roffs, grid, mvp_pu, lamf, bh: int,
+              bw: int, y0=0):
+    """Best full-pel MV per (ref, block) for one block SHAPE (bh, bw):
+    coarse-grid argmin with MVD-prior pricing, then full-res +-REFINE_R
+    SSE refinement around both the coarse winner and the zero MV.
+    grid: (R, O, Ny, Nx) coarse SSD; mvp_pu: (R, Ny, Nx, 2) full-pel
+    prior; y0: picture row of cur's first row (nonzero when cur is one
+    row-band of a sharded frame and refp covers the whole padded frame).
+    Returns (R, Ny, Nx, 2) int32 (dy, dx)."""
+    R, O, Ny, Nx = grid.shape
+    N = Ny * Nx
+    g = grid.reshape(R, O, N)
+    mvp = mvp_pu.reshape(R, N, 2)
+    mvb = (_mvd_bits_j(
+        4 * (offs[None, :, None, 1] - mvp[:, None, :, 1]),
+        4 * (offs[None, :, None, 0] - mvp[:, None, :, 0])))
+    best_o = jnp.argmin(g + lamf * mvb, axis=1)           # (R, N)
+    coarse_mv = 4 * offs[best_o]                          # (R, N, 2)
+
+    ys = jnp.repeat(jnp.arange(Ny) * bh, Nx) + y0
+    xs = jnp.tile(jnp.arange(Nx) * bw, Ny)
+    blocks = cur[: Ny * bh, : Nx * bw].reshape(Ny, bh, Nx, bw) \
+        .swapaxes(1, 2).reshape(N, bh, bw)
+
+    def refine(rp, centers):
+        def one(by, bx, c):
+            return jax.lax.dynamic_slice(
+                rp, (by + c[0] + P - REFINE_R, bx + c[1] + P - REFINE_R),
+                (bh + 2 * REFINE_R, bw + 2 * REFINE_R))
+
+        wins = jax.vmap(one)(ys, xs, centers)     # (N, bh+2r, bw+2r)
+
+        # static slicing over the gathered windows: one gather per
+        # block, the 49 offsets are compile-time slices (no serial
+        # per-offset gather chain on the VPU)
+        cols = []
+        for dy in range(2 * REFINE_R + 1):
+            for dx in range(2 * REFINE_R + 1):
+                sub = wins[:, dy:dy + bh, dx:dx + bw]
+                dd = (blocks - sub).astype(jnp.int32)
+                sq = dd * dd
+                if bh * bw >= 4096:
+                    sq = sq >> 2          # float32 headroom for 64x64
+                cols.append(sq.sum(axis=(-1, -2)).astype(jnp.float32))
+        return jnp.stack(cols, axis=1)                    # (N, 49)
+
+    # lax.map over references: traces the refinement body ONCE instead
+    # of unrolling it R times (the unrolled HLO made XLA compiles of the
+    # widened plan program minutes-long)
+    def per_ref(args):
+        rp, cmv, mvp_r = args
+        cands = []
+        for centers in (cmv, jnp.zeros_like(cmv)):
+            sse = refine(rp, centers)
+            mv_cand = centers[:, None, :] + roffs[None, :, :]
+            bits = _mvd_bits_j(
+                4 * (mv_cand[:, :, 1] - mvp_r[:, None, 1]),
+                4 * (mv_cand[:, :, 0] - mvp_r[:, None, 0]))
+            cost = sse + lamf * bits
+            k = jnp.argmin(cost, axis=1)
+            cands.append((jnp.take_along_axis(
+                mv_cand, k[:, None, None], axis=1)[:, 0],
+                jnp.take_along_axis(cost, k[:, None], axis=1)[:, 0]))
+        better = cands[0][1] <= cands[1][1]
+        return jnp.where(better[:, None], cands[0][0], cands[1][0])
+
+    mvs = jax.lax.map(per_ref, (refp, coarse_mv, mvp))
+    return mvs.reshape(R, Ny, Nx, 2)
+
+
+# CU sizes whose rect partitions (2NxN / Nx2N) the plan prices; 8x8 CUs
+# would need the 8x4/4x8 small-PU rules and are left 2Nx2N-only
+RECT_SIZES = (16, 32, 64)
+
+
+def _int_me_grids(cur, refs, mvp8, lam_sqrt, h, w, parts: bool, y0=0):
+    """Best full-pel MV per (ref, block) for the square CU sizes
+    8/16/32/64 AND (when parts) the rect PU shapes of RECT_SIZES.
     mvp8: (R, h//8, w//8, 2) PER-REF full-pel prior (dy, dx).
-    Returns {s: (R, ny, nx, 2) int32 (dy, dx)}."""
+    When cur is one row-band of a sharded frame, refs still cover the
+    WHOLE frame and y0 is the band's first picture row (a multiple of
+    64), so every reference window equals the single-device one and the
+    resulting grids are bit-identical (SURVEY.md section 5).
+    Returns (sq, rect): sq[s]: (R, ny, nx, 2); rect[(s, part)]:
+    (R, Ny, Nx, 2) with part 1 = 2NxN (PUs s/2 high, raster (2ny, nx))
+    and part 2 = Nx2N (PUs s/2 wide, raster (ny, 2nx))."""
     R = refs.shape[0]
     hc, wc = h // 4, w // 4
+    hcf = refs.shape[1] // 4
     cd = cur[: hc * 4, : wc * 4].reshape(hc, 4, wc, 4).sum((1, 3)) // 16
-    rd = refs[:, : hc * 4, : wc * 4].reshape(R, hc, 4, wc, 4).sum((2, 4)) // 16
+    rd = refs[:, : hcf * 4, : wc * 4].reshape(R, hcf, 4, wc, 4) \
+        .sum((2, 4)) // 16
 
     offs = jnp.stack(jnp.meshgrid(
         jnp.arange(-COARSE_R, COARSE_R + 1),
@@ -149,7 +235,7 @@ def _int_me_grids(cur, refs, mvp8, lam_sqrt, h, w):
     def coarse_one_ref(rp):
         def at(o):
             win = jax.lax.dynamic_slice(
-                rp, (o[0] + COARSE_R, o[1] + COARSE_R), (hc, wc))
+                rp, (y0 // 4 + o[0] + COARSE_R, o[1] + COARSE_R), (hc, wc))
             d = (cd - win).astype(jnp.int32)
             return ((d * d)[: n8y * 2, : n8x * 2]
                     .reshape(n8y, 2, n8x, 2).sum((1, 3)).astype(jnp.float32))
@@ -170,71 +256,35 @@ def _int_me_grids(cur, refs, mvp8, lam_sqrt, h, w):
         jnp.arange(-REFINE_R, REFINE_R + 1), indexing="ij"), -1).reshape(-1, 2)
     lamf = lam_sqrt.astype(jnp.float32)
 
-    out = {}
+    sq = {}
     for s in (8, 16, 32, 64):
         ny, nx = h // s, w // s
         if ny == 0 or nx == 0:
-            out[s] = jnp.zeros((R, ny, nx, 2), jnp.int32)
+            sq[s] = jnp.zeros((R, ny, nx, 2), jnp.int32)
             continue
-        g = grids[s].reshape(R, O, ny * nx)
         step = s // 8
-        mvp = mvp8[:, ::step, ::step][:, :ny, :nx] \
-            .reshape(R, ny * nx, 2)                           # per ref
-        mvb = (_mvd_bits_j(
-            4 * (offs[None, :, None, 1] - mvp[:, None, :, 1]),
-            4 * (offs[None, :, None, 0] - mvp[:, None, :, 0])))
-        best_o = jnp.argmin(g + lamf * mvb, axis=1)           # (R, N)
-        coarse_mv = 4 * offs[best_o]                          # (R, N, 2)
+        mvp = mvp8[:, ::step, ::step][:, :ny, :nx]
+        sq[s] = _me_shape(cur, refp, P, offs, roffs, grids[s], mvp, lamf,
+                          s, s, y0)
 
-        ys = jnp.repeat(jnp.arange(ny) * s, nx)
-        xs = jnp.tile(jnp.arange(nx) * s, ny)
-        blocks = cur[: ny * s, : nx * s].reshape(ny, s, nx, s) \
-            .swapaxes(1, 2).reshape(ny * nx, s, s)
-
-        def refine(r_idx, centers):
-            rp = refp[r_idx]
-
-            def one(by, bx, c):
-                return jax.lax.dynamic_slice(
-                    rp, (by + c[0] + P - REFINE_R, bx + c[1] + P - REFINE_R),
-                    (s + 2 * REFINE_R, s + 2 * REFINE_R))
-
-            wins = jax.vmap(one)(ys, xs, centers)     # (N, s+2r, s+2r)
-
-            # static slicing over the gathered windows: one gather per
-            # block, the 49 offsets are compile-time slices (no serial
-            # per-offset gather chain on the VPU)
-            cols = []
-            for dy in range(2 * REFINE_R + 1):
-                for dx in range(2 * REFINE_R + 1):
-                    sub = wins[:, dy:dy + s, dx:dx + s]
-                    dd = (blocks - sub).astype(jnp.int32)
-                    sq = dd * dd
-                    if s == 64:
-                        sq = sq >> 2
-                    cols.append(sq.sum(axis=(-1, -2)).astype(jnp.float32))
-            return jnp.stack(cols, axis=1)                    # (N, 49)
-
-        mvs = []
-        for r_idx in range(R):
-            cands = []
-            mvp_r = mvp[r_idx]
-            for centers in (coarse_mv[r_idx],
-                            jnp.zeros_like(coarse_mv[r_idx])):
-                sse = refine(r_idx, centers)
-                mv_cand = centers[:, None, :] + roffs[None, :, :]
-                bits = _mvd_bits_j(
-                    4 * (mv_cand[:, :, 1] - mvp_r[:, None, 1]),
-                    4 * (mv_cand[:, :, 0] - mvp_r[:, None, 0]))
-                cost = sse + lamf * bits
-                k = jnp.argmin(cost, axis=1)
-                cands.append((jnp.take_along_axis(
-                    mv_cand, k[:, None, None], axis=1)[:, 0],
-                    jnp.take_along_axis(cost, k[:, None], axis=1)[:, 0]))
-            better = cands[0][1] <= cands[1][1]
-            mvs.append(jnp.where(better[:, None], cands[0][0], cands[1][0]))
-        out[s] = jnp.stack(mvs).reshape(R, ny, nx, 2)
-    return out
+    rect = {}
+    if parts:
+        for s in RECT_SIZES:
+            ny, nx = h // s, w // s
+            if ny == 0 or nx == 0:
+                continue
+            half = grids[s // 2][:, :, : 2 * ny, : 2 * nx]
+            # 2NxN: PU shape (s/2, s) — sum half-grid x-pairs
+            gh = half.reshape(R, O, 2 * ny, nx, 2).sum(-1)
+            mvp_h = mvp8[:, ::s // 16, ::s // 8][:, : 2 * ny, :nx]
+            rect[(s, 1)] = _me_shape(cur, refp, P, offs, roffs, gh, mvp_h,
+                                     lamf, s // 2, s, y0)
+            # Nx2N: PU shape (s, s/2) — sum half-grid y-pairs
+            gv = half.reshape(R, O, ny, 2, 2 * nx).sum(3)
+            mvp_v = mvp8[:, ::s // 8, ::s // 16][:, :ny, : 2 * nx]
+            rect[(s, 2)] = _me_shape(cur, refp, P, offs, roffs, gv, mvp_v,
+                                     lamf, s, s // 2, y0)
+    return sq, rect
 
 
 # ---------------------------------------------------------------------------
@@ -286,18 +336,20 @@ def _subpel_planes(refs, bd: int, h: int, w: int):
     return jnp.stack(planes, axis=1)
 
 
-def _gather_pred(suball, ys, xs, mv4, uref, s: int):
+def _gather_pred(suball, ys, xs, mv4, uref, bh: int, bw: int = None):
     """Predicted blocks for per-block quarter MVs.  suball: (R*16, Hp, Wp)
     int16 phase planes of ALL references stacked; uref: (N,) unique-ref
     index per block; mv4: (N, 2) quarter-pel (dy, dx); one gather per
-    block.  Returns (N, s, s) int32."""
+    block.  Returns (N, bh, bw) int32."""
     M = MARGIN
+    if bw is None:
+        bw = bh
 
     def one(y, x, mv, r):
         ph = r * 16 + (mv[0] & 3) * 4 + (mv[1] & 3)
         iy = y + (mv[0] >> 2) + M
         ix = x + (mv[1] >> 2) + M
-        return jax.lax.dynamic_slice(suball, (ph, iy, ix), (1, s, s))[0]
+        return jax.lax.dynamic_slice(suball, (ph, iy, ix), (1, bh, bw))[0]
 
     return jax.vmap(one)(ys, xs, mv4, uref).astype(jnp.int32)
 
@@ -306,29 +358,32 @@ def _gather_pred(suball, ys, xs, mv4, uref, s: int):
 _QOFFS = [(dy, dx) for dy in range(-3, 4) for dx in range(-3, 4)]
 
 
-def _frac_refine(sub_r, blocks, ys, xs, mv_int, pred4, lam_sqrt, s: int):
+def _frac_refine(sub_r, blocks, ys, xs, mv_int, pred4, lam_sqrt, bh: int,
+                 bw: int = None):
     """Quarter-pel SATD refinement over the full +-3 quarter window
     around the integer MV (superset of xPatternSearchFracDIF's half+
-    quarter diamonds).  ONE (16, s+2, s+2) gather per block; the 49
+    quarter diamonds).  ONE (16, bh+2, bw+2) gather per block; the 49
     offsets are static slices of the window.  Returns (mv4 (N,2),
     satd (N,))."""
     M = MARGIN
+    if bw is None:
+        bw = bh
 
     def one(y, x, mv):
         # window covering integer offsets {iv-1, iv} on both axes for all
         # 16 phase planes
         return jax.lax.dynamic_slice(
             sub_r, (0, y + mv[0] - 1 + M, x + mv[1] - 1 + M),
-            (16, s + 2, s + 2))
+            (16, bh + 2, bw + 2))
 
-    wins = jax.vmap(one)(ys, xs, mv_int)          # (N, 16, s+2, s+2)
+    wins = jax.vmap(one)(ys, xs, mv_int)          # (N, 16, bh+2, bw+2)
 
     preds, bits = [], []
     for (qy, qx) in _QOFFS:
         ph = (qy & 3) * 4 + (qx & 3)
         oy = 1 + (qy >> 2)
         ox = 1 + (qx >> 2)
-        preds.append(wins[:, ph, oy:oy + s, ox:ox + s])
+        preds.append(wins[:, ph, oy:oy + bh, ox:ox + bw])
         mv4y = 4 * mv_int[:, 0] + qy
         mv4x = 4 * mv_int[:, 1] + qx
         bits.append(_mvd_bits_j(mv4x - pred4[:, 1], mv4y - pred4[:, 0]))
@@ -385,10 +440,13 @@ SIZES = (8, 16, 32, 64)
 KIND_MERGE, KIND_UNI0, KIND_UNI1, KIND_BI = 0, 1, 2, 3
 
 
-@partial(jax.jit, static_argnames=("h", "w", "bd", "is_b", "nmerge"))
+@partial(jax.jit,
+         static_argnames=("h", "w", "bd", "is_b", "nmerge", "parts",
+                          "has_me"))
 def _plan_device(cur, refs, mvn16, dists, lam, lam_sqrt, qp, map0, map1,
-                 nref0, nref1, *, h: int, w: int, bd: int, is_b: bool,
-                 nmerge: int):
+                 nref0, nref1, me=None, *, h: int, w: int, bd: int,
+                 is_b: bool, nmerge: int, parts: bool = True,
+                 has_me: bool = False):
     """One device dispatch deciding the whole inter frame (see module
     docstring).  cur: (h, w) int32; refs: (R, h, w) int32 deduplicated
     reference planes PADDED to a fixed R (so every GOP hierarchy level
@@ -409,7 +467,13 @@ def _plan_device(cur, refs, mvn16, dists, lam, lam_sqrt, qp, map0, map1,
         mvn16[None].astype(jnp.float32) *
         dists[:, None, None, None].astype(jnp.float32) / 64.0
     ).astype(jnp.int32), -mv_cap, mv_cap)        # (R, h8, w8, 2)
-    mv_int = _int_me_grids(cur, refs, mvp_full, lams, h, w)
+    if has_me:
+        # integer-ME grids precomputed outside (row-sharded over a mesh
+        # by parallel.plan_shard; bit-identical to the in-program path)
+        mv_int, mv_rect = me
+    else:
+        mv_int, mv_rect = _int_me_grids(cur, refs, mvp_full, lams, h, w,
+                                        parts)
     sub = _subpel_planes(refs, bd, h, w)
     R = refs.shape[0]
     suball = sub.reshape((R * 16,) + sub.shape[2:])
@@ -430,16 +494,14 @@ def _plan_device(cur, refs, mvn16, dists, lam, lam_sqrt, qp, map0, map1,
         pred4_all = 4 * mvp_full[:, ::step, ::step][:, :ny, :nx] \
             .reshape(R, N, 2)                             # per-ref q-pel
 
-        # refined quarter MV + SATD per unique reference
-        mvq_r, satd_r = [], []
-        for r in range(R):
-            mv0 = mv_int[s][r].reshape(N, 2)[:, ::1]
-            mvq, satd = _frac_refine(sub[r], blocks, ys, xs, mv0,
-                                     pred4_all[r], lams, s)
-            mvq_r.append(mvq)
-            satd_r.append(satd)
-        mvq_all = jnp.stack(mvq_r)                       # (R, N, 2)
-        satd_all = jnp.stack(satd_r)                     # (R, N)
+        # refined quarter MV + SATD per unique reference (lax.map: one
+        # traced body for all R refs instead of an unrolled chain)
+        def _fr_sq(args):
+            sub_r, mv0, p4 = args
+            return _frac_refine(sub_r, blocks, ys, xs, mv0, p4, lams, s)
+
+        mvq_all, satd_all = jax.lax.map(
+            _fr_sq, (sub, mv_int[s].reshape(R, N, 2), pred4_all))
 
         # per-list best reference (SATD + MVD/ref/dir bins); the list
         # mapping is a dynamic gather with an nref mask so one compiled
@@ -674,34 +736,36 @@ def _plan_device(cur, refs, mvn16, dists, lam, lam_sqrt, qp, map0, map1,
                     jnp.full((N,), 3, jnp.int32))
 
         # ---- residual trial (SSE domain) ----
-        resi = blocks - pred_best
-        if s <= 32:
-            tu = resi
-            log2_tr = s.bit_length() - 1
-            fwd = analysis.batched_fwd_transform(tu, bd, False)
-            lvl = _quant_t(fwd, qp, bd, log2_tr)
-            bits_r = _bits_estimate(lvl)
-            deq = _dequant_t(lvl, qp, bd, log2_tr)
-            rres = batched_inv_transform(deq, bd, False)
-            rec = jnp.clip(pred_best + rres, 0, (1 << bd) - 1)
+        def _trial(pred_b):
+            """fwd DCT + quant + bit estimate + recon SSE for one CU-size
+            prediction; returns (sse_rec, bits_r, sse_zero)."""
+            resi = blocks - pred_b
+            if s <= 32:
+                log2_tr = s.bit_length() - 1
+                fwd = analysis.batched_fwd_transform(resi, bd, False)
+                lvl = _quant_t(fwd, qp, bd, log2_tr)
+                br = _bits_estimate(lvl)
+                deq = _dequant_t(lvl, qp, bd, log2_tr)
+                rres = batched_inv_transform(deq, bd, False)
+            else:
+                tu = resi.reshape(N, 2, 32, 2, 32).swapaxes(2, 3) \
+                    .reshape(N * 4, 32, 32)
+                fwd = analysis.batched_fwd_transform(tu, bd, False)
+                lvl = _quant_t(fwd, qp, bd, 5)
+                br = _bits_estimate(lvl).reshape(N, 4).sum(axis=1)
+                deq = _dequant_t(lvl, qp, bd, 5)
+                rres = batched_inv_transform(deq, bd, False) \
+                    .reshape(N, 2, 2, 32, 32).swapaxes(2, 3) \
+                    .reshape(N, 64, 64)
+            rec = jnp.clip(pred_b + rres, 0, (1 << bd) - 1)
             d = (blocks - rec)
-            sse_rec = (d * d).sum(axis=(-1, -2)).astype(jnp.float32)
-        else:
-            tu = resi.reshape(N, 2, 32, 2, 32).swapaxes(2, 3) \
-                .reshape(N * 4, 32, 32)
-            fwd = analysis.batched_fwd_transform(tu, bd, False)
-            lvl = _quant_t(fwd, qp, bd, 5)
-            bits_r = _bits_estimate(lvl).reshape(N, 4).sum(axis=1)
-            deq = _dequant_t(lvl, qp, bd, 5)
-            rres = batched_inv_transform(deq, bd, False) \
-                .reshape(N, 2, 2, 32, 32).swapaxes(2, 3) \
-                .reshape(N, 64, 64)
-            rec = jnp.clip(pred_best + rres, 0, (1 << bd) - 1)
-            d = (blocks - rec)
-            sse_rec = (d * d).sum(axis=(-1, -2)).astype(jnp.float32)
-        pz = jnp.clip(pred_best, 0, (1 << bd) - 1)
-        dz = (blocks - pz)
-        sse_zero = (dz * dz).sum(axis=(-1, -2)).astype(jnp.float32)
+            sr = (d * d).sum(axis=(-1, -2)).astype(jnp.float32)
+            pz = jnp.clip(pred_b, 0, (1 << bd) - 1)
+            dz = (blocks - pz)
+            sz = (dz * dz).sum(axis=(-1, -2)).astype(jnp.float32)
+            return sr, br, sz
+
+        sse_rec, bits_r, sse_zero = _trial(pred_best)
         cost_coded = sse_rec + lamf * (bits_r + bits_motion + 2.0)
         is_merge = (kind == KIND_MERGE)
         bits_zero = bits_motion + jnp.where(is_merge, 0.0, 1.0) \
@@ -709,6 +773,129 @@ def _plan_device(cur, refs, mvn16, dists, lam, lam_sqrt, qp, map0, map1,
         cost_zero = sse_zero + lamf * bits_zero
         skip_hint = cost_zero <= cost_coded
         inter_cost = jnp.minimum(cost_coded, cost_zero)
+
+        # ---- rect partitions 2NxN / Nx2N: per-PU uni pricing on the
+        # rect-shape ME + a residual trial per shape, competing with the
+        # 2Nx2N cost in the same SSE domain (TEncCu.cpp:702-812 tests
+        # part modes as siblings; the commit pass may still re-map each
+        # planned PU to an exact merge candidate) ----
+        zeroN = jnp.zeros((N,), jnp.int32)
+        part_ch = zeroN
+        pu_ch = {f: zeroN for f in (
+            "p0dir", "p0mvy", "p0mvx", "p0ref",
+            "p1dir", "p1mvy", "p1mvx", "p1ref")}
+        if (s, 1) in mv_rect:
+            shapes = []
+            for part in (1, 2):
+                bh = s // 2 if part == 1 else s
+                bw = s if part == 1 else s // 2
+                mvr = mv_rect[(s, part)]
+                Ny, Nx = mvr.shape[1], mvr.shape[2]
+                Np = Ny * Nx
+                pys = jnp.repeat(jnp.arange(Ny) * bh, Nx)
+                pxs = jnp.tile(jnp.arange(Nx) * bw, Ny)
+                pu_blocks = cur[: Ny * bh, : Nx * bw] \
+                    .reshape(Ny, bh, Nx, bw).swapaxes(1, 2) \
+                    .reshape(Np, bh, bw).astype(jnp.int32)
+                ppred4 = 4 * mvp_full[:, ::bh // 8, ::bw // 8][:, :Ny, :Nx] \
+                    .reshape(R, Np, 2)
+                def _fr_pu(args, _bh=bh, _bw=bw, _pys=pys, _pxs=pxs,
+                           _blocks=pu_blocks):
+                    sub_r, mv0, p4 = args
+                    return _frac_refine(sub_r, _blocks, _pys, _pxs, mv0,
+                                        p4, lams, _bh, _bw)
+
+                mvq_all_p, satd_all_p = jax.lax.map(
+                    _fr_pu, (sub, mvr.reshape(R, Np, 2), ppred4))
+                lsel = []
+                for lx, (lmap_v, nref_v) in enumerate(lists):
+                    mr = lmap_v.shape[0]
+                    mv_sel = jnp.take(mvq_all_p, lmap_v, axis=0)
+                    satd_sel = jnp.take(satd_all_p, lmap_v, axis=0)
+                    p4_sel = jnp.take(ppred4, lmap_v, axis=0)
+                    mb = _mvd_bits_j(mv_sel[:, :, 1] - p4_sel[:, :, 1],
+                                     mv_sel[:, :, 0] - p4_sel[:, :, 0])
+                    ri = jnp.arange(mr)
+                    rb = jnp.where(nref_v > 1,
+                                   jnp.minimum(ri + 1, nref_v - 1), 0) \
+                        .astype(jnp.float32)
+                    bits_l = mb + rb[:, None] + UNI_BASE_BITS
+                    costs = satd_sel + lams * bits_l
+                    costs = jnp.where((ri < nref_v)[:, None], costs,
+                                      jnp.inf)
+                    k = jnp.argmin(costs, axis=0)
+                    lsel.append({
+                        "cost": jnp.min(costs, axis=0),
+                        "bits": jnp.take_along_axis(
+                            bits_l, k[None], axis=0)[0],
+                        "mv": jnp.take_along_axis(
+                            mv_sel, k[None, :, None], axis=0)[0],
+                        "uref": lmap_v[k],
+                        "ridx": k.astype(jnp.int32),
+                    })
+                if len(lsel) == 2:
+                    use1 = lsel[1]["cost"] < lsel[0]["cost"]
+                    pu_cost = jnp.minimum(lsel[0]["cost"],
+                                          lsel[1]["cost"])
+                    pu_bits = jnp.where(use1, lsel[1]["bits"],
+                                        lsel[0]["bits"])
+                    pu_mv = jnp.where(use1[:, None], lsel[1]["mv"],
+                                      lsel[0]["mv"])
+                    pu_uref = jnp.where(use1, lsel[1]["uref"],
+                                        lsel[0]["uref"])
+                    pu_ridx = jnp.where(use1, lsel[1]["ridx"],
+                                        lsel[0]["ridx"])
+                    pu_dir = jnp.where(use1, 2, 1).astype(jnp.int32)
+                else:
+                    e = lsel[0]
+                    pu_cost, pu_bits = e["cost"], e["bits"]
+                    pu_mv, pu_uref, pu_ridx = e["mv"], e["uref"], e["ridx"]
+                    pu_dir = jnp.ones((Np,), jnp.int32)
+                pred_pu = _gather_pred(suball, pys, pxs, pu_mv, pu_uref,
+                                       bh, bw)
+                if part == 1:
+                    A = pred_pu.reshape(ny, 2, nx, bh, bw)
+                    predc = jnp.concatenate([A[:, 0], A[:, 1]], axis=-2)
+                else:
+                    A = pred_pu.reshape(ny, nx, 2, bh, bw)
+                    predc = jnp.concatenate([A[:, :, 0], A[:, :, 1]],
+                                            axis=-1)
+                predc = predc.reshape(N, s, s)
+
+                def cu_split(a, _part=part):
+                    if _part == 1:
+                        g = a.reshape((ny, 2, nx) + a.shape[1:])
+                        return (g[:, 0].reshape((N,) + a.shape[1:]),
+                                g[:, 1].reshape((N,) + a.shape[1:]))
+                    g = a.reshape((ny, nx, 2) + a.shape[1:])
+                    return (g[:, :, 0].reshape((N,) + a.shape[1:]),
+                            g[:, :, 1].reshape((N,) + a.shape[1:]))
+
+                bits0, bits1 = cu_split(pu_bits)
+                bits_cu = bits0 + bits1 + RECT_PART_BITS
+                sr, br, sz = _trial(predc)
+                cost_r = jnp.minimum(
+                    sr + lamf * (br + bits_cu + 2.0),
+                    sz + lamf * (bits_cu + 1.0))
+                dir0, dir1 = cu_split(pu_dir)
+                mv0p, mv1p = cu_split(pu_mv)
+                r0p, r1p = cu_split(pu_ridx)
+                shapes.append({
+                    "part": part, "cost": cost_r,
+                    "p0dir": dir0, "p0mvy": mv0p[:, 0],
+                    "p0mvx": mv0p[:, 1], "p0ref": r0p,
+                    "p1dir": dir1, "p1mvy": mv1p[:, 0],
+                    "p1mvx": mv1p[:, 1], "p1ref": r1p,
+                })
+            a, b = shapes
+            use_b = b["cost"] < a["cost"]
+            rect_cost = jnp.minimum(a["cost"], b["cost"])
+            rect_better = rect_cost < inter_cost
+            part_ch = jnp.where(rect_better,
+                                jnp.where(use_b, 2, 1), 0)
+            for f in pu_ch:
+                pu_ch[f] = jnp.where(use_b, b[f], a[f])
+            inter_cost = jnp.minimum(inter_cost, rect_cost)
 
         # ---- intra alternative (8/16/32 luma) ----
         intra_flag = jnp.zeros((N,), bool)
@@ -732,6 +919,7 @@ def _plan_device(cur, refs, mvn16, dists, lam, lam_sqrt, qp, map0, map1,
             "ref0": ref0, "ref1": ref1, "msrc": m_best["sel"],
             "skip": skip_hint, "intra": intra_flag, "imode": imode,
             "icands": icands, "ny": ny, "nx": nx,
+            "part": part_ch, **pu_ch,
         }
 
     return _emit_plan(per_size, lamf, h, w)
@@ -832,7 +1020,9 @@ def _emit_plan(per_size, lamf, h: int, w: int):
             ps = per_size[s]
             if ps is None:
                 continue
-            v = ps[field]
+            v = ps.get(field)
+            if v is None:
+                continue
             if v.ndim == 1:
                 g = v.reshape(ps["ny"], ps["nx"]).astype(jnp.int32)
             else:
@@ -880,11 +1070,14 @@ def _emit_plan(per_size, lamf, h: int, w: int):
     ref0 = chan("ref0", -1)
     ref1 = chan("ref1", -1)
     c0, c1, c2 = chan_cand(0), chan_cand(1), chan_cand(2)
+    part = chan("part", 0)
+    pu = [chan(f, 0) for f in ("p0dir", "p0mvy", "p0mvx", "p0ref",
+                               "p1dir", "p1mvy", "p1mvx", "p1ref")]
 
     flags = (cov.astype(jnp.int32) | (intra << 1) | (skip << 2))
     return jnp.stack([
         depth, flags, kind, msrc, dirv, mv0x, mv0y, mv1x, mv1y,
-        ref0, ref1, imode, c0, c1, c2,
+        ref0, ref1, imode, c0, c1, c2, part, *pu,
     ]).astype(jnp.int16)
 
 
@@ -899,7 +1092,8 @@ class InterPlan:
 
     __slots__ = ("depth", "nxn", "mode", "cov", "tusplit", "cmode",
                  "cands", "h4", "w4", "is_inter_plan", "pred_inter",
-                 "skip_hint", "kind", "msrc", "dir", "mv", "ref")
+                 "skip_hint", "kind", "msrc", "dir", "mv", "ref",
+                 "part", "pu")
 
     def __init__(self, h4, w4):
         self.h4, self.w4 = h4, w4
@@ -923,15 +1117,22 @@ def fetch_plan(packed, h, w):
     plan.ref = np.stack([p[9], p[10]]).astype(np.int8)
     plan.mode = p[11].astype(np.int8)
     plan.cands = np.stack([p[12], p[13], p[14]], axis=-1).astype(np.int8)
+    plan.part = p[15].astype(np.int8)
+    # pu[pu_idx] = (dir, mvy, mvx, ref) per planned rect PU
+    plan.pu = np.stack([p[16:20], p[20:24]]).astype(np.int32)
     plan.nxn = np.zeros((h4, w4), dtype=bool)
     plan.tusplit = np.zeros((h4, w4), dtype=bool)
     plan.cmode = np.full((h4, w4), 4, dtype=np.int8)
     return plan
 
 
-def plan_frame(orig_y, sps, sh, rc, prev_mv8, lam, lam_sqrt, device):
+def plan_frame(orig_y, sps, sh, rc, prev_mv8, lam, lam_sqrt, device,
+               mesh=None):
     """Dispatch + fetch the fused inter plan for one frame.
-    rc: mvpred.RefCtx with the frame's reference lists."""
+    rc: mvpred.RefCtx with the frame's reference lists.  When a `row`
+    mesh is given (and the geometry allows exact 64-row banding), the
+    integer-ME stage runs row-sharded across it (parallel.plan_shard)
+    and the fused plan consumes the precomputed grids bit-identically."""
     h, w = sps.pic_height, sps.pic_width
     bd = sps.bit_depth_luma
     is_b = sh.slice_type == 0
@@ -963,6 +1164,34 @@ def plan_frame(orig_y, sps, sh, rc, prev_mv8, lam, lam_sqrt, device):
     pad_plane = uniq[0][1]
     planes_u = [p for _, p in uniq] + \
         [pad_plane] * (R_PAD - len(uniq))
+    # WP-aware pricing: fold each reference's explicit luma weight and
+    # offset into its plane so the plan's SATD/SSE sees what the
+    # normative weighted MC will produce on fades — otherwise every
+    # candidate is systematically mispriced when weighted_pred is on
+    # (TComWeightPrediction.h:64-81; uni-pred pixel-domain form, sub-LSB
+    # rounding vs the 14-bit path is irrelevant for ranking).
+    if getattr(sh, "pred_weights", None):
+        wmap = {}
+        for (lx2, r2), j in keymap.items():
+            wp = sh.pred_weights.get((lx2, r2, 0))
+            if wp is not None and wp.present and j not in wmap:
+                wmap[j] = wp
+        if any(w.weight != (1 << w.log2_denom) or w.offset
+               for w in wmap.values()):
+            maxv = (1 << bd) - 1
+            off_scale = 1 << max(bd - 8, 0)
+            out_planes = []
+            for j, p in enumerate(planes_u):
+                wp = wmap.get(j)
+                if wp is None or (wp.weight == (1 << wp.log2_denom)
+                                  and not wp.offset):
+                    out_planes.append(p)
+                    continue
+                rnd = (1 << (wp.log2_denom - 1)) if wp.log2_denom else 0
+                q = ((p.astype(np.int64) * wp.weight + rnd)
+                     >> wp.log2_denom) + wp.offset * off_scale
+                out_planes.append(np.clip(q, 0, maxv).astype(np.int32))
+            planes_u = out_planes
     map0 = (map0 + [0] * MAXREF_PLAN)[:MAXREF_PLAN]
     map1 = (map1 + [0] * MAXREF_PLAN)[:MAXREF_PLAN]
     nref0 = min(len([k for k in keymap if k[0] == 0]), MAXREF_PLAN)
@@ -976,21 +1205,32 @@ def plan_frame(orig_y, sps, sh, rc, prev_mv8, lam, lam_sqrt, device):
             poc_of[keymap[(lx, r_idx)]] = rc.ref_lists[lx][r_idx].poc
     dists = [sh.poc - poc_of.get(j, sh.poc - 1)
              for j in range(len(planes_u))]
+    parts_on = not os.environ.get("HM16_NO_PLAN_PARTS")
+    mvn16_np = (np.zeros((h // 8, w // 8, 2), np.int32)
+                if prev_mv8 is None else np.asarray(prev_mv8, np.int32))
+    me = None
+    if mesh is not None:
+        from hm16_2_tpu.parallel import plan_shard
+        if plan_shard.shardable(mesh, h, w, parts_on):
+            me = plan_shard.sharded_int_me(
+                mesh, np.ascontiguousarray(orig_y[:h, :w]),
+                np.stack([np.ascontiguousarray(p[:h, :w])
+                          for p in planes_u]),
+                mvn16_np, np.asarray(dists, np.int32), float(lam_sqrt),
+                h, w)
     with jax.default_device(device):
         refs = jnp.stack([jnp.asarray(p[:h, :w], jnp.int32)
                           for p in planes_u])
         cur = jnp.asarray(orig_y[:h, :w], jnp.int32)
-        if prev_mv8 is None:
-            mvn16 = jnp.zeros((h // 8, w // 8, 2), jnp.int32)
-        else:
-            mvn16 = jnp.asarray(prev_mv8, jnp.int32)
+        mvn16 = jnp.asarray(mvn16_np, jnp.int32)
         packed = _plan_device(
             cur, refs, mvn16, jnp.asarray(dists, jnp.int32),
             jnp.float32(lam), jnp.float32(lam_sqrt),
             jnp.int32(qp_luma),
             jnp.asarray(map0, jnp.int32), jnp.asarray(map1, jnp.int32),
-            jnp.int32(nref0), jnp.int32(nref1),
-            h=h, w=w, bd=bd, is_b=is_b, nmerge=sh.max_num_merge_cand)
+            jnp.int32(nref0), jnp.int32(nref1), me,
+            h=h, w=w, bd=bd, is_b=is_b, nmerge=sh.max_num_merge_cand,
+            parts=parts_on, has_me=me is not None)
         try:
             packed.copy_to_host_async()
         except Exception:

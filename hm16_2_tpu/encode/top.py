@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import os
 
+import time
+
 import numpy as np
 
 from hm16_2_tpu.bitstream.bitio import (
@@ -50,6 +52,10 @@ class EncoderConfig:
                  aq=False, aq_strength=1.0, rc_ctu=False,
                  scaling_list=0, scaling_list_file=None,
                  sei_buffering_period=False, sei_recovery_point=False,
+                 sei_frame_packing=-1, sei_display_orientation=-1,
+                 sei_temporal_level0=False, sei_region_refresh=False,
+                 sei_time_code=False, sei_mastering_display=False,
+                 sei_tone_mapping=False,
                  dependent_slices=False, transquant_bypass=False,
                  pcm=False, pcm_log2_min=3, pcm_log2_max=5,
                  pcm_loop_filter_disabled=True):
@@ -82,6 +88,14 @@ class EncoderConfig:
         self.scaling_list_file = scaling_list_file
         self.sei_buffering_period = sei_buffering_period  # HRD + BP SEI
         self.sei_recovery_point = sei_recovery_point
+        # display / info SEI suite (SEIwrite.cpp; headers/sei.py)
+        self.sei_frame_packing = sei_frame_packing    # -1 off, else type
+        self.sei_display_orientation = sei_display_orientation  # -1/angle
+        self.sei_temporal_level0 = sei_temporal_level0
+        self.sei_region_refresh = sei_region_refresh
+        self.sei_time_code = sei_time_code
+        self.sei_mastering_display = sei_mastering_display
+        self.sei_tone_mapping = sei_tone_mapping
         self.dependent_slices = dependent_slices  # slices 2..N dependent
         # lossless: every CU coded with cu_transquant_bypass_flag = 1
         # (HM TransquantBypassEnableFlag + CUTransquantBypassFlagForce)
@@ -214,6 +228,10 @@ def build_sps_pps(cfg: EncoderConfig):
 
 class Encoder:
     def __init__(self, cfg: EncoderConfig):
+        # cumulative per-stage wall-time (ms) across encoded frames:
+        # plan (device dispatch+fetch) / commit (host CU walk) /
+        # filters (deblock+SAO) / emit (pass-2 CABAC) / finish
+        self.stage_ms = {}
         self.cfg = cfg
         self.sps, self.pps = build_sps_pps(cfg)
         self.vps = VPS(ptl=self.sps.ptl)
@@ -742,6 +760,10 @@ class Encoder:
     def _encode_one(self, planes, poc, sh, qp_factor=None,
                     rc_lam=None, plan_packed=None, lam_mult=1.0) -> bytes:
         cfg, sps, pps = self.cfg, self.sps, self.pps
+        _st = self.stage_ms
+
+        def _tick(key, t0):
+            _st[key] = _st.get(key, 0.0) + (time.perf_counter() - t0) * 1e3
         is_idr = sh.nal_type in (NAL_IDR_W_RADL, NAL_IDR_N_LP)
         if is_idr:
             self.dpb.clear()
@@ -842,6 +864,7 @@ class Encoder:
                 not os.environ.get("HM16_EXACT_RD"):
             from hm16_2_tpu.common.tables import CHROMA_QP_SCALE
             from hm16_2_tpu.encode import intra_rd
+            t0 = time.perf_counter()
             if plan_packed is not None:
                 # pipelined path: the plan program was dispatched before
                 # the previous frame's commit started
@@ -858,6 +881,7 @@ class Encoder:
                 search.plan = intra_rd.plan_frame(
                     planes, sps, qp_luma, search.lam,
                     getattr(search, "chroma_weight", 1.0), cqps)
+            _tick("plan", t0)
         if sh.slice_type != I_SLICE:
             ref_lists = build_ref_lists(sh, self.dpb)
             if pps.weighted_pred and sh.slice_type == P_SLICE:
@@ -874,10 +898,12 @@ class Encoder:
                 # onto exact candidate lists
                 from hm16_2_tpu.encode import inter_plan
                 from hm16_2_tpu.encode.intra_rd import _pick_device
+                t0 = time.perf_counter()
                 search.plan = inter_plan.plan_frame(
                     planes[0], sps, sh, rc, self._prev_mv8,
                     float(search.lam), float(np.sqrt(search.lam)),
                     _pick_device())
+                _tick("plan", t0)
             if search.plan is None and cfg.rdo and \
                     not os.environ.get("HM16_NO_ME_PLAN"):
                 # frame-batched +-64 integer ME on the accelerator (one
@@ -909,6 +935,7 @@ class Encoder:
             aq_off = aq_offsets(np.asarray(planes[0]), pic.ctb,
                                 sps.pic_height, sps.pic_width,
                                 cfg.aq_strength)
+        t_commit = time.perf_counter()
         start_ts = 0
         if search.plan is not None and aq_off is None and \
                 sh.slice_type == I_SLICE:
@@ -953,6 +980,8 @@ class Encoder:
                                    None if all_skip else rc_qp, rc_lam)
         if aq_off is not None or ctu_rc:
             self._reconcile_group_qps(pic, sh)
+        _tick("commit", t_commit)
+        t_filt = time.perf_counter()
 
         # deblock, then SAO parameter estimation on the deblocked recon.
         # PCM/lossless samples must survive the in-loop filters exactly as
@@ -973,6 +1002,8 @@ class Encoder:
                 s_.sao_luma = 1
                 s_.sao_chroma = 1
             estimate_sao(pic, search.orig, lam)
+        _tick("filters", t_filt)
+        t_emit = time.perf_counter()
 
         if n_slices == 1:
             # pass 2: final bitstream (TEncSlice::encodeSlice) — one CABAC
@@ -1050,6 +1081,8 @@ class Encoder:
         else:
             slice_nals, total_bins, hdr_bits = self._emit_multi_slices(
                 pic, shs, slice_bounds, use_sao)
+        _tick("emit", t_emit)
+        t_fin = time.perf_counter()
 
         # cabac_zero_words stuffing (spec 7.4.3.10; TEncGOP.cpp:1622-1660):
         # BinCountsInNalUnits must not exceed (32/3)*NumBytesInVclNalUnits
@@ -1095,6 +1128,39 @@ class Encoder:
             self._cpb_anchor = self.frames_coded
         if cfg.sei_recovery_point and irap:
             nals.append(W.write_recovery_point_sei(0, 1, 0))
+        if irap or self.frames_coded == 0:
+            # persistence-scoped display SEIs accompany each IRAP
+            # (SEIwrite.cpp; headers/sei.py writers)
+            from hm16_2_tpu.headers import sei as SEI
+            if cfg.sei_frame_packing >= 0:
+                nals.append(SEI.write_frame_packing(cfg.sei_frame_packing))
+            if cfg.sei_display_orientation >= 0:
+                nals.append(SEI.write_display_orientation(
+                    cfg.sei_display_orientation))
+            if cfg.sei_mastering_display:
+                nals.append(SEI.write_mastering_display())
+            if cfg.sei_tone_mapping:
+                nals.append(SEI.write_tone_mapping(
+                    coded_bit_depth=sps.bit_depth_luma,
+                    target_bit_depth=8,
+                    max_value=(1 << sps.bit_depth_luma) - 1))
+        if cfg.sei_region_refresh and irap:
+            from hm16_2_tpu.headers import sei as SEI
+            nals.append(SEI.write_region_refresh(1))
+        if cfg.sei_temporal_level0:
+            from hm16_2_tpu.headers import sei as SEI
+            if irap:
+                self._irap_id = getattr(self, "_irap_id", -1) + 1
+            elif sh.temporal_id == 0:
+                self._tl0_idx = getattr(self, "_tl0_idx", 0) + 1
+            nals.append(SEI.write_temporal_level0_index(
+                getattr(self, "_tl0_idx", 0), getattr(self, "_irap_id", 0)))
+        if cfg.sei_time_code:
+            from hm16_2_tpu.headers import sei as SEI
+            fr = max(int(cfg.frame_rate or 30), 1)
+            t = poc // fr
+            nals.append(SEI.write_time_code(
+                poc % fr, t % 60, (t // 60) % 60, (t // 3600) % 24))
         if cfg.sei_timing:
             if sps.vui_hrd_present:
                 anchor = getattr(self, "_cpb_anchor", 0)
@@ -1106,6 +1172,7 @@ class Encoder:
             else:
                 nals.append(W.write_pic_timing_sei())
         nals += slice_nals + [sei_nal]
+        _tick("finish", t_fin)
         self.frames_coded += 1
         self.last_recon = recon
         # retain reference picture (coded-size planes, motion for deblock/BS)
@@ -1655,6 +1722,9 @@ class CtuSearch:
         x0, y0 = px * 4, py * 4
         n = size // 4
         sl = np.s_[py:py + n, px:px + n]
+        part = int(plan.part[py, px])
+        if part in (1, 2):
+            return self._commit_planned_rect(px, py, log2, part)
         kind = int(plan.kind[py, px])
         dirv = int(plan.dir[py, px])
         skip_hint = bool(plan.skip_hint[py, px])
@@ -1705,59 +1775,58 @@ class CtuSearch:
                     return i
             return None
 
-        if kind != 0:
-            # AMVP-planned motion that the exact merge list can carry
-            # verbatim is strictly cheaper signalled as merge
-            # (TEncSearch::xMergeEstimation finds these in HM)
-            if _match_merge() is not None:
-                kind = 0
-
-        if kind == 0:
-            # planned merge: rank EVERY exact candidate by luma SSE + a
-            # small index price.  SSE (not SATD) because merge CUs are
-            # usually committed skip/zero-residual, where the candidate's
-            # prediction IS the reconstruction — the SATD+first-index
-            # ranking systematically favored early spatial (uni)
-            # candidates and halved the bi density HM gets from its
-            # merge RD (TEncCu::xCheckRDCostMerge2Nx2N).
-            lam = self.lam
-            orig = self.orig[0][y0:y0 + size,
-                                x0:x0 + size].astype(np.int64)
-            best = None
-            for i, cand in enumerate(cands):
-                pred = self._mc_luma_cand(x0, y0, size, cand)
-                if pred is None:
-                    continue
-                d = (orig - pred).astype(np.float64).ravel()
-                c = np.dot(d, d) + lam * (i + 1)
-                if best is None or c < best[0]:
-                    best = (c, i)
-            if best is None:
-                return False
-            # AMVP escape: the planned (non-merge-representable)
-            # motion may predict much better than any exact merge
-            # candidate — compare and code with MVDs when it wins
-            planned_kind = int(plan.kind[py, px])
-            if planned_kind == 0 and dirv in (1, 2) and \
-                    _match_merge() is None:
-                lx = active[0]
-                mpair = (prefs[0], mv[lx])
-                pred_p = self._mc_luma_cand(
-                    x0, y0, size, (dirv, mpair, mpair))
-                if pred_p is not None:
+        # ---- unified SSE rerank: EVERY exact merge candidate AND the
+        # planned motion signalled as AMVP compete on luma SSE + exact
+        # signalling bits (TEncCu tests merge-2Nx2N and inter-2Nx2N as
+        # sibling RD candidates; the plan's kind is a hint, not a
+        # commitment).  SSE (not SATD) because these CUs are often
+        # committed skip/zero-residual, where the candidate's prediction
+        # IS the reconstruction (TEncCu::xCheckRDCostMerge2Nx2N). ----
+        lam = self.lam
+        nmerge = max(len(cands), 1)
+        orig = self.orig[0][y0:y0 + size, x0:x0 + size].astype(np.int64)
+        best = None                   # (cost, m_idx or None=planned AMVP)
+        for i, cand in enumerate(cands):
+            pred = self._mc_luma_cand(x0, y0, size, cand)
+            if pred is None:
+                continue
+            d = (orig - pred).astype(np.float64).ravel()
+            bits = 1.0 + (i + 1 if i < nmerge - 1 else max(nmerge - 1, 1))
+            c = np.dot(d, d) + lam * bits
+            if best is None or c < best[0]:
+                best = (c, i)
+        if _match_merge() is None:
+            # price the planned (non-merge-representable) motion with its
+            # exact min-MVD AMVP cost; it may predict far better than any
+            # merge candidate (the AMVP escape), or far worse (repair)
+            mpair = [(0, (0, 0)), (0, (0, 0))]
+            for j, lx in enumerate(active):
+                mpair[lx] = (prefs[j], mv[lx])
+            pred_p = self._mc_luma_cand(
+                x0, y0, size, (dirv, mpair[0], mpair[1]))
+            if pred_p is not None:
+                bits = 3.0
+                for j, lx in enumerate(active):
                     amvp = self.mvp.amvp_candidates(
-                        x0, y0, size, size, lx, prefs[0])
-                    mvq = mv[lx]
-                    mbits = min(
-                        self._mvd_bits((mvq[0] - amvp[k][0],
-                                        mvq[1] - amvp[k][1]))
+                        x0, y0, size, size, lx, prefs[j])
+                    bits += 1 + min(
+                        self._mvd_bits((mv[lx][0] - amvp[k][0],
+                                        mv[lx][1] - amvp[k][1]))
                         for k in range(2))
-                    d = (orig - pred_p).astype(np.float64).ravel()
-                    c_amvp = np.dot(d, d) + lam * (mbits + 3.0)
-                    if c_amvp < best[0]:
-                        kind = 1 if lx == 0 else 2
-            if kind == 0:
-                m_idx = best[1]
+                    n_refs = min(sh.num_ref_idx[lx],
+                                 len(rc.ref_lists[lx]))
+                    if n_refs > 1:
+                        bits += min(prefs[j] + 1, n_refs - 1)
+                d = (orig - pred_p).astype(np.float64).ravel()
+                c = np.dot(d, d) + lam * bits
+                if best is None or c < best[0]:
+                    best = (c, None)
+        if best is None:
+            return False
+        if best[1] is not None:
+            kind, m_idx = 0, best[1]
+        elif kind == 0:
+            kind = 1                  # planned-merge motion coded as AMVP
         if kind == 0:
             cd, m0, m1 = cands[m_idx]
             pic.merge_flag[sl] = 1
@@ -1791,8 +1860,112 @@ class CtuSearch:
         return self._commit_inter_residual_fast(px, py, log2, False,
                                                 skip_hint)
 
+    def _commit_planned_rect(self, px, py, log2, part) -> bool:
+        """Commit one rect-partitioned inter CU decided by the fused
+        plan: per PU (sequentially, so PU1's candidate lists see PU0's
+        committed motion like TEncSearch's per-PU walk), map the planned
+        uni motion onto the exact merge list or AMVP signalling, then
+        run the normative per-PU MC + residual coding."""
+        pic, sh, plan = self.pic, self.sh, self.plan
+        rc = self.mvp.rc
+        size = 1 << log2
+        n = size // 4
+        sl = np.s_[py:py + n, px:px + n]
+        psize = SIZE_2NxN if part == 1 else SIZE_Nx2N
+        lam = self.lam
+
+        # validate both planned PUs before writing anything
+        planned = []
+        for pu_idx in range(2):
+            dirv = int(plan.pu[pu_idx, 0, py, px])
+            r_idx = int(plan.pu[pu_idx, 3, py, px])
+            mvq = (int(plan.pu[pu_idx, 2, py, px]),
+                   int(plan.pu[pu_idx, 1, py, px]))     # (x, y) q-pel
+            lx = dirv - 1
+            if lx not in (0, 1) or r_idx < 0 or \
+                    r_idx >= min(sh.num_ref_idx[lx] if lx < 2 else 0,
+                                 len(rc.ref_lists[lx])
+                                 if lx < len(rc.ref_lists) else 0):
+                return False
+            planned.append((lx, r_idx, mvq))
+
+        pic.depth[sl] = pic.log2_ctb - log2
+        pic.part_size[sl] = psize
+        pic.pred_mode[sl] = MODE_INTER
+        pic.qp[sl] = self.cur_qp
+        pic.coded[sl] = True
+        pic.tr_idx[sl] = 0
+        pic.merge_flag[sl] = 0
+        pic.intra_luma[sl] = 0
+        for lx in range(2):
+            pic.ref_idx[lx][sl] = -1
+            pic.mv[lx][sl] = 0
+            pic.mvd[lx][sl] = 0
+            pic.ref_poc[lx][sl] = -(10 ** 9)
+
+        rects = self.cenc.pu_rects(px, py, log2, psize)
+        for pu_idx, (x, y, w, h) in enumerate(rects):
+            info = self._map_pu_motion(x, y, w, h, pu_idx, psize, px, py,
+                                       planned[pu_idx], lam)
+            if info is None:
+                return False
+            self._commit_pu_fields(x, y, w, h, info)
+        return self._commit_inter_residual_fast(px, py, log2, False, False,
+                                                psize=psize)
+
+    def _map_pu_motion(self, x, y, w, h, pu_idx, psize, cu_px, cu_py,
+                       planned, lam):
+        """Choose one PU's final signalling: SSE rerank over the exact
+        merge candidates vs the planned motion coded AMVP.  Returns a
+        _commit_pu_fields info tag or None."""
+        sh = self.sh
+        rc = self.mvp.rc
+        lx, r_idx, mvq = planned
+        orig = self.orig[0][y:y + h, x:x + w].astype(np.int64)
+        cands = self.mvp.merge_candidates(x, y, w, h, pu_idx, psize,
+                                          cu_px, cu_py)
+        cands = cands[:sh.max_num_merge_cand]
+        nmerge = max(len(cands), 1)
+        best = None
+        matched = False
+        for i, cand in enumerate(cands):
+            cd, m0, m1 = cand
+            pred = self._mc_luma_rect(x, y, w, h, cand)
+            if pred is None:
+                continue
+            if cd == (1 << lx):
+                m = (m0, m1)[lx]
+                if m[0] == r_idx and tuple(m[1]) == mvq:
+                    matched = True
+            d = (orig - pred).astype(np.float64).ravel()
+            bits = 1.0 + (i + 1 if i < nmerge - 1 else max(nmerge - 1, 1))
+            c = np.dot(d, d) + lam * bits
+            if best is None or c < best[0]:
+                best = (c, ("merge", i, cand))
+        if not matched:
+            mpair = (r_idx, mvq)
+            pred_p = self._mc_luma_rect(
+                x, y, w, h, (1 << lx, mpair if lx == 0 else (0, (0, 0)),
+                             mpair if lx == 1 else (0, (0, 0))))
+            if pred_p is not None:
+                amvp = self.mvp.amvp_candidates(x, y, w, h, lx, r_idx)
+                db = sorted((self._mvd_bits((mvq[0] - amvp[k][0],
+                                             mvq[1] - amvp[k][1])), k)
+                            for k in range(2))
+                bits = db[0][0] + 4.0
+                n_refs = min(sh.num_ref_idx[lx], len(rc.ref_lists[lx]))
+                if n_refs > 1:
+                    bits += min(r_idx + 1, n_refs - 1)
+                d = (orig - pred_p).astype(np.float64).ravel()
+                c = np.dot(d, d) + lam * bits
+                if best is None or c < best[0]:
+                    k = db[0][1]
+                    mvd = (mvq[0] - amvp[k][0], mvq[1] - amvp[k][1])
+                    best = (c, ("uni", {lx: (r_idx, mvq, mvd, k)}))
+        return best[1] if best is not None else None
+
     def _commit_inter_residual_fast(self, px, py, log2, is_merge,
-                                    skip_hint):
+                                    skip_hint, psize=SIZE_2Nx2N):
         """Native inter CU commit (dsp_core inter_commit_cu) with the
         Python _inter_residual_commit as fallback."""
         ic = self._inter_ctx()
@@ -1802,7 +1975,7 @@ class CtuSearch:
             from hm16_2_tpu import native
             if native.get_dsp().inter_commit_cu(
                     ctypes.byref(ic), px, py, log2, int(skip_hint),
-                    int(is_merge)) == 0:
+                    int(is_merge), int(psize)) == 0:
                 return True
         return self._inter_residual_commit(px, py, log2, is_merge,
                                            skip_hint)

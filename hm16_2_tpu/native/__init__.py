@@ -334,7 +334,7 @@ def get_dsp():
         ctypes.c_int]
     lib.inter_commit_cu.argtypes = [
         ctypes.POINTER(InterCtx), ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.inter_commit_cu.restype = ctypes.c_int
     lib.mc_block_native.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,

@@ -1960,13 +1960,14 @@ extern "C" int mc_block_native(const int32_t *, int64_t, int, int, int, int,
 
 namespace {
 
-// one component of the CU prediction into out (size_c x size_c)
-static int ic_pred_comp(const InterCtx *I, int px, int py, int log2,
-                        int comp, int32_t *out) {
+// one PU's prediction into out (strided); motion read from the PU's
+// top-left part (ppx, ppy).  Identical-motion collapse is per PU
+// (TComPrediction::xCheckIdenticalMotion).
+static int ic_pred_pu(const InterCtx *I, int x0, int y0, int pw, int ph,
+                      int ppx, int ppy, int comp, int32_t *out,
+                      int out_stride) {
   int sx = comp ? 1 : 0, sy = comp ? 1 : 0;   // chroma_fmt 1 only
-  int x0 = (px * 4), y0 = (py * 4);
-  int w = 1 << log2, h = 1 << log2;
-  int part = py * I->parts_w + px;
+  int part = ppy * I->parts_w + ppx;
   int dir = I->inter_dir[part];
   if (dir < 1 || dir > 3) return -1;
   int bi = dir == 3;
@@ -1979,7 +1980,6 @@ static int ic_pred_comp(const InterCtx *I, int px, int py, int log2,
     mvp[lx] = I->mv + (lx * I->mv_list_stride + part * 2);
   }
   if (bi && I->allow_collapse) {
-    // xCheckIdenticalMotion
     if (I->ref_poc[0][r[0]] == I->ref_poc[1][r[1]] &&
         mvp[0][0] == mvp[1][0] && mvp[0][1] == mvp[1][1]) {
       bi = 0;
@@ -1987,14 +1987,15 @@ static int ic_pred_comp(const InterCtx *I, int px, int py, int log2,
     }
   }
   static thread_local int32_t part_buf[2][64 * 64];
-  int cw = w >> sx, ch = h >> sy;
+  static thread_local int32_t uni_buf[64 * 64];
+  int cw = pw >> sx, ch = ph >> sy;
   int bd = I->bd[comp];
   int done = 0;
   for (int lx = 0; lx < 2; lx++) {
     if (!((dir >> lx) & 1)) continue;
     const int32_t *rp = I->ref_pix[lx][r[lx]][comp];
     if (!rp) return -1;
-    int32_t *dst = bi ? part_buf[lx] : out;
+    int32_t *dst = bi ? part_buf[lx] : uni_buf;
     mc_block_native(rp, I->ref_stride[lx][r[lx]][comp],
                     I->ref_h[lx][r[lx]][comp], I->ref_w[lx][r[lx]][comp],
                     x0 >> sx, y0 >> sy, cw, ch, mvp[lx][0], mvp[lx][1],
@@ -2009,10 +2010,39 @@ static int ic_pred_comp(const InterCtx *I, int px, int py, int log2,
     int maxv = (1 << bd) - 1;
     for (int i = 0; i < cw * ch; i++) {
       int v = (part_buf[0][i] + part_buf[1][i] + off) >> shift;
-      out[i] = v < 0 ? 0 : (v > maxv ? maxv : v);
+      uni_buf[i] = v < 0 ? 0 : (v > maxv ? maxv : v);
     }
   }
+  for (int yy = 0; yy < ch; yy++)
+    for (int xx = 0; xx < cw; xx++)
+      out[yy * out_stride + xx] = uni_buf[yy * cw + xx];
   return 0;
+}
+
+// one component of the CU prediction into out (size_c x size_c); psize
+// 0 = 2Nx2N, 1 = 2NxN, 2 = Nx2N (per-PU motion from each PU's origin)
+static int ic_pred_comp(const InterCtx *I, int px, int py, int log2,
+                        int comp, int psize, int32_t *out) {
+  int sx = comp ? 1 : 0, sy = comp ? 1 : 0;
+  int w = 1 << log2, h = 1 << log2;
+  int cs = w >> sx;
+  int x0 = px * 4, y0 = py * 4;
+  int n = w / 4;
+  if (psize == 0)
+    return ic_pred_pu(I, x0, y0, w, h, px, py, comp, out, cs);
+  if (psize == 1) {                                     // 2NxN
+    if (ic_pred_pu(I, x0, y0, w, h / 2, px, py, comp, out, cs) < 0)
+      return -1;
+    return ic_pred_pu(I, x0, y0 + h / 2, w, h / 2, px, py + n / 2, comp,
+                      out + (size_t)((h / 2) >> sy) * cs, cs);
+  }
+  if (psize == 2) {                                     // Nx2N
+    if (ic_pred_pu(I, x0, y0, w / 2, h, px, py, comp, out, cs) < 0)
+      return -1;
+    return ic_pred_pu(I, x0 + w / 2, y0, w / 2, h, px + n / 2, py, comp,
+                      out + ((w / 2) >> sx), cs);
+  }
+  return -1;
 }
 
 static double ic_sse(const int32_t *a, int64_t astride, const int32_t *b,
@@ -2101,14 +2131,16 @@ static int ic_code_tu(const InterCtx *I, int comp, int cx0, int cy0, int cs,
 }  // namespace
 
 extern "C" int inter_commit_cu(const InterCtx *I, int px, int py, int log2,
-                               int skip_hint, int is_merge) {
+                               int skip_hint, int is_merge, int psize) {
   if (I->chroma_fmt != 1 && I->num_comps != 1) return -1;
+  if (psize < 0 || psize > 2) return -1;
   int size = 1 << log2;
   int n = size >> 2;
   int x0 = px * 4, y0 = py * 4;
   static thread_local int32_t pred[3][64 * 64];
   for (int comp = 0; comp < I->num_comps; comp++)
-    if (ic_pred_comp(I, px, py, log2, comp, pred[comp]) < 0) return -1;
+    if (ic_pred_comp(I, px, py, log2, comp, psize, pred[comp]) < 0)
+      return -1;
 
   // skip_hint is intentionally NOT trusted for the coding decision: the
   // plan priced it with luma-only SSE and estimated bits, and merge

@@ -230,12 +230,14 @@ def _hadamard(n):
 
 @partial(jax.jit, static_argnames=("tile",))
 def batched_satd(diffs, tile: int = 8):
-    """SATD over (..., s, s) int32 via Hadamard matmuls (MXU path)."""
-    s = diffs.shape[-1]
-    t = tile if s % 8 == 0 else 4
+    """SATD over (..., bh, bw) int32 via Hadamard matmuls (MXU path).
+    Rectangular blocks (inter PU shapes) tile the same way HM's RdCost
+    walks rect PUs in 8x8 Hadamard tiles (TComRdCost.cpp:2345)."""
+    bh, bw = diffs.shape[-2], diffs.shape[-1]
+    t = tile if (bh % 8 == 0 and bw % 8 == 0) else 4
     h = jnp.asarray(_hadamard(t))
     shp = diffs.shape
-    d = diffs.reshape(shp[:-2] + (s // t, t, s // t, t)).swapaxes(-3, -2)
+    d = diffs.reshape(shp[:-2] + (bh // t, t, bw // t, t)).swapaxes(-3, -2)
     had = jnp.einsum("ij,...jk,kl->...il", h, d.astype(jnp.int32), h)
     sums = jnp.abs(had).sum(axis=(-1, -2))
     norm = ((sums + 2) >> 2) if t == 8 else ((sums + 1) >> 1)

@@ -1,9 +1,12 @@
 """Decoder CLI (TAppDecoder dual): decode an Annex-B HEVC stream to YUV.
 
 Usage: python -m hm16_2_tpu.tools.decode stream.bin [-o out.yuv] [--stats]
+           [--seidump] [-d BITDEPTH]
 Prints per-POC lines with hash verdicts like the reference decoder;
 --stats prints a per-syntax-element bin/bit table afterwards (the
-TAppDecoderAnalyser / TComCodingStatistics.h:49-100 analogue).
+TAppDecoderAnalyser / TComCodingStatistics.h:49-100 analogue);
+--seidump lists every SEI message (SEIread.cpp trace dual); -d scales
+the output file to a different bit depth (TAppDecCfg OutputBitDepth).
 """
 
 import argparse
@@ -19,6 +22,10 @@ def main(argv=None):
     ap.add_argument("-o", "--output", default=None)
     ap.add_argument("--stats", action="store_true",
                     help="per-syntax bit statistics (analyser decoder)")
+    ap.add_argument("--seidump", action="store_true",
+                    help="print every SEI message in the stream")
+    ap.add_argument("-d", "--output-bit-depth", type=int, default=0,
+                    help="output file bit depth (0 = internal)")
     args = ap.parse_args(argv)
 
     from hm16_2_tpu.bitstream import cabac
@@ -26,15 +33,20 @@ def main(argv=None):
         cabac.STATS = cabac.BitStats()
     dec = Decoder()
     data = open(args.bitstream, "rb").read()
+    if args.seidump:
+        from hm16_2_tpu.headers.sei import dump_stream_sei
+        for line in dump_stream_sei(data):
+            print(line)
     pics = dec.decode_stream(data)
     sps = next(iter(dec.sps_map.values()))
     bds = [sps.bit_depth_luma] + [sps.bit_depth_chroma] * 2
+    fbds = [args.output_bit_depth] * 3 if args.output_bit_depth else None
     out = open(args.output, "wb") if args.output else None
     for p in sorted(pics, key=lambda x: x.poc):
         verdict = {True: "(OK)", False: "(MISMATCH)", None: ""}[p.hash_ok]
         print(f"POC {p.poc:4d} decoded {verdict}")
         if out:
-            write_yuv_frame(out, p.planes, bds)
+            write_yuv_frame(out, p.planes, bds, file_bit_depths=fbds)
     if out:
         out.close()
     if args.stats and cabac.STATS is not None:

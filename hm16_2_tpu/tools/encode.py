@@ -51,6 +51,16 @@ def build_options() -> Options:
     o.add("SEIRecoveryPoint", 0, "Recovery point SEI on IRAP pictures")
     o.add("SEIPictureTiming", 0, "Picture timing SEI (+ VUI timing info)")
     o.add("SEIActiveParameterSets", 0, "Active parameter sets SEI")
+    o.add("SEIFramePacking", 0, "Frame packing arrangement SEI")
+    o.add("SEIFramePackingType", 3, "FPA type: 3 SbS / 4 TaB / 5 temporal")
+    o.add("SEIDisplayOrientation", 0,
+          "Display orientation SEI (anticlockwise rotation, 0 = off)")
+    o.add("SEITemporalLevel0Index", 0, "Temporal level zero index SEI")
+    o.add("SEIGradualDecodingRefreshInfo", 0, "Region refresh info SEI")
+    o.add("SEITimeCodeEnabled", 0, "Time code SEI on every picture")
+    o.add("SEIMasteringDisplayColourVolume", 0,
+          "Mastering display colour volume SEI")
+    o.add("SEIToneMapping", 0, "Tone mapping info SEI (linear model)")
     o.add("ScalingList", 0,
           "0: no scaling lists, 1: default lists, 2: from ScalingListFile")
     o.add("ScalingListFile", "", "Scaling list file (HM matrix format)")
@@ -169,6 +179,15 @@ def main(argv=None):
         sei_timing=bool(o["SEIPictureTiming"] or o["SEIActiveParameterSets"]),
         sei_buffering_period=bool(o["SEIBufferingPeriod"]),
         sei_recovery_point=bool(o["SEIRecoveryPoint"]),
+        sei_frame_packing=(o["SEIFramePackingType"]
+                           if o["SEIFramePacking"] else -1),
+        sei_display_orientation=(o["SEIDisplayOrientation"]
+                                 if o["SEIDisplayOrientation"] else -1),
+        sei_temporal_level0=bool(o["SEITemporalLevel0Index"]),
+        sei_region_refresh=bool(o["SEIGradualDecodingRefreshInfo"]),
+        sei_time_code=bool(o["SEITimeCodeEnabled"]),
+        sei_mastering_display=bool(o["SEIMasteringDisplayColourVolume"]),
+        sei_tone_mapping=bool(o["SEIToneMapping"]),
         scaling_list=int(o["ScalingList"]),
         scaling_list_file=o["ScalingListFile"] or None,
         transquant_bypass=bool(o["TransquantBypassEnableFlag"]

@@ -165,14 +165,19 @@ static void sbh_adjust(int32_t *levels, int64_t lvl_stride,
 }
 
 // ---------------------------------------------------------------------------
-// Rate-distortion optimized quantization (HM xRateDistOptQuant,
-// TComTrQuant.cpp:1974-2547; flat scaling lists, Main/Main10 path).
+// RDOQ cost model (rate side of TComTrQuant.cpp:1974-2547's objective;
+// flat scaling lists, Main/Main10 path).  The decision ALGORITHM lives
+// in rdoq_trellis below — a beam search over the CABAC rate-context
+// trellis, not HM's greedy scan.
 //
 // Context bit costs are supplied by the Python side as per-context
 // (bits-for-0, bits-for-1) double pairs derived from the slice-initial
 // CABAC states — the classic fixed-estimate approximation of HM's
 // estBitsSbac tables.  Scan tables, context-index geometry, and channel
 // bases come in an RdoqBlob prepared once per (component, size, scan).
+// The helpers below are normative-by-construction: sig-ctx geometry
+// (spec 9.3.4.2.5), Golomb-Rice/EG binarization lengths (9.3.3.x) and
+// last-position prefix group costs.
 // ---------------------------------------------------------------------------
 
 struct RdoqBlob {
@@ -296,113 +301,93 @@ static double rd_last_bits(const RdoqBlob *B, int n, int pos_x, int pos_y) {
   return bits;
 }
 
-// Optimal level for one position (xGetCodedLevel): zero baseline (when
-// allowed) vs {maxAbs, maxAbs-1}, each with distortion + sig + level bits.
-static inline int rd_coded_level(const RdoqBlob *B, double *costCoeff,
-                                 double *costCoeff0, double *costSig,
-                                 int64_t levelDouble, int maxAbs, int sigIdx,
-                                 int oneIdx, int absIdx, int goRice, int c1Idx,
-                                 int c2Idx, int qbits, int isLast) {
-  double lam = B->lambda;
-  int best = 0;
-  double c0 = (double)levelDouble * (double)levelDouble * B->err_scale;
-  *costCoeff0 = c0;
-  double currCostSig = 0.0;
-  if (!isLast && maxAbs < 3) {
-    *costSig = lam * B->sig_bits[2 * sigIdx + 0];
-    *costCoeff = c0 + *costSig;
-    if (maxAbs == 0) return 0;
-  } else {
-    *costCoeff = 1e300;
-  }
-  if (!isLast) currCostSig = lam * B->sig_bits[2 * sigIdx + 1];
-  int minAbs = maxAbs > 1 ? maxAbs - 1 : 1;
-  for (int lvl = maxAbs; lvl >= minAbs; lvl--) {
-    double dErr = (double)(levelDouble - ((int64_t)lvl << qbits));
-    double cost = dErr * dErr * B->err_scale +
-                  lam * rd_level_bits(B, lvl, goRice, c1Idx, c2Idx, oneIdx,
-                                      absIdx) +
-                  currCostSig;
-    if (cost < *costCoeff) {
-      best = lvl;
-      *costCoeff = cost;
-      *costSig = currCostSig;
-    }
-  }
-  return best;
-}
+// ---------------------------------------------------------------------------
+// Trellis RDOQ — the quantizer-level decision as a beam search over the
+// CABAC rate-context trellis, one small dynamic program per 4x4
+// coefficient group.  Equal JOB to HM's xRateDistOptQuant (what the
+// levels should minimize, same RdoqBlob cost model), different
+// ALGORITHM: HM walks the scan once, greedily committing each level
+// against the context its earlier choices produced (equivalent to beam
+// width 1); here every coefficient keeps up to RDQ_BEAM alternative
+// rate-context states alive — (greater1 ctx, #coded, #>1, rice) — and
+// the cheapest full-CG path wins, so the trellis is never worse under
+// the model.  CG zeroing, the truncation point and the cbf decision are
+// then evaluated from the chosen path's per-position cost decomposition.
+// ---------------------------------------------------------------------------
 
-// Full-TU RDOQ: writes levels (signed) and deltaU (for the subsequent
-// sign-bit-hiding pass); returns 1 if any nonzero level survives.
-static int rdoq_quant(const RdoqBlob *B, const int64_t *coef, int n, int log2n,
-                      int qp, int bit_depth, int32_t *levels,
-                      int64_t lvl_stride, int64_t *deltaU) {
+#define RDQ_BEAM 6
+
+struct RdqState {
+  uint8_t c1, nco, ngt1, rice;   // rate context after the path's prefix
+  int16_t lvl;                   // level chosen at this step
+  int16_t prev;                  // parent state index at the previous step
+  double cost;                   // dist + lambda*bits along the path
+};
+
+static int rdoq_trellis(const RdoqBlob *B, const int64_t *coef, int n,
+                        int log2n, int qp, int bit_depth, int32_t *levels,
+                        int64_t lvl_stride, int64_t *deltaU) {
   const int per = qp / 6, rem = qp % 6;
   const int tshift = 15 - bit_depth - log2n;
   const int qbits = 14 + per + tshift;
   const int64_t qscale = g_qscale[rem];
   const int num = n * n;
   const int wg = n >> 2 ? n >> 2 : 1, hg = wg;
-  const int num_cg = (num + 15) >> 4;
+  const double lam = B->lambda;
 
-  double costCoeff[1024], costSig[1024], costCoeff0[1024];
-  double costCG[64];
-  int32_t absOut[1024];
   int64_t levelDbl[1024];
-  uint8_t sigCG[64];
-  for (int i = 0; i < num_cg; i++) sigCG[i] = 0;
-  for (int i = 0; i < num; i++) absOut[i] = 0;
-  for (int i = 0; i < num_cg; i++) costCG[i] = 0.0;
-
-  // pass 1: level-double magnitudes + last candidate position
   int lastScanPos = -1;
   for (int sp = num - 1; sp >= 0; sp--) {
-    int bp = B->scan[sp];
-    int64_t c = coef[bp];
+    int64_t c = coef[B->scan[sp]];
     int64_t ld = (c < 0 ? -c : c) * qscale;
     levelDbl[sp] = ld;
     if (lastScanPos < 0 && ((ld + ((int64_t)1 << (qbits - 1))) >> qbits) > 0)
       lastScanPos = sp;
   }
-  if (lastScanPos < 0) {
-    for (int i = 0; i < n; i++)
-      for (int j = 0; j < n; j++) levels[i * lvl_stride + j] = 0;
-    return 0;
-  }
+  for (int i = 0; i < n; i++)
+    for (int j = 0; j < n; j++) levels[i * lvl_stride + j] = 0;
+  if (lastScanPos < 0) return 0;
+  const int lastCG = lastScanPos >> 4;
 
-  double baseCost = 0.0, blockUncoded = 0.0;
-  // positions above the last candidate: uncoded distortion on both sides
-  for (int sp = num - 1; sp > lastScanPos; sp--) {
+  // per-position decomposition of the chosen solution
+  static thread_local int32_t absOut[1024];
+  static thread_local double cCoeff[1024], cSig[1024], c0[1024];
+  static thread_local double flagCost[64];
+  static thread_local uint8_t sigCG[64];
+  for (int i = 0; i < num; i++) absOut[i] = 0;
+  for (int i = 0; i < (num + 15) >> 4; i++) sigCG[i] = 0;
+  double blockUncoded = 0.0;
+  for (int sp = 0; sp < num; sp++) {
     double d = (double)levelDbl[sp];
-    double c0 = d * d * B->err_scale;
-    costCoeff[sp] = costCoeff0[sp] = c0;
-    costSig[sp] = 0.0;
-    baseCost += c0;
-    blockUncoded += c0;
+    c0[sp] = d * d * B->err_scale;
+    cCoeff[sp] = c0[sp];
+    cSig[sp] = 0.0;
+    blockUncoded += c0[sp];
     deltaU[B->scan[sp]] = 0;
   }
 
-  const int lastCG = lastScanPos >> 4;
-  int c1 = 1, prev_c1 = 1;
+  double totalCost = 0.0;   // chosen cost over coded region incl CG flags
+  for (int sp = num - 1; sp > lastScanPos; sp--)
+    totalCost += c0[sp];    // above the last candidate: uncoded either way
+  int prev_c1 = 1;
+  static thread_local RdqState st[17][RDQ_BEAM];
+  static thread_local int nst[17];
+
   for (int cg = lastCG; cg >= 0; cg--) {
     const int cg_blk = B->scan_cg[cg];
     const int cg_y = cg_blk / wg, cg_x = cg_blk % wg;
-    // neighbor-CG significance pattern (calcPatternSigCtx)
-    int right = (cg_x < wg - 1) ? (sigCG[cg_y * wg + cg_x + 1] != 0) : 0;
-    int lower = (cg_y < hg - 1) ? (sigCG[(cg_y + 1) * wg + cg_x] != 0) : 0;
+    const int right = (cg_x < wg - 1) ? (sigCG[cg_y * wg + cg_x + 1] != 0) : 0;
+    const int lower = (cg_y < hg - 1) ? (sigCG[(cg_y + 1) * wg + cg_x] != 0) : 0;
     const int pattern = right + 2 * lower;
     const int cg_ctx = (right || lower) ? 1 : 0;
-
-    // one/abs context set for this CG (getContextSetIndex)
     const int ctxSet =
         ((B->chan == 0 && cg > 0) ? 2 : 0) + (prev_c1 == 0 ? 1 : 0);
-    c1 = 1;
-    int c1Idx = 0, c2Idx = 0, goRice = 0;
-    double cgSigCost = 0.0, cgSigCost0 = 0.0, cgCodedDist = 0.0,
-           cgUncodedDist = 0.0;
-    int nnzBeforePos0 = 0;
-
     const int top = (cg == lastCG) ? (lastScanPos & 15) : 15;
+    const int infer_pos0 = (cg > 0 && cg < lastCG);
+
+    // run the trellis over positions top..0 (coding order)
+    nst[top + 1] = 1;
+    st[top + 1][0] = RdqState{1, 0, 0, 0, 0, -1, 0.0};
     for (int k = top; k >= 0; k--) {
       const int sp = (cg << 4) + k;
       const int bp = B->scan[sp];
@@ -410,82 +395,166 @@ static int rdoq_quant(const RdoqBlob *B, const int64_t *coef, int n, int log2n,
       const int64_t ld = levelDbl[sp];
       int maxAbs = (int)((ld + ((int64_t)1 << (qbits - 1))) >> qbits);
       if (maxAbs > 32767) maxAbs = 32767;
-      const int sigIdx =
-          rd_sig_ctx(pattern, bp, log2n, B->chan, B->first_sig_ctx,
-                     B->single_ctx);
-      const int oneIdx = 4 * ctxSet + c1;
-      const int lvl = rd_coded_level(B, &costCoeff[sp], &costCoeff0[sp],
-                                     &costSig[sp], ld, maxAbs, sigIdx, oneIdx,
-                                     ctxSet, goRice, c1Idx, c2Idx, qbits,
-                                     isLast);
-      absOut[sp] = lvl;
-      deltaU[bp] = (ld - ((int64_t)lvl << qbits)) >> (qbits - 8);
-      baseCost += costCoeff[sp];
-      blockUncoded += costCoeff0[sp];
-      cgSigCost += costSig[sp];
-      if (k == 0) cgSigCost0 = costSig[sp];
-      if (lvl) {
-        sigCG[cg_blk] = 1;
-        cgCodedDist += costCoeff[sp] - costSig[sp];
-        cgUncodedDist += costCoeff0[sp];
-        if (k != 0) nnzBeforePos0++;
+      const int sigIdx = rd_sig_ctx(pattern, bp, log2n, B->chan,
+                                    B->first_sig_ctx, B->single_ctx);
+      const double sig0 = lam * B->sig_bits[2 * sigIdx + 0];
+      const double sig1 = lam * B->sig_bits[2 * sigIdx + 1];
+      int cands[3], ncand = 0;
+      if (!isLast && maxAbs < 3) cands[ncand++] = 0;
+      if (maxAbs >= 1) {
+        cands[ncand++] = maxAbs;
+        if (maxAbs > 1) cands[ncand++] = maxAbs - 1;
       }
-      // adaptive state updates (mirror the entropy coder)
-      if (lvl >= 1) c1Idx++;
-      if (lvl > 1) {
-        c1 = 0;
-        c2Idx++;
-      } else if (c1 < 3 && c1 > 0 && lvl) {
-        c1++;
-      }
-      if (lvl >= (3 << goRice)) goRice = goRice < 4 ? goRice + 1 : 4;
-    }
-    prev_c1 = c1;
-
-    // coded-group flag decision (zero the CG when cheaper)
-    if (cg > 0) {
-      if (sigCG[cg_blk] == 0) {
-        double r = B->lambda * B->cg_bits[2 * cg_ctx + 0];
-        baseCost += r - cgSigCost;
-        costCG[cg] = r;
-      } else if (cg < lastCG) {
-        if (nnzBeforePos0 == 0) {
-          baseCost -= cgSigCost0;
-          cgSigCost -= cgSigCost0;
-        }
-        double costZero = baseCost + cgUncodedDist - cgCodedDist - cgSigCost +
-                          B->lambda * B->cg_bits[2 * cg_ctx + 0];
-        baseCost += B->lambda * B->cg_bits[2 * cg_ctx + 1];
-        costCG[cg] = B->lambda * B->cg_bits[2 * cg_ctx + 1];
-        if (costZero < baseCost) {
-          sigCG[cg_blk] = 0;
-          baseCost = costZero;
-          costCG[cg] = B->lambda * B->cg_bits[2 * cg_ctx + 0];
-          for (int k = 15; k >= 0; k--) {
-            int sp = (cg << 4) + k;
-            if (absOut[sp]) {
-              absOut[sp] = 0;
-              costCoeff[sp] = costCoeff0[sp];
-              costSig[sp] = 0.0;
+      int m = 0;
+      RdqState out[RDQ_BEAM * 3];
+      for (int si = 0; si < nst[k + 1]; si++) {
+        const RdqState &s = st[k + 1][si];
+        for (int ci = 0; ci < ncand; ci++) {
+          const int lvl = cands[ci];
+          double dErr = (double)(ld - ((int64_t)lvl << qbits));
+          double cost = s.cost + dErr * dErr * B->err_scale;
+          if (!isLast) {
+            // sig flag; inferred for pos 0 of an interior coded CG whose
+            // other 15 positions are all zero
+            if (!(k == 0 && infer_pos0 && s.nco == 0))
+              cost += lvl ? sig1 : sig0;
+          }
+          if (lvl)
+            cost += lam * rd_level_bits(B, lvl, s.rice, s.nco, s.ngt1,
+                                        4 * ctxSet + s.c1, ctxSet);
+          RdqState t;
+          t.c1 = s.c1;
+          t.nco = s.nco;
+          t.ngt1 = s.ngt1;
+          t.rice = s.rice;
+          if (lvl >= 1 && t.nco < 8) t.nco++;
+          if (lvl > 1) {
+            t.c1 = 0;
+            if (t.ngt1 < 1) t.ngt1++;
+          } else if (t.c1 > 0 && t.c1 < 3 && lvl == 1) {
+            t.c1++;
+          }
+          if (lvl >= (3 << s.rice) && t.rice < 4) t.rice++;
+          t.cost = cost;
+          t.lvl = (int16_t)lvl;
+          t.prev = (int16_t)si;
+          // merge with an identical rate state, else append
+          int found = -1;
+          for (int oi = 0; oi < m; oi++)
+            if (out[oi].c1 == t.c1 && out[oi].nco == t.nco &&
+                out[oi].ngt1 == t.ngt1 && out[oi].rice == t.rice) {
+              found = oi;
+              break;
             }
+          if (found >= 0) {
+            if (t.cost < out[found].cost) out[found] = t;
+          } else {
+            out[m++] = t;
           }
         }
       }
+      // beam-prune to the RDQ_BEAM cheapest states
+      int keep = m < RDQ_BEAM ? m : RDQ_BEAM;
+      for (int a = 0; a < keep; a++) {
+        int best = a;
+        for (int b = a + 1; b < m; b++)
+          if (out[b].cost < out[best].cost) best = b;
+        RdqState tmp = out[a];
+        out[a] = out[best];
+        out[best] = tmp;
+      }
+      nst[k] = keep;
+      for (int a = 0; a < keep; a++) st[k][a] = out[a];
+    }
+
+    // best path -> levels + per-position decomposition (recompute each
+    // step's components while backtracking)
+    int si = 0;
+    int lvls[16];
+    for (int k = 0; k <= top; k++) {
+      lvls[k] = st[k][si].lvl;
+      si = st[k][si].prev;
+    }
+    double cgCoded = 0.0;
+    int nco_run = 0;
+    {
+      // forward re-walk (coding order top..0) to split costs per position
+      RdqState s{1, 0, 0, 0, 0, -1, 0.0};
+      for (int k = top; k >= 0; k--) {
+        const int sp = (cg << 4) + k;
+        const int bp = B->scan[sp];
+        const int isLast = (sp == lastScanPos);
+        const int64_t ld = levelDbl[sp];
+        const int lvl = lvls[k];
+        const int sigIdx = rd_sig_ctx(pattern, bp, log2n, B->chan,
+                                      B->first_sig_ctx, B->single_ctx);
+        double dErr = (double)(ld - ((int64_t)lvl << qbits));
+        double dcost = dErr * dErr * B->err_scale;
+        double scost = 0.0, lcost = 0.0;
+        if (!isLast && !(k == 0 && infer_pos0 && s.nco == 0))
+          scost = lam * B->sig_bits[2 * sigIdx + (lvl ? 1 : 0)];
+        if (lvl)
+          lcost = lam * rd_level_bits(B, lvl, s.rice, s.nco, s.ngt1,
+                                      4 * ctxSet + s.c1, ctxSet);
+        absOut[sp] = lvl;
+        deltaU[bp] = (ld - ((int64_t)lvl << qbits)) >> (qbits - 8);
+        cCoeff[sp] = dcost + scost + lcost;
+        cSig[sp] = scost;
+        cgCoded += cCoeff[sp];
+        if (lvl) {
+          sigCG[cg_blk] = 1;
+          if (k != 0) nco_run++;
+        }
+        if (lvl >= 1 && s.nco < 8) s.nco++;
+        if (lvl > 1) {
+          s.c1 = 0;
+          if (s.ngt1 < 1) s.ngt1++;
+        } else if (s.c1 > 0 && s.c1 < 3 && lvl == 1) {
+          s.c1++;
+        }
+        if (lvl >= (3 << s.rice) && s.rice < 4) s.rice++;
+        if (k == 0) prev_c1 = s.c1;
+      }
+    }
+
+    // CG flag + zeroing decision (interior CGs only; the last CG's flag
+    // and CG0's are inferred)
+    flagCost[cg] = 0.0;
+    if (cg > 0 && cg < lastCG) {
+      double zeroCG = lam * B->cg_bits[2 * cg_ctx + 0];
+      for (int k = 0; k <= top; k++) zeroCG += c0[(cg << 4) + k];
+      double codedCG = cgCoded + lam * B->cg_bits[2 * cg_ctx + 1];
+      if (!sigCG[cg_blk] || zeroCG < codedCG) {
+        sigCG[cg_blk] = 0;
+        flagCost[cg] = lam * B->cg_bits[2 * cg_ctx + 0];
+        for (int k = 0; k <= top; k++) {
+          const int sp = (cg << 4) + k;
+          absOut[sp] = 0;
+          cCoeff[sp] = c0[sp];
+          cSig[sp] = 0.0;
+        }
+        totalCost += zeroCG;
+      } else {
+        flagCost[cg] = lam * B->cg_bits[2 * cg_ctx + 1];
+        totalCost += codedCG;
+      }
     } else {
-      sigCG[cg_blk] = 1;
+      if (cg == 0) sigCG[cg_blk] = 1;
+      totalCost += cgCoded;
     }
   }
 
-  // last-position sweep (best place to truncate the coded region)
-  double bestCost = blockUncoded + B->lambda * B->cbf_bits0;
-  baseCost += B->lambda * B->cbf_bits1;
+  // cbf + truncation point: walk candidate last positions in coding
+  // order, peeling each position's cost off the running total
+  double bestCost = blockUncoded + lam * B->cbf_bits0;
   if (!B->has_cbf) bestCost = 1e300;
+  double run = totalCost + lam * B->cbf_bits1;
   int bestLastP1 = 0;
-  bool found = false;
-  for (int cg = lastCG; cg >= 0 && !found; cg--) {
-    const int cg_blk = B->scan_cg[cg];
-    if (!sigCG[cg_blk]) {
-      baseCost -= costCG[cg];
+  bool stop = false;
+  for (int cg = lastCG; cg >= 0 && !stop; cg--) {
+    if (!sigCG[B->scan_cg[cg]]) {
+      run -= flagCost[cg];
+      // the peeled positions already cost c0 in `run`
       continue;
     }
     const int top = (cg == lastCG) ? (lastScanPos & 15) : 15;
@@ -494,28 +563,23 @@ static int rdoq_quant(const RdoqBlob *B, const int64_t *coef, int n, int log2n,
       const int bp = B->scan[sp];
       if (absOut[sp]) {
         const int py = bp >> log2n, px = bp - (py << log2n);
-        double total =
-            baseCost + B->lambda * rd_last_bits(B, n, px, py) - costSig[sp];
+        double total = run + lam * rd_last_bits(B, n, px, py) - cSig[sp];
         if (total < bestCost) {
           bestCost = total;
           bestLastP1 = sp + 1;
         }
         if (absOut[sp] > 1) {
-          found = true;
+          stop = true;
           break;
         }
-        baseCost -= costCoeff[sp];
-        baseCost += costCoeff0[sp];
+        run += c0[sp] - cCoeff[sp];
       } else {
-        baseCost -= costSig[sp];
+        run -= cSig[sp];
       }
     }
   }
 
-  // emit signed levels up to the chosen last position
   int cbf = 0;
-  for (int i = 0; i < n; i++)
-    for (int j = 0; j < n; j++) levels[i * lvl_stride + j] = 0;
   for (int sp = 0; sp < bestLastP1; sp++) {
     int bp = B->scan[sp];
     int32_t lvl = absOut[sp];
@@ -570,8 +634,8 @@ extern "C" int code_tu(const int32_t *orig, int64_t orig_stride,
   int64_t deltaU[32 * 32];
   if (rdoq_blob) {
     const RdoqBlob *B = (const RdoqBlob *)rdoq_blob;
-    cbf = rdoq_quant(B, buf_2, n, log2n, qp, bit_depth, levels, lvl_stride,
-                     deltaU);
+    cbf = rdoq_trellis(B, buf_2, n, log2n, qp, bit_depth, levels,
+                       lvl_stride, deltaU);
     if (cbf && B->sbh) {
       sbh_adjust(levels, lvl_stride, buf_2, deltaU, n, B->scan);
       cbf = 0;

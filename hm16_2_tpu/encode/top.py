@@ -96,6 +96,7 @@ class EncoderConfig:
         self.sei_time_code = sei_time_code
         self.sei_mastering_display = sei_mastering_display
         self.sei_tone_mapping = sei_tone_mapping
+        self.slice_bytes = 0     # SliceMode 2: max bytes per slice
         self.dependent_slices = dependent_slices  # slices 2..N dependent
         # lossless: every CU coded with cu_transquant_bypass_flag = 1
         # (HM TransquantBypassEnableFlag + CUTransquantBypassFlagForce)
@@ -935,10 +936,27 @@ class Encoder:
             aq_off = aq_offsets(np.asarray(planes[0]), pic.ctb,
                                 sps.pic_height, sps.pic_width,
                                 cfg.aq_strength)
+        # SliceMode 2 (TEncSlice.cpp:526): close a slice when its exact
+        # counted VCL bits exceed the byte budget; the overflowing CTU is
+        # re-decided as the first CTU of the next slice so every
+        # prediction/merge availability matches the final slice map
+        byte_mode = (getattr(cfg, "slice_bytes", 0) > 0 and n_slices == 1
+                     and not pps.entropy_coding_sync and not cfg.aq
+                     and self.rc is None
+                     and int(pic.tiles.tile_of_ctu.max()) == 0)
+        if byte_mode:
+            qp_cl = min(max(sh.qp, 0), 51)
+            count_ctx = ContextSet()
+            count_ctx.reset(sh.slice_type, qp_cl)
+            acc_bits = 0.0
+            slice_cuts = [0]
+            # the cached native CTU-commit engine is single-slice (and
+            # rewrites slice_id); a cut mid-pass must never re-enter it
+            search._cctx = False
         t_commit = time.perf_counter()
         start_ts = 0
         if search.plan is not None and aq_off is None and \
-                sh.slice_type == I_SLICE:
+                sh.slice_type == I_SLICE and not byte_mode:
             cctx = search._commit_ctx()
             if cctx is not None:
                 import ctypes
@@ -967,7 +985,42 @@ class Encoder:
                 pre_ctx = search.rd_ctx.copy()
             elif aq_off is not None:
                 search.set_ctu_qp(sh.qp + int(aq_off[cy, cx]))
+            if byte_mode:
+                slice_of_ts[ts] = len(slice_cuts) - 1
+                search.cenc.slice_idx = int(slice_of_ts[ts])
             search.decide_ctu(cx, cy)
+            if byte_mode:
+                bits = search._count_cu_bits(
+                    cx * parts_per, cy * parts_per, pic.log2_ctb,
+                    count_ctx)
+                if ts > slice_cuts[-1] and \
+                        acc_bits + bits > cfg.slice_bytes * 8:
+                    slice_cuts.append(ts)
+                    nsl = len(slice_cuts) - 1
+                    slice_of_ts[ts:] = nsl
+                    # register the new slice segment NOW: the length of
+                    # pic.slices gates the single-slice fast availability
+                    # paths, which must turn slice-aware from this CTU on
+                    shi = _copy.copy(sh)
+                    shi.first_slice_in_pic = 0
+                    shi.segment_address = ts
+                    pic.slices.append(shi)
+                    shs.append(shi)
+                    for t2 in range(ts, n_ctus):
+                        rs2 = int(pic.tiles.ctu_ts_to_rs[t2])
+                        cx2, cy2 = rs2 % pic.w_ctbs, rs2 // pic.w_ctbs
+                        pic.slice_id[
+                            cy2 * parts_per:(cy2 + 1) * parts_per,
+                            cx2 * parts_per:(cx2 + 1) * parts_per] = nsl
+                    search.cenc.slice_idx = nsl
+                    search.decide_ctu(cx, cy)
+                    count_ctx = ContextSet()
+                    count_ctx.reset(sh.slice_type, qp_cl)
+                    acc_bits = search._count_cu_bits(
+                        cx * parts_per, cy * parts_per, pic.log2_ctb,
+                        count_ctx)
+                else:
+                    acc_bits += bits
             if ctu_rc:
                 bits = search._count_cu_bits(
                     cx * parts_rc, cy * parts_rc, pic.log2_ctb, pre_ctx)
@@ -978,6 +1031,10 @@ class Encoder:
                 all_skip = bool(np.all(pic.skip[sl]))
                 self.rc.ctu_update(rs, max(int(bits + 0.5), 1),
                                    None if all_skip else rc_qp, rc_lam)
+        if byte_mode and len(slice_cuts) > 1:
+            slice_bounds = [(a, b) for a, b in
+                            zip(slice_cuts, slice_cuts[1:] + [n_ctus])]
+            n_slices = len(slice_bounds)
         if aq_off is not None or ctu_rc:
             self._reconcile_group_qps(pic, sh)
         _tick("commit", t_commit)

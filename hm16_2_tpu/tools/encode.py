@@ -64,7 +64,8 @@ def build_options() -> Options:
     o.add("ScalingList", 0,
           "0: no scaling lists, 1: default lists, 2: from ScalingListFile")
     o.add("ScalingListFile", "", "Scaling list file (HM matrix format)")
-    o.add("SliceMode", 0, "0: single slice, 1: max SliceArgument CTUs/slice")
+    o.add("SliceMode", 0, "0: single slice, 1: max SliceArgument CTUs per"
+          " slice, 2: max SliceArgument bytes per slice")
     o.add("SliceArgument", 0, "CTUs per slice for SliceMode 1")
     o.add("SliceSegmentMode", 0,
           "0: off, 1: dependent segments of SliceSegmentArgument CTUs")
@@ -199,6 +200,8 @@ def main(argv=None):
     n_ctus = ((w + 63) // 64) * ((h + 63) // 64)
     if o["SliceMode"] == 1 and o["SliceArgument"] > 0:
         cfg.slices = (n_ctus + o["SliceArgument"] - 1) // o["SliceArgument"]
+    elif o["SliceMode"] == 2 and o["SliceArgument"] > 0:
+        cfg.slice_bytes = o["SliceArgument"]
     elif o["SliceSegmentMode"] == 1 and o["SliceSegmentArgument"] > 0:
         cfg.slices = (n_ctus + o["SliceSegmentArgument"] - 1) \
             // o["SliceSegmentArgument"]

@@ -549,31 +549,44 @@ def _plan_device(cur, refs, mvn16, dists, lam, lam_sqrt, qp, map0, map1,
         cand_costs = []          # per kind: (cost, bits, pred)
         kinds_meta = {}
 
-        # ---- merge candidates (approx list: left/above/TMVP/zero) ----
-        def roll_valid(a, axis_is_x):
+        # ---- merge candidates (approx list mirroring the A1/B1/B0/A0
+        # spatial order + TMVP + zero; the commit pass still maps onto
+        # the EXACT list, but a closer plan-side list keeps the quadtree
+        # DP honest about merge-heavy regions, TComDataCU.cpp:2309) ----
+        def roll2(a, dy_, dx_):
             g = a.reshape((ny, nx) + a.shape[1:])
-            if axis_is_x:
-                r = jnp.roll(g, 1, axis=1)
-            else:
-                r = jnp.roll(g, 1, axis=0)
-            return r.reshape(a.shape)
+            if dy_:
+                g = jnp.roll(g, dy_, axis=0)
+            if dx_:
+                g = jnp.roll(g, dx_, axis=1)
+            return g.reshape(a.shape)
 
-        def col0_mask(axis_is_x):
-            m = (jnp.tile(jnp.arange(nx), ny) == 0) if axis_is_x else \
-                (jnp.repeat(jnp.arange(ny), nx) == 0)
+        ii = jnp.repeat(jnp.arange(ny), nx)
+        jj = jnp.tile(jnp.arange(nx), ny)
+
+        def edge_mask(dy_, dx_):
+            m = jnp.zeros((N,), bool)
+            if dy_ > 0:
+                m |= ii == 0
+            if dy_ < 0:
+                m |= ii == ny - 1
+            if dx_ > 0:
+                m |= jj == 0
+            if dx_ < 0:
+                m |= jj == nx - 1
             return m                                     # (N,) True=invalid
 
         zero_mv = jnp.zeros((N, 2), jnp.int32)
         mcands = []                                       # per candidate
-        for src, (axis_is_x,) in ((0, (True,)), (1, (False,))):
+        for dy_, dx_ in ((0, 1), (1, 0), (1, -1), (-1, 1)):
             ent = {}
             for lx in uni:
                 ent[lx] = {
-                    "mv": roll_valid(uni[lx]["mv"], axis_is_x),
-                    "uref": roll_valid(uni[lx]["uref"], axis_is_x),
-                    "ridx": roll_valid(uni[lx]["ridx"], axis_is_x),
+                    "mv": roll2(uni[lx]["mv"], dy_, dx_),
+                    "uref": roll2(uni[lx]["uref"], dy_, dx_),
+                    "ridx": roll2(uni[lx]["ridx"], dy_, dx_),
                 }
-            ent["invalid"] = col0_mask(axis_is_x)
+            ent["invalid"] = edge_mask(dy_, dx_)
             mcands.append(ent)
         for use_prior in (True, False):
             # TMVP-like candidate: the prior scaled to EACH list's first

@@ -55,7 +55,8 @@ class EncoderConfig:
                  sei_frame_packing=-1, sei_display_orientation=-1,
                  sei_temporal_level0=False, sei_region_refresh=False,
                  sei_time_code=False, sei_mastering_display=False,
-                 sei_tone_mapping=False,
+                 sei_tone_mapping=False, field_coding=False,
+                 top_field_first=True,
                  dependent_slices=False, transquant_bypass=False,
                  pcm=False, pcm_log2_min=3, pcm_log2_max=5,
                  pcm_loop_filter_disabled=True):
@@ -97,6 +98,11 @@ class EncoderConfig:
         self.sei_mastering_display = sei_mastering_display
         self.sei_tone_mapping = sei_tone_mapping
         self.slice_bytes = 0     # SliceMode 2: max bytes per slice
+        # field coding (TEncGOP::compressGOP isField path,
+        # TEncGOP.cpp:2370): the stream codes each field as a picture of
+        # half height; width/height here stay FRAME dimensions
+        self.field_coding = field_coding
+        self.top_field_first = top_field_first
         self.dependent_slices = dependent_slices  # slices 2..N dependent
         # lossless: every CU coded with cu_transquant_bypass_flag = 1
         # (HM TransquantBypassEnableFlag + CUTransquantBypassFlagForce)
@@ -229,6 +235,10 @@ def build_sps_pps(cfg: EncoderConfig):
 
 class Encoder:
     def __init__(self, cfg: EncoderConfig):
+        self.field_coding = bool(getattr(cfg, "field_coding", False))
+        if self.field_coding:
+            assert cfg.height % 2 == 0, "field coding needs even height"
+            cfg.height //= 2          # pictures are fields
         # cumulative per-stage wall-time (ms) across encoded frames:
         # plan (device dispatch+fetch) / commit (host CU walk) /
         # filters (deblock+SAO) / emit (pass-2 CABAC) / finish
@@ -293,6 +303,15 @@ class Encoder:
         return self._encode_one(planes, poc, sh, rc_lam=rc_lam,
                                 plan_packed=_plan)
 
+    def _cur_pic_struct(self, poc) -> int:
+        """pic_struct for the pic-timing SEI (D.3.3): 1 top / 2 bottom
+        field in coded order under field coding, else 0 (frame)."""
+        if not self.field_coding:
+            return 0
+        first_top = self.cfg.top_field_first
+        is_first = poc % 2 == 0
+        return 1 if (is_first == first_top) else 2
+
     def _submit_plan(self, planes):
         """Async-dispatch the intra frame plan (AI fast path: fixed slice
         QP, no rate control) so the accelerator overlaps the host commit
@@ -323,8 +342,22 @@ class Encoder:
         is dispatched to the accelerator before the host starts frame N's
         commit/CABAC, hiding the device time entirely (the TPU dual of
         TAppEncTop's read-encode loop, TAppEncTop.cpp:449-482)."""
+        if self.field_coding:
+            # split every frame into top/bottom fields, each coded as its
+            # own picture with the matching pic_struct in pic-timing SEI
+            from hm16_2_tpu.io.yuv import split_fields
+            def _fields(fr):
+                for planes in fr:
+                    top, bot = split_fields(planes)
+                    first, second = (top, bot) if self.cfg.top_field_first \
+                        else (bot, top)
+                    yield first
+                    yield second
+            frames = _fields(frames)
+            self.sps.vui_field_seq = 1
         pipelined = (self.cfg.intra_period == 1 and self.rc is None
-                     and self.cfg.rdo and self.gop_table is None)
+                     and self.cfg.rdo and self.gop_table is None
+                     and not self.field_coding)
         if not pipelined:
             for poc, planes in enumerate(frames):
                 for au in self.push_frame(planes, poc):
@@ -1222,12 +1255,13 @@ class Encoder:
             if sps.vui_hrd_present:
                 anchor = getattr(self, "_cpb_anchor", 0)
                 nals.append(W.write_pic_timing_sei(
-                    0, sps,
+                    self._cur_pic_struct(poc), sps,
                     au_cpb_removal_delay=self.frames_coded - anchor + 1,
                     pic_dpb_output_delay=int(sps.num_reorder_pics[0]
                                              + poc - self.frames_coded)))
             else:
-                nals.append(W.write_pic_timing_sei())
+                nals.append(W.write_pic_timing_sei(
+                    self._cur_pic_struct(poc)))
         nals += slice_nals + [sei_nal]
         _tick("finish", t_fin)
         self.frames_coded += 1

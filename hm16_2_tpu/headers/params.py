@@ -166,6 +166,7 @@ class SPS:
     vui_num_units_in_tick: int = 1
     vui_time_scale: int = 30
     vui_frame_field_info: int = 0
+    vui_field_seq: int = 0
     vui_raw_bits: tuple = ()
     vui_hrd_present: int = 0      # NAL HRD parameters in VUI (E.2.2)
     hrd_bit_rate: int = 0         # nominal CPB input rate, bits/s

@@ -215,7 +215,7 @@ def _write_vui(bw: BitWriter, s: SPS):
     bw.flag(0)                    # video_signal_type_present
     bw.flag(0)                    # chroma_loc_info_present
     bw.flag(0)                    # neutral_chroma_indication
-    bw.flag(0)                    # field_seq_flag
+    bw.flag(getattr(s, "vui_field_seq", 0))   # field_seq_flag
     bw.flag(s.vui_frame_field_info)
     bw.flag(0)                    # default_display_window
     bw.flag(1)                    # vui_timing_info_present

@@ -26,6 +26,9 @@ def main(argv=None):
                     help="print every SEI message in the stream")
     ap.add_argument("-d", "--output-bit-depth", type=int, default=0,
                     help="output file bit depth (0 = internal)")
+    ap.add_argument("--field-weave", action="store_true",
+                    help="weave field pairs into frames on output "
+                         "(field-coded streams)")
     args = ap.parse_args(argv)
 
     from hm16_2_tpu.bitstream import cabac
@@ -42,11 +45,22 @@ def main(argv=None):
     bds = [sps.bit_depth_luma] + [sps.bit_depth_chroma] * 2
     fbds = [args.output_bit_depth] * 3 if args.output_bit_depth else None
     out = open(args.output, "wb") if args.output else None
-    for p in sorted(pics, key=lambda x: x.poc):
-        verdict = {True: "(OK)", False: "(MISMATCH)", None: ""}[p.hash_ok]
-        print(f"POC {p.poc:4d} decoded {verdict}")
+    ordered = sorted(pics, key=lambda x: x.poc)
+    if args.field_weave:
+        from hm16_2_tpu.io.yuv import interleave_fields
+        for p in ordered:
+            verdict = {True: "(OK)", False: "(MISMATCH)", None: ""}[p.hash_ok]
+            print(f"POC {p.poc:4d} decoded {verdict}")
         if out:
-            write_yuv_frame(out, p.planes, bds, file_bit_depths=fbds)
+            for a, b in zip(ordered[::2], ordered[1::2]):
+                write_yuv_frame(out, interleave_fields(a.planes, b.planes),
+                                bds, file_bit_depths=fbds)
+    else:
+        for p in ordered:
+            verdict = {True: "(OK)", False: "(MISMATCH)", None: ""}[p.hash_ok]
+            print(f"POC {p.poc:4d} decoded {verdict}")
+            if out:
+                write_yuv_frame(out, p.planes, bds, file_bit_depths=fbds)
     if out:
         out.close()
     if args.stats and cabac.STATS is not None:

@@ -61,6 +61,8 @@ def build_options() -> Options:
     o.add("SEIMasteringDisplayColourVolume", 0,
           "Mastering display colour volume SEI")
     o.add("SEIToneMapping", 0, "Tone mapping info SEI (linear model)")
+    o.add("FieldCoding", False, "Code each field as a half-height picture")
+    o.add("TopFieldFirst", True, "Field order for FieldCoding")
     o.add("ScalingList", 0,
           "0: no scaling lists, 1: default lists, 2: from ScalingListFile")
     o.add("ScalingListFile", "", "Scaling list file (HM matrix format)")
@@ -189,6 +191,8 @@ def main(argv=None):
         sei_time_code=bool(o["SEITimeCodeEnabled"]),
         sei_mastering_display=bool(o["SEIMasteringDisplayColourVolume"]),
         sei_tone_mapping=bool(o["SEIToneMapping"]),
+        field_coding=bool(o["FieldCoding"]),
+        top_field_first=bool(o["TopFieldFirst"]),
         scaling_list=int(o["ScalingList"]),
         scaling_list_file=o["ScalingListFile"] or None,
         transquant_bypass=bool(o["TransquantBypassEnableFlag"]

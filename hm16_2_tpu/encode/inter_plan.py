@@ -578,7 +578,13 @@ def _plan_device(cur, refs, mvn16, dists, lam, lam_sqrt, qp, map0, map1,
 
         zero_mv = jnp.zeros((N, 2), jnp.int32)
         mcands = []                                       # per candidate
-        for dy_, dx_ in ((0, 1), (1, 0), (1, -1), (-1, 1)):
+        # B slices carry the full A1/B1/B0/A0 mirror set (merge-heavy
+        # hierarchy levels need the diversity); P slices measured BETTER
+        # with the tight left/above pair (the extra approximate
+        # candidates bias the quadtree toward mispriced merges)
+        rolls = ((0, 1), (1, 0), (1, -1), (-1, 1)) if is_b else \
+            ((0, 1), (1, 0))
+        for dy_, dx_ in rolls:
             ent = {}
             for lx in uni:
                 ent[lx] = {

@@ -34,8 +34,8 @@ from hm16_2_tpu.encode.ctu_enc import CtuEncoder
 from hm16_2_tpu.headers import write as W
 from hm16_2_tpu.headers.params import (
     B_SLICE, I_SLICE, P_SLICE, NAL_CRA, NAL_IDR_N_LP, NAL_IDR_W_RADL,
-    NAL_RASL_R, NAL_TRAIL_R, PPS, SPS, ShortTermRPS, SliceHeader, VPS,
-    is_irap)
+    NAL_RASL_R, NAL_TRAIL_R, NAL_TSA_R, PPS, SPS, ShortTermRPS,
+    SliceHeader, VPS, is_irap)
 from hm16_2_tpu.ops import interp_ref, intra_ref, transforms_ref
 from hm16_2_tpu.ops.intra_ref import DM_CHROMA_IDX
 from hm16_2_tpu.ops.satd import satd_block
@@ -56,7 +56,7 @@ class EncoderConfig:
                  sei_temporal_level0=False, sei_region_refresh=False,
                  sei_time_code=False, sei_mastering_display=False,
                  sei_tone_mapping=False, field_coding=False,
-                 top_field_first=True,
+                 top_field_first=True, decoding_refresh_type=1,
                  dependent_slices=False, transquant_bypass=False,
                  pcm=False, pcm_log2_min=3, pcm_log2_max=5,
                  pcm_loop_filter_disabled=True):
@@ -103,6 +103,9 @@ class EncoderConfig:
         # half height; width/height here stay FRAME dimensions
         self.field_coding = field_coding
         self.top_field_first = top_field_first
+        # 1: CRA + RASL leading pictures, 2: IDR, 3: recovery-point I
+        # (TRAIL_R I slice + recovery point SEI, no RAP)
+        self.decoding_refresh_type = decoding_refresh_type
         self.dependent_slices = dependent_slices  # slices 2..N dependent
         # lossless: every CU coded with cu_transquant_bypass_flag = 1
         # (HM TransquantBypassEnableFlag + CUTransquantBypassFlagForce)
@@ -167,9 +170,19 @@ def build_sps_pps(cfg: EncoderConfig):
     sps.sao_enabled = 1 if cfg.sao else 0
     sps.temporal_mvp_enabled = 1      # TMVP (shared derivation w/ decoder)
     sps.strong_intra_smoothing = 1
-    sps.max_dec_pic_buffering = [9 if cfg.gop == "ra8" else 5]
-    sps.num_reorder_pics = [7 if cfg.gop == "ra8" else 0]
-    sps.max_latency_increase = [0]
+    if cfg.gop == "ra8":
+        # four temporal sub-layers (GOP-8 hierarchy depths double as
+        # temporal ids, TEncGOP's tid derivation); per-layer ordering
+        # info replicates the top layer (legal: non-decreasing)
+        sps.max_sub_layers = 4
+        sps.temporal_id_nesting = 1
+        sps.max_dec_pic_buffering = [9] * 4
+        sps.num_reorder_pics = [7] * 4
+        sps.max_latency_increase = [0] * 4
+    else:
+        sps.max_dec_pic_buffering = [5]
+        sps.num_reorder_pics = [0]
+        sps.max_latency_increase = [0]
     sps.rps_list = []
     if cfg.intra_period != 1:
         sps.rps_list = [ShortTermRPS(num_negative=1, num_positive=0,
@@ -246,6 +259,14 @@ class Encoder:
         self.cfg = cfg
         self.sps, self.pps = build_sps_pps(cfg)
         self.vps = VPS(ptl=self.sps.ptl)
+        if self.sps.max_sub_layers > 1:
+            self.vps.max_sub_layers = self.sps.max_sub_layers
+            self.vps.temporal_id_nesting = 1
+            self.vps.max_dec_pic_buffering = \
+                list(self.sps.max_dec_pic_buffering)
+            self.vps.num_reorder_pics = list(self.sps.num_reorder_pics)
+            self.vps.max_latency_increase = \
+                list(self.sps.max_latency_increase)
         self.frames_coded = 0
         self.bits_per_frame = []
         self.dpb = DPB()
@@ -619,7 +640,8 @@ class Encoder:
             W.write_slice_header(bw, sh, sps, pps)
             hdr_bits += len(bw.get_bytes()) * 8
             nals.append(make_nal(sh.nal_type,
-                                 bw.get_bytes() + b"".join(datas)))
+                                 bw.get_bytes() + b"".join(datas),
+                                 temporal_id=sh.temporal_id))
         return nals, total_bins, hdr_bits
 
     def _rc_begin(self, planes, sh, gop_id):
@@ -688,8 +710,9 @@ class Encoder:
                 for gop_id, slot in enumerate(table):
                     p = self._gop_start + slot["poc"]
                     if p == cra_poc:
-                        aus.append(self._encode_cra(buf.pop(p), p, slot,
-                                                    gop_id))
+                        aus.append(self._encode_cra(
+                            buf.pop(p), p, slot, gop_id,
+                            recovery=self.cfg.decoding_refresh_type == 3))
                         continue
                     nal = NAL_RASL_R if (self.last_ira > 0
                                          and p < self.last_ira) \
@@ -708,13 +731,18 @@ class Encoder:
             break
         return aus
 
-    def _encode_cra(self, planes, poc, slot, gop_id=0) -> bytes:
+    def _encode_cra(self, planes, poc, slot, gop_id=0,
+                    recovery=False) -> bytes:
         """Clean-random-access I picture: POC continues, DPB keeps the
         pictures its RASL leading pictures will reference (RPS entries
-        with used_by_curr = 0, TEncGOP's CRA RPS construction)."""
+        with used_by_curr = 0, TEncGOP's CRA RPS construction).
+        recovery=True codes the refresh as DecodingRefreshType 3: a
+        TRAIL_R I slice with a recovery point SEI instead of a RAP, so
+        no pictures become RASL and tune-in uses the SEI."""
         sh = SliceHeader()
-        sh.nal_type = NAL_CRA
+        sh.nal_type = NAL_TRAIL_R if recovery else NAL_CRA
         sh.slice_type = I_SLICE
+        sh.recovery_i = recovery
         sh.qp = int(np.clip(self.cfg.qp + slot["qpoff"], 0, 51))
         gsize = len(self.gop_table)
         pre = sorted({s["poc"] + d - gsize for s in self.gop_table
@@ -725,7 +753,8 @@ class Encoder:
         sh.rps_idx = -1
         sh.rps = ShortTermRPS(num_negative=len(pre), num_positive=0,
                               delta_poc=pre, used=[0] * len(pre))
-        self.last_ira = poc
+        if not recovery:
+            self.last_ira = poc
         rc_lam = self._rc_begin(planes, sh, gop_id)
         alpha, mult = self._lambda_args(sh, slot)
         return self._encode_one(planes, poc, sh, qp_factor=alpha,
@@ -737,6 +766,7 @@ class Encoder:
         sh.nal_type = nal_type
         sh.slice_type = B_SLICE
         sh.qp = int(np.clip(self.cfg.qp + slot["qpoff"], 0, 51))
+        sh.temporal_id = int(slot.get("tid", slot.get("depth", 0)))
         # trailing pictures after a CRA must not reference pictures that
         # precede it (they are absent after a tune-in); RASL leading
         # pictures may
@@ -759,6 +789,17 @@ class Encoder:
         if sh.slice_type == P_SLICE:
             sh.num_ref_idx[1] = 0
         sh.max_num_merge_cand = 5
+        # TSA derivation (TEncGOP.cpp:2462-2512): a trailing picture
+        # whose references all sit in lower sub-layers is a valid
+        # temporal up-switch point
+        if nal_type == NAL_TRAIL_R and sh.temporal_id > 0:
+            tid_of = getattr(self, "_tid_of", {})
+            if all(tid_of.get(poc + d, 0) < sh.temporal_id
+                   for d in (neg + pos)):
+                sh.nal_type = NAL_TSA_R
+        if not hasattr(self, "_tid_of"):
+            self._tid_of = {}
+        self._tid_of[poc] = sh.temporal_id
         if total:
             sh.temporal_mvp_enabled = 1
             # B slices take the collocated picture from L1 (the future
@@ -1166,7 +1207,9 @@ class Encoder:
             bw = BitWriter()
             W.write_slice_header(bw, sh, sps, pps)
             hdr_bits = len(bw.get_bytes()) * 8
-            slice_nals = [make_nal(sh.nal_type, bw.get_bytes() + b"".join(datas))]
+            slice_nals = [make_nal(sh.nal_type,
+                                   bw.get_bytes() + b"".join(datas),
+                                   temporal_id=sh.temporal_id)]
 
         else:
             slice_nals, total_bins, hdr_bits = self._emit_multi_slices(
@@ -1216,7 +1259,8 @@ class Encoder:
             # on RAP access units); restarts the cpb removal-delay clock
             nals.append(W.write_buffering_period_sei(sps, sps.sps_id))
             self._cpb_anchor = self.frames_coded
-        if cfg.sei_recovery_point and irap:
+        if (cfg.sei_recovery_point and irap) or \
+                getattr(sh, "recovery_i", False):
             nals.append(W.write_recovery_point_sei(0, 1, 0))
         if irap or self.frames_coded == 0:
             # persistence-scoped display SEIs accompany each IRAP

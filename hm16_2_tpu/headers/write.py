@@ -32,7 +32,14 @@ def write_profile_tier(bw: BitWriter, p: ProfileTierLevel):
 def write_ptl(bw: BitWriter, p: ProfileTierLevel, max_sub_layers_minus1: int = 0):
     write_profile_tier(bw, p)
     bw.u(p.level_idc, 8)
-    # no sub-layers
+    if max_sub_layers_minus1 > 0:
+        # no per-sub-layer profile/level info, just the presence flags
+        # and the 8-entry alignment (7.3.3)
+        for _ in range(max_sub_layers_minus1):
+            bw.flag(0)            # sub_layer_profile_present_flag
+            bw.flag(0)            # sub_layer_level_present_flag
+        for _ in range(8 - max_sub_layers_minus1):
+            bw.u(0, 2)            # reserved_zero_2bits
 
 
 def main_profile_ptl(ten_bit: bool = False) -> ProfileTierLevel:
@@ -54,7 +61,7 @@ def write_vps(v: VPS) -> bytes:
     bw.u(v.max_sub_layers - 1, 3)
     bw.flag(v.temporal_id_nesting)
     bw.u(0xFFFF, 16)
-    write_ptl(bw, v.ptl)
+    write_ptl(bw, v.ptl, v.max_sub_layers - 1)
     bw.flag(1)                    # sub_layer_ordering_info_present
     for i in range(v.max_sub_layers):
         bw.ue(v.max_dec_pic_buffering[i] - 1)
@@ -90,7 +97,7 @@ def write_sps(s: SPS) -> bytes:
     bw.u(s.vps_id, 4)
     bw.u(s.max_sub_layers - 1, 3)
     bw.flag(s.temporal_id_nesting)
-    write_ptl(bw, s.ptl)
+    write_ptl(bw, s.ptl, s.max_sub_layers - 1)
     bw.ue(s.sps_id)
     bw.ue(s.chroma_format_idc)
     if s.chroma_format_idc == 3:

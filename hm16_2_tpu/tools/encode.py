@@ -192,6 +192,7 @@ def main(argv=None):
         sei_mastering_display=bool(o["SEIMasteringDisplayColourVolume"]),
         sei_tone_mapping=bool(o["SEIToneMapping"]),
         field_coding=bool(o["FieldCoding"]),
+        decoding_refresh_type=(int(o["DecodingRefreshType"]) or 1),
         top_field_first=bool(o["TopFieldFirst"]),
         scaling_list=int(o["ScalingList"]),
         scaling_list_file=o["ScalingListFile"] or None,

@@ -1845,6 +1845,47 @@ class CtuSearch:
         self._ictx = I
         return I
 
+    def _cand_sse(self, x0, y0, w, h, cand):
+        """Weighted multi-component SSE of one motion candidate's
+        prediction vs the original (merge-RD pricing; HM prices full
+        cost in TEncCu::xCheckRDCostMerge2Nx2N — the luma-only rank
+        systematically skewed chroma-heavy picks).  Returns None when
+        the candidate is not compensable."""
+        import os
+        pic = self.pic
+        rc = self.mvp.rc
+        inter_dir, m0, m1 = cand
+        ncomp = 1 if os.environ.get("HM16_RERANK_LUMA_ONLY") \
+            else pic.num_comps
+        total = 0.0
+        for comp in range(ncomp):
+            sx, sy = pic.comp_shift[comp]
+            cw, chh = w >> sx, h >> sy
+            cx0, cy0 = x0 >> sx, y0 >> sy
+            outs = [None, None]
+            for lx, m in ((0, m0), (1, m1)):
+                if not ((inter_dir >> lx) & 1):
+                    continue
+                r_idx, mvv = m
+                if r_idx < 0 or r_idx >= len(rc.ref_lists[lx]):
+                    return None
+                outs[lx] = interp_ref.mc_block(
+                    rc.ref_lists[lx][r_idx].rec[comp], cx0, cy0, cw, chh,
+                    mvv[0], mvv[1], 2 + sx, 2 + sy, comp == 0,
+                    self.bit_depth[comp], inter_dir == 3)
+            if inter_dir == 3:
+                pred = interp_ref.bi_average(outs[0], outs[1],
+                                             self.bit_depth[comp])
+            else:
+                pred = outs[0] if outs[0] is not None else outs[1]
+            if pred is None:
+                return None
+            o = self.orig[comp][cy0:cy0 + chh, cx0:cx0 + cw]
+            d = (o - pred).astype(np.float64).ravel()
+            wgt = 1.0 if comp == 0 else self.chroma_weight
+            total += wgt * float(np.dot(d, d))
+        return total
+
     def _commit_planned_inter(self, px, py, log2) -> bool:
         """Commit one inter CU decided by the fused frame plan
         (encode/inter_plan.py): map the planned motion onto the EXACT
@@ -1919,15 +1960,13 @@ class CtuSearch:
         # IS the reconstruction (TEncCu::xCheckRDCostMerge2Nx2N). ----
         lam = self.lam
         nmerge = max(len(cands), 1)
-        orig = self.orig[0][y0:y0 + size, x0:x0 + size].astype(np.int64)
         best = None                   # (cost, m_idx or None=planned AMVP)
         for i, cand in enumerate(cands):
-            pred = self._mc_luma_cand(x0, y0, size, cand)
-            if pred is None:
+            sse = self._cand_sse(x0, y0, size, size, cand)
+            if sse is None:
                 continue
-            d = (orig - pred).astype(np.float64).ravel()
             bits = 1.0 + (i + 1 if i < nmerge - 1 else max(nmerge - 1, 1))
-            c = np.dot(d, d) + lam * bits
+            c = sse + lam * bits
             if best is None or c < best[0]:
                 best = (c, i)
         if _match_merge() is None:
@@ -1937,9 +1976,9 @@ class CtuSearch:
             mpair = [(0, (0, 0)), (0, (0, 0))]
             for j, lx in enumerate(active):
                 mpair[lx] = (prefs[j], mv[lx])
-            pred_p = self._mc_luma_cand(
-                x0, y0, size, (dirv, mpair[0], mpair[1]))
-            if pred_p is not None:
+            sse_p = self._cand_sse(x0, y0, size, size,
+                                   (dirv, mpair[0], mpair[1]))
+            if sse_p is not None:
                 bits = 3.0
                 for j, lx in enumerate(active):
                     amvp = self.mvp.amvp_candidates(
@@ -1952,8 +1991,7 @@ class CtuSearch:
                                  len(rc.ref_lists[lx]))
                     if n_refs > 1:
                         bits += min(prefs[j] + 1, n_refs - 1)
-                d = (orig - pred_p).astype(np.float64).ravel()
-                c = np.dot(d, d) + lam * bits
+                c = sse_p + lam * bits
                 if best is None or c < best[0]:
                     best = (c, None)
         if best is None:
@@ -2056,7 +2094,6 @@ class CtuSearch:
         sh = self.sh
         rc = self.mvp.rc
         lx, r_idx, mvq = planned
-        orig = self.orig[0][y:y + h, x:x + w].astype(np.int64)
         cands = self.mvp.merge_candidates(x, y, w, h, pu_idx, psize,
                                           cu_px, cu_py)
         cands = cands[:sh.max_num_merge_cand]
@@ -2065,24 +2102,23 @@ class CtuSearch:
         matched = False
         for i, cand in enumerate(cands):
             cd, m0, m1 = cand
-            pred = self._mc_luma_rect(x, y, w, h, cand)
-            if pred is None:
+            sse = self._cand_sse(x, y, w, h, cand)
+            if sse is None:
                 continue
             if cd == (1 << lx):
                 m = (m0, m1)[lx]
                 if m[0] == r_idx and tuple(m[1]) == mvq:
                     matched = True
-            d = (orig - pred).astype(np.float64).ravel()
             bits = 1.0 + (i + 1 if i < nmerge - 1 else max(nmerge - 1, 1))
-            c = np.dot(d, d) + lam * bits
+            c = sse + lam * bits
             if best is None or c < best[0]:
                 best = (c, ("merge", i, cand))
         if not matched:
             mpair = (r_idx, mvq)
-            pred_p = self._mc_luma_rect(
+            sse_p = self._cand_sse(
                 x, y, w, h, (1 << lx, mpair if lx == 0 else (0, (0, 0)),
                              mpair if lx == 1 else (0, (0, 0))))
-            if pred_p is not None:
+            if sse_p is not None:
                 amvp = self.mvp.amvp_candidates(x, y, w, h, lx, r_idx)
                 db = sorted((self._mvd_bits((mvq[0] - amvp[k][0],
                                              mvq[1] - amvp[k][1])), k)
@@ -2091,8 +2127,7 @@ class CtuSearch:
                 n_refs = min(sh.num_ref_idx[lx], len(rc.ref_lists[lx]))
                 if n_refs > 1:
                     bits += min(r_idx + 1, n_refs - 1)
-                d = (orig - pred_p).astype(np.float64).ravel()
-                c = np.dot(d, d) + lam * bits
+                c = sse_p + lam * bits
                 if best is None or c < best[0]:
                     k = db[0][1]
                     mvd = (mvq[0] - amvp[k][0], mvq[1] - amvp[k][1])

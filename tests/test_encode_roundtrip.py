@@ -65,6 +65,7 @@ def _moving_planes(w, h, t, base):
     return [y, u, v]
 
 
+@pytest.mark.slow
 def test_encode_p_slices_selfdecode():
     w, h, n = 64, 64, 4
     rng = np.random.default_rng(7)
@@ -101,6 +102,7 @@ def test_encode_p_slices_reference_decode(tmp_path):
     assert out.stdout.count("(OK)") == n, out.stdout + out.stderr
 
 
+@pytest.mark.slow
 def test_encode_ra_gop8_selfdecode(tmp_path):
     w, h, n = 64, 64, 9           # IDR + one full hierarchical GOP
     rng = np.random.default_rng(11)
@@ -126,6 +128,7 @@ def test_encode_ra_gop8_selfdecode(tmp_path):
         assert out.stdout.count("(OK)") == n, out.stdout + out.stderr
 
 
+@pytest.mark.slow
 def test_encode_rrsp_selfdecode():
     """RRSP fast partitioning is normatively transparent: the pruned
     encode still self-decodes bit-exactly (hash SEI green)."""
@@ -173,6 +176,7 @@ def test_rrsp_prunes_search():
 
 @pytest.mark.parametrize("kw", [dict(wpp=True), dict(tile_cols=2, tile_rows=2),
                                 dict(wpp=True, intra_period=8)])
+@pytest.mark.slow
 def test_encode_wpp_tiles_selfdecode(kw):
     """WPP / tile substreams: entry points, per-substream CABAC, context
     choreography — self-decode must stay bit-exact."""
@@ -195,6 +199,7 @@ def test_encode_wpp_tiles_selfdecode(kw):
             np.testing.assert_array_equal(p.planes[c], recons[i][c])
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(not os.path.exists(HM_DEC), reason="reference decoder absent")
 @pytest.mark.parametrize("kw", [dict(wpp=True), dict(tile_cols=2, tile_rows=2)])
 def test_encode_wpp_tiles_reference_decode(tmp_path, kw):
@@ -213,6 +218,7 @@ def test_encode_wpp_tiles_reference_decode(tmp_path, kw):
     assert out.stdout.count("(OK)") == n, out.stdout + out.stderr
 
 
+@pytest.mark.slow
 def test_encode_main10_selfdecode():
     """Main10 encode: 10-bit planes through the same path (bit-depth
     plumbed through transforms/quant/intra/MC)."""
@@ -231,6 +237,7 @@ def test_encode_main10_selfdecode():
     assert len(pics) == n and all(p.hash_ok for p in pics)
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(not os.path.exists(HM_DEC), reason="reference decoder absent")
 def test_cfg_gop_table_roundtrip(tmp_path):
     """The cfg's GOPEntry table (TEncCfg.h:49-88) drives the coding

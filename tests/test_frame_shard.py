@@ -21,6 +21,7 @@ def _content(w, h, seed=42):
     return [y, u, v]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n_dev", [2, 4])
 def test_sharded_encode_bit_exact(n_dev):
     import jax
@@ -58,3 +59,51 @@ def test_sharded_encode_bit_exact(n_dev):
     assert au_sharded == au_single
     pics = Decoder().decode_stream(au_sharded)
     assert len(pics) == 1 and pics[0].hash_ok is True
+
+
+@pytest.mark.slow
+def test_sharded_inter_plan_bit_exact():
+    """The fused inter plan with its integer-ME stage row-banded over
+    the mesh (parallel/plan_shard.py) produces a byte-identical LDP
+    stream — the same property dryrun_multichip asserts on an RA GOP."""
+    import jax
+
+    devices = jax.devices("cpu")
+    if len(devices) < 2:
+        pytest.skip("not enough virtual devices")
+    from hm16_2_tpu.decode.top import Decoder
+    from hm16_2_tpu.encode import inter_plan
+    from hm16_2_tpu.encode.top import Encoder, EncoderConfig
+    from hm16_2_tpu.parallel.frame_shard import make_row_mesh
+
+    mesh = make_row_mesh(devices[:2])
+    w, h = 128, 128                      # 2 devices x one 64-row band
+    frames = [_content(w, h, seed=s) for s in (1, 2, 3)]
+    for i, f in enumerate(frames[1:], 1):
+        f[0][:] = np.roll(frames[0][0], 3 * i, axis=1)
+
+    def encode(use_mesh):
+        enc = Encoder(EncoderConfig(w, h, qp=32, intra_period=-1,
+                                    gop="ldp"))
+        if not use_mesh:
+            return b"".join(enc.encode_stream(
+                [[p.copy() for p in f] for f in frames]))
+        orig_ip = inter_plan.plan_frame
+
+        def ip(orig_y, sps, sh, rc, prev_mv8, lam, lam_sqrt, device,
+               mesh_=None):
+            return orig_ip(orig_y, sps, sh, rc, prev_mv8, lam, lam_sqrt,
+                           device, mesh=mesh)
+
+        inter_plan.plan_frame = ip
+        try:
+            return b"".join(enc.encode_stream(
+                [[p.copy() for p in f] for f in frames]))
+        finally:
+            inter_plan.plan_frame = orig_ip
+
+    bs_sharded = encode(True)
+    bs_single = encode(False)
+    assert bs_sharded == bs_single
+    pics = Decoder().decode_stream(bs_sharded)
+    assert len(pics) == 3 and all(p.hash_ok is True for p in pics)

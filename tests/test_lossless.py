@@ -35,6 +35,7 @@ def _frames(w, h, n, seed=17):
     dict(intra_period=1),
     dict(intra_period=4, gop="ld"),
 ])
+@pytest.mark.slow
 def test_lossless_encode(kw, tmp_path):
     frames = _frames(128, 64, 3)
     enc = Encoder(EncoderConfig(128, 64, qp=32, transquant_bypass=True,

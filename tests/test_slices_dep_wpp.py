@@ -58,6 +58,7 @@ def _roundtrip(cfg, frames, tmp_path):
          sei_timing=True, sei_buffering_period=True),
     dict(intra_period=4, gop="ld", wpp=True, slices=2),
 ])
+@pytest.mark.slow
 def test_wpp_multi_slice(kw, tmp_path):
     # 3x3 CTU picture: WPP slices land on CTU-row boundaries
     _roundtrip(EncoderConfig(192, 192, qp=32, **kw),

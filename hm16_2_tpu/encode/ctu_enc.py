@@ -446,12 +446,27 @@ class CtuEncoder(SliceDecoder):
             e.encode_bin(1 if subdiv else 0, c.idx("trans_subdiv", 5 - log2))
 
         n = 1 << (log2 - 2)
+        is422 = chroma_ok and sps.chroma_format_idc == 2
         if chroma_here:
+            # 4:2:2: when this TU cannot quad-split its chroma further
+            # (leaf, or 8x8 luma about to split to 4x4), TWO cbf bins are
+            # sent — one per square sub-TU half (TDecSbac.cpp:993-1092;
+            # dual of decode/ctu_dec.py _parse_tu_tree)
+            two = is422 and (not subdiv or log2 == 3)
+            sub_depth = tr_depth + (2 if (subdiv and log2 == 3) else 1)
             for comp in (1, 2):
                 parent = self._cbf_at(comp, px, py, tr_depth - 1) if tr_depth else 1
                 if parent:
-                    v = self._cbf_at(comp, px, py, tr_depth)
-                    e.encode_bin(v, c.idx("qt_cbf", CBF_CTX_START[1] + tr_depth))
+                    if two:
+                        for sub in range(2):
+                            v = self._cbf_at(comp, px,
+                                             py + sub * max(n >> 1, 1),
+                                             sub_depth)
+                            e.encode_bin(v, c.idx(
+                                "qt_cbf", CBF_CTX_START[1] + tr_depth))
+                    else:
+                        v = self._cbf_at(comp, px, py, tr_depth)
+                        e.encode_bin(v, c.idx("qt_cbf", CBF_CTX_START[1] + tr_depth))
 
         if subdiv:
             half = 1 << (log2 - 3)
@@ -485,15 +500,37 @@ class CtuEncoder(SliceDecoder):
                 self._enc_residual(cu, px, py, log2, 0)
             if chroma_ok:
                 if chroma_here:
-                    if cbf_cb:
-                        self._enc_residual(cu, px, py, log2, 1)
-                    if cbf_cr:
-                        self._enc_residual(cu, px, py, log2, 2)
+                    if is422:
+                        # two square sub-TUs, own cbf each (sub-flags one
+                        # depth below — TDecEntropy.cpp:549)
+                        for comp in ((1, 2) if (cbf_cb or cbf_cr) else ()):
+                            for sub in range(2):
+                                if self._cbf_at(comp, px,
+                                                py + sub * max(n >> 1, 1),
+                                                tr_depth + 1):
+                                    self._enc_residual(cu, px, py, log2,
+                                                       comp, sub422=sub)
+                    else:
+                        if cbf_cb:
+                            self._enc_residual(cu, px, py, log2, 1)
+                        if cbf_cr:
+                            self._enc_residual(cu, px, py, log2, 2)
                 elif log2 == 2 and is_chroma_holder:
-                    if cbf_cb:
-                        self._enc_residual(cu, px - 1, py - 1, 3, 1)
-                    if cbf_cr:
-                        self._enc_residual(cu, px - 1, py - 1, 3, 2)
+                    bx, by = px - 1, py - 1
+                    if is422:
+                        # parent 8x8's two 4x4 chroma sub-TUs; sub-flags
+                        # at parent depth + 2
+                        for comp in (1, 2):
+                            for sub in range(2):
+                                if self._cbf_at(comp, bx, by + sub,
+                                                tr_depth + 1):
+                                    self._enc_residual(cu, bx, by, 3, comp,
+                                                       sub422=sub)
+                    else:
+                        if cbf_cb:
+                            self._enc_residual(cu, bx, by, 3, 1)
+                        if cbf_cr:
+                            self._enc_residual(cu, bx, by, 3, 2)
 
     def _cbf_at(self, comp, px, py, tr_depth):
         if tr_depth < 0:
@@ -502,17 +539,23 @@ class CtuEncoder(SliceDecoder):
 
     # ------------------------------------------------------------------
 
-    def _enc_residual(self, cu, px, py, log2, comp):
-        """codeCoeffNxN dual (TEncSbac.cpp:1172-1529)."""
+    def _enc_residual(self, cu, px, py, log2, comp, sub422=None):
+        """codeCoeffNxN dual (TEncSbac.cpp:1172-1529).  sub422 selects the
+        upper (0) / lower (1) square sub-TU of a 4:2:2 double-high chroma
+        block; TU-state markers (tskip) live in the matching part half."""
         pic, e, c = self.pic, self.enc, self.ctx
         sps, pps = self.sps, self.pps
         sx, sy = pic.comp_shift[comp]
+        mpy = py
         if comp == 0:
             w = 1 << log2
             x0, y0 = px * 4, py * 4
         else:
             w = (1 << log2) >> sx
             x0, y0 = (px * 4) >> sx, (py * 4) >> sy
+            if sub422 is not None:
+                y0 += sub422 * w
+                mpy = py + sub422 * max((1 << (log2 - 2)) >> 1, 1)
         h = w
         log2w = w.bit_length() - 1
         chan = 0 if comp == 0 else 1
@@ -522,10 +565,11 @@ class CtuEncoder(SliceDecoder):
 
         if pps.transform_skip_enabled and not cu.tqb and \
                 log2w <= pps.log2_max_transform_skip_block_size:
-            e.encode_bin(int(pic.tskip[comp][py, px]), c.idx("transform_skip", chan))
+            e.encode_bin(int(pic.tskip[comp][mpy, px]),
+                         c.idx("transform_skip", chan))
 
         scan_type = self._scan_type(cu, px, py, log2, comp)
-        ts = int(pic.tskip[comp][py, px])
+        ts = int(pic.tskip[comp][mpy, px])
         if self._try_native_enc_residual(cu, comp, w, coeffs, scan_type, ts,
                                          be_valid):
             return

@@ -156,7 +156,12 @@ LDP_GOP = [
 
 def build_sps_pps(cfg: EncoderConfig):
     sps = SPS()
-    sps.ptl = W.main_profile_ptl(cfg.bit_depth > 8)
+    if cfg.chroma_format == 1 and cfg.bit_depth <= 10:
+        sps.ptl = W.main_profile_ptl(cfg.bit_depth > 8)
+    else:
+        # 4:0:0 / 4:2:2 / 4:4:4 / >10-bit: a named Main-RExt profile
+        sps.ptl = W.rext_profile_ptl(cfg.bit_depth, cfg.chroma_format,
+                                     intra_only=cfg.intra_period == 1)
     sps.pic_width, sps.pic_height = cfg.width, cfg.height
     sps.chroma_format_idc = cfg.chroma_format
     sps.bit_depth_luma = sps.bit_depth_chroma = cfg.bit_depth
@@ -252,6 +257,11 @@ class Encoder:
         if self.field_coding:
             assert cfg.height % 2 == 0, "field coding needs even height"
             cfg.height //= 2          # pictures are fields
+        if cfg.chroma_format == 2 and cfg.intra_period != 1:
+            raise NotImplementedError(
+                "4:2:2 encode is all-intra only (intra_period=1); "
+                "4:2:2 inter (chroma MV scaling + double-high residual "
+                "TUs on the P/B path) is not implemented")
         # cumulative per-stage wall-time (ms) across encoded frames:
         # plan (device dispatch+fetch) / commit (host CU walk) /
         # filters (deblock+SAO) / emit (pass-2 CABAC) / finish
@@ -2191,8 +2201,13 @@ class CtuSearch:
                 cbf_y = self._code_tu(px, py, log2, 0, mode)
             pic.cbf[0][sl] = cbf_y
             if pic.num_comps > 1:
-                pic.cbf[1][sl] = self._code_tu(px, py, log2, 1, cmode)
-                pic.cbf[2][sl] = self._code_tu(px, py, log2, 2, cmode)
+                if self.sps.chroma_format_idc == 2:
+                    # 4:2:2: two square chroma sub-TUs, cbf sub-flags one
+                    # depth below the (tr_depth 0) TU
+                    self._commit_chroma_422(px, py, log2, cmode, sub_bit=1)
+                else:
+                    pic.cbf[1][sl] = self._code_tu(px, py, log2, 1, cmode)
+                    pic.cbf[2][sl] = self._code_tu(px, py, log2, 2, cmode)
             self._maybe_pcm(px, py, log2)
             return
         pic.intra_luma[sl] = mode
@@ -2207,18 +2222,30 @@ class CtuSearch:
             csl = np.s_[cy:cy + half, cx:cx + half]
             cbf = self._code_tu(cx, cy, log2 - 1, 0, mode)
             pic.cbf[0][csl] = cbf << 1
+            # mark the child's parts coded before its chroma commit: the
+            # 4:2:2 lower sub-TU's top references live in the SAME child
+            # (upper half), which the decoder's z-order availability
+            # treats as available (part_available checks coded flags too)
+            pic.coded[csl] = True
             if pic.num_comps > 1 and log2 > 3:
                 # chroma splits with luma (child blocks are >= 4x4)
-                cb = self._code_tu(cx, cy, log2 - 1, 1, cmode)
-                cr = self._code_tu(cx, cy, log2 - 1, 2, cmode)
-                pic.cbf[1][csl] = cb << 1
-                pic.cbf[2][csl] = cr << 1
-            pic.coded[csl] = True
+                if self.sps.chroma_format_idc == 2:
+                    self._commit_chroma_422(cx, cy, log2 - 1, cmode,
+                                            sub_bit=2, comb_bit=1)
+                else:
+                    cb = self._code_tu(cx, cy, log2 - 1, 1, cmode)
+                    cr = self._code_tu(cx, cy, log2 - 1, 2, cmode)
+                    pic.cbf[1][csl] = cb << 1
+                    pic.cbf[2][csl] = cr << 1
         if pic.num_comps > 1:
             if log2 == 3:
-                # chroma stays one 4x4 TU at the CU level
-                pic.cbf[1][sl] = self._code_tu(px, py, 3, 1, cmode)
-                pic.cbf[2][sl] = self._code_tu(px, py, 3, 2, cmode)
+                # chroma stays at the 8x8 parent (4:2:2: its two 4x4
+                # sub-TUs, sub-flags at depth 2 — TDecEntropy.cpp:549)
+                if self.sps.chroma_format_idc == 2:
+                    self._commit_chroma_422(px, py, 3, cmode, sub_bit=2)
+                else:
+                    pic.cbf[1][sl] = self._code_tu(px, py, 3, 1, cmode)
+                    pic.cbf[2][sl] = self._code_tu(px, py, 3, 2, cmode)
             else:
                 # root chroma cbf = OR of the children (bit 0)
                 for comp in (1, 2):
@@ -2269,8 +2296,11 @@ class CtuSearch:
                                            int(pic.intra_luma[py, px]))
         pic.intra_chroma[sl] = cstored
         if pic.num_comps > 1:
-            pic.cbf[1][sl] = self._code_tu(px, py, 3, 1, cmode)
-            pic.cbf[2][sl] = self._code_tu(px, py, 3, 2, cmode)
+            if self.sps.chroma_format_idc == 2:
+                self._commit_chroma_422(px, py, 3, cmode, sub_bit=2)
+            else:
+                pic.cbf[1][sl] = self._code_tu(px, py, 3, 1, cmode)
+                pic.cbf[2][sl] = self._code_tu(px, py, 3, 2, cmode)
         # PCM competes with the NxN coding too (the override rewrites
         # part_size to 2Nx2N, which is what pcm_flag follows)
         self._maybe_pcm(px, py, 3)
@@ -3596,6 +3626,112 @@ class CtuSearch:
         pic.rec[comp][y0:y0 + size, x0:x0 + size] = np.clip(
             pred + rec_resi, 0, (1 << bd) - 1)
         return cbf
+
+    def _code_tu_422(self, px, py, log2, comp, cmode):
+        """4:2:2 chroma of one luma TU: the double-high chroma region is
+        coded as two square sub-TUs stacked vertically (TComTU.h:48-162;
+        parse/recon order mirrored from decode/ctu_dec.py, golden-verified
+        against HM).  The lower sub-TU predicts from the upper's fresh
+        reconstruction.  Marks tskip per half; returns (cbf_up, cbf_low)."""
+        from hm16_2_tpu.decode.ctu_dec import CHROMA422_ANGLE_MAP
+        pic, sps, pps = self.pic, self.sps, self.pps
+        cs = (1 << log2) >> 1
+        x0, y0 = (px * 4) >> 1, py * 4
+        bd = self.bit_depth[comp]
+        pmode = int(CHROMA422_ANGLE_MAP[cmode])
+        n = max((1 << log2) >> 2, 1)
+        half_n = max(n >> 1, 1)
+        constrained = bool(pps.constrained_intra_pred)
+        qp = self._tu_qp(px, py, comp)
+        log2_tr = cs.bit_length() - 1
+        lam = getattr(self, "lam", 1.0)
+        wgt = getattr(self, "chroma_weight", 1.0)
+        tqb = pps.transquant_bypass_enabled and pic.tqb[py, px]
+        try_ts = (not tqb and pps.transform_skip_enabled
+                  and cs <= (1 << pps.log2_max_transform_skip_block_size))
+        slm = self._scaling_for(comp, log2_tr, True)
+        cbfs = []
+        for sub in range(2):
+            ys = y0 + sub * cs
+            anchor_py = py + sub * half_n
+
+            def avail(ax, ay, _a=anchor_py):
+                if ax < 0 or ay < 0:
+                    return False
+                return pic.part_available((ax << 1) // 4, ay // 4, px, _a,
+                                          constrained, n, half_n)
+
+            top, left = intra_ref.fill_reference_samples(
+                pic.rec[comp], x0, ys, cs, 2, 4, avail, bd)
+            if intra_ref.should_filter(pmode, cs, False, 2,
+                                       bool(sps.intra_smoothing_disabled)):
+                top, left = intra_ref.filter_reference_samples(
+                    top, left, cs, bd, bool(sps.strong_intra_smoothing))
+            pred = intra_ref.predict_intra(pmode, top, left, cs, bd, False)
+            orig = self.orig[comp][ys:ys + cs, x0:x0 + cs].astype(np.int64)
+            resi = orig - pred
+            if tqb:
+                pic.coeff[comp][ys:ys + cs, x0:x0 + cs] = resi
+                pic.rec[comp][ys:ys + cs, x0:x0 + cs] = orig
+                cbfs.append(1 if np.any(resi) else 0)
+                continue
+            best = None
+            for ts in ((0, 1) if try_ts else (0,)):
+                if ts:
+                    tshift = transforms_ref.transform_shift(bd, log2_tr, 15)
+                    fwd = (resi << tshift) if tshift >= 0 else \
+                        (resi >> (-tshift))
+                else:
+                    fwd = transforms_ref.forward_transform(resi, bd, False)
+                levels = transforms_ref.quant(fwd, qp, bd, log2_tr,
+                                              is_intra=True,
+                                              scaling_list_coeffs=slm)
+                scan = self._sbh_scan(cs, comp, pmode)
+                if scan is not None and np.any(levels):
+                    levels = transforms_ref.sign_bit_hiding(
+                        levels, fwd, qp, bd, log2_tr, scan)
+                cbf = 1 if np.any(levels) else 0
+                if cbf:
+                    deq = transforms_ref.dequant(levels, qp, bd, log2_tr,
+                                                 slm)
+                    rec_resi = (
+                        transforms_ref.inverse_transform_skip(deq, bd)
+                        if ts else
+                        transforms_ref.inverse_transform(deq, bd, False))
+                else:
+                    rec_resi = 0
+                rec = np.clip(pred + rec_resi, 0, (1 << bd) - 1)
+                d = (orig - rec).astype(np.float64)
+                bits = (self._res_bits_est(levels) if cbf else 0.8) + 1.0
+                cost = wgt * float(np.dot(d.ravel(), d.ravel())) \
+                    + lam * bits
+                if best is None or cost < best[0]:
+                    best = (cost, ts, cbf, levels, rec)
+            _, ts, cbf, levels, rec = best
+            pic.coeff[comp][ys:ys + cs, x0:x0 + cs] = levels
+            pic.rec[comp][ys:ys + cs, x0:x0 + cs] = rec
+            if try_ts:
+                pic.tskip[comp][anchor_py:anchor_py + half_n,
+                                px:px + n] = ts
+            cbfs.append(cbf)
+        return cbfs[0], cbfs[1]
+
+    def _commit_chroma_422(self, px, py, log2, cmode, sub_bit, comb_bit=0):
+        """Code both chroma components of a 4:2:2 CU/TU region and store
+        cbf bits: combined at bit `comb_bit` over the whole region, the
+        two sub-TU flags at bit `sub_bit` in the top/bottom part halves
+        (mirrors decode/ctu_dec.py _set_cbf_half storage)."""
+        pic = self.pic
+        n = max((1 << log2) >> 2, 1)
+        half = max(n >> 1, 1)
+        for comp in (1, 2):
+            pic.cbf[comp][py:py + n, px:px + n] = 0
+            c0, c1 = self._code_tu_422(px, py, log2, comp, cmode)
+            comb = (c0 | c1) << comb_bit
+            top_sl = np.s_[py:py + half, px:px + n]
+            bot_sl = np.s_[py + half:py + n, px:px + n]
+            pic.cbf[comp][top_sl] |= comb | (c0 << sub_bit)
+            pic.cbf[comp][bot_sl] |= comb | (c1 << sub_bit)
 
     def _maybe_pcm(self, px, py, log2):
         """IPCM mode check after a 2Nx2N intra CU commit (TEncSearch::

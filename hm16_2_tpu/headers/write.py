@@ -53,6 +53,31 @@ def main_profile_ptl(ten_bit: bool = False) -> ProfileTierLevel:
     return p
 
 
+def rext_profile_ptl(bit_depth: int, chroma_format: int,
+                     intra_only: bool = False,
+                     high_throughput: bool = False) -> ProfileTierLevel:
+    """Main-RExt (profile_idc 4) / high-throughput-RExt (5) profile with
+    the RExt constraint-flag combination for the coded format (the named
+    profiles of A.3.5; TEncCavlc codeProfileTier RExt branch,
+    TAppEncCfg.cpp strToExtendedProfile)."""
+    p = ProfileTierLevel()
+    p.profile_idc = 5 if high_throughput else 4
+    p.compat_flags = 1 << (31 - p.profile_idc)
+    p.progressive_source = 0
+    p.frame_only = 0
+    p.level_idc = 0
+    p.max_12bit = 1
+    p.max_10bit = 1 if bit_depth <= 10 else 0
+    p.max_8bit = 1 if (bit_depth <= 8 and chroma_format != 2) else 0
+    p.max_422chroma = 1 if chroma_format <= 2 else 0
+    p.max_420chroma = 1 if chroma_format <= 1 else 0
+    p.max_monochrome = 1 if chroma_format == 0 else 0
+    p.intra_constraint = 1 if intra_only else 0
+    p.one_picture_only = 0
+    p.lower_bit_rate = 1
+    return p
+
+
 def write_vps(v: VPS) -> bytes:
     bw = BitWriter()
     bw.u(v.vps_id, 4)

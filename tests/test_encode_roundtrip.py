@@ -424,3 +424,55 @@ def test_amp_partitions(tmp_path, monkeypatch):
                           str(tmp_path / "o.yuv")],
                          capture_output=True, text=True)
     assert out.stdout.count("(OK)") == 6, out.stdout
+
+
+@pytest.mark.parametrize("kw", [
+    dict(qp=30), dict(qp=18), dict(qp=42),
+    dict(qp=30, transform_skip=True),
+    dict(qp=27, bit_depth=10),
+])
+def test_encode_422_selfdecode(kw):
+    """4:2:2 AI encode: the double-high chroma block of each TU is coded
+    as two square sub-TUs with per-half cbf sub-flags and the 4:2:2
+    chroma-mode angle mapping (TComTU.h:48-162, TComChromaFormat;
+    encode dual of the golden-verified decode path)."""
+    bd = kw.get("bit_depth", 8)
+    mx = (1 << bd) - 1
+    w, h = 192, 128
+    rng = np.random.default_rng(7)
+    enc = Encoder(EncoderConfig(w, h, intra_period=1, chroma_format=2, **kw))
+    aus = b""
+    for t in range(2):
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        y = np.clip(((xx * 2 + yy + 9 * t) % 256 * 0.6
+                     + 0.4 * rng.integers(0, 256, (h, w)))
+                    * (mx / 255), 0, mx).astype(np.int32)
+        u = np.clip((((xx // 2 + t) % 256)[:, ::2]) * (mx / 255),
+                    0, mx).astype(np.int32)
+        v = np.clip((((yy // 3) % 256)[:, ::2]) * (mx / 255),
+                    0, mx).astype(np.int32)
+        aus += enc.encode_frame([y, u, v], t)
+    pics = Decoder().decode_stream(aus)
+    assert len(pics) == 2 and all(p.hash_ok for p in pics), kw
+
+
+@pytest.mark.skipif(not os.path.exists(HM_DEC), reason="reference decoder absent")
+def test_encode_422_reference_decode(tmp_path):
+    """HM reference decoder verifies hashes of our 4:2:2 stream (Main-RExt
+    profile signalling, rext_profile_ptl)."""
+    w, h = 184, 120          # non-CTU-aligned
+    rng = np.random.default_rng(3)
+    enc = Encoder(EncoderConfig(w, h, qp=33, intra_period=1,
+                                chroma_format=2))
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    y = ((xx + 2 * yy) % 256).astype(np.int32)
+    u = rng.integers(0, 256, (h, w // 2)).astype(np.int32)
+    v = ((yy // 3) % 256)[:, ::2].astype(np.int32)
+    au = enc.encode_frame([y, u, v], 0)
+    assert Decoder().decode_stream(au)[0].hash_ok
+    f = tmp_path / "c422.bin"
+    f.write_bytes(au)
+    out = subprocess.run([HM_DEC, "-b", str(f), "-o",
+                          str(tmp_path / "o.yuv")],
+                         capture_output=True, text=True)
+    assert out.stdout.count("(OK)") == 1, out.stdout

@@ -570,6 +570,14 @@ class CtuEncoder(SliceDecoder):
 
         scan_type = self._scan_type(cu, px, py, log2, comp)
         ts = int(pic.tskip[comp][mpy, px])
+        if sps.implicit_rdpcm and cu.pred_mode == MODE_INTRA and \
+                (ts or cu.tqb):
+            # sign hiding is off when implicit RDPCM engages
+            # (TDecSbac/TEncSbac residual dual; decode _parse_residual)
+            m = int(pic.intra_luma[py, px]) if comp == 0 else \
+                self._chroma_final_mode(cu, px, py)
+            if m in (HOR_IDX, VER_IDX):
+                be_valid = False
         if self._try_native_enc_residual(cu, comp, w, coeffs, scan_type, ts,
                                          be_valid):
             return

@@ -59,7 +59,7 @@ class EncoderConfig:
                  top_field_first=True, decoding_refresh_type=1,
                  dependent_slices=False, transquant_bypass=False,
                  pcm=False, pcm_log2_min=3, pcm_log2_max=5,
-                 pcm_loop_filter_disabled=True):
+                 pcm_loop_filter_disabled=True, rext_tools=False):
         self.width, self.height = width, height
         self.qp = qp
         self.bit_depth = bit_depth
@@ -113,6 +113,11 @@ class EncoderConfig:
         self.pcm = pcm               # IPCM mode search (PCMEnabledFlag)
         self.pcm_log2_min = pcm_log2_min
         self.pcm_log2_max = pcm_log2_max
+        # high-throughput-RExt tool set (encoder_intra_high_throughput_
+        # rext.cfg): residual rotation, TS single-significance context,
+        # implicit/explicit RDPCM, persistent Golomb-Rice adaptation,
+        # CABAC bypass alignment, HT-RExt profile signalling
+        self.rext_tools = rext_tools
         self.pcm_loop_filter_disabled = pcm_loop_filter_disabled
         self.rc_ctu = rc_ctu         # CTU-level R-lambda RC (LCULevelRC)
         self.hash_type = hash_type   # decoded-picture-hash SEI: 0 MD5 / 1 CRC / 2 checksum
@@ -156,7 +161,16 @@ LDP_GOP = [
 
 def build_sps_pps(cfg: EncoderConfig):
     sps = SPS()
-    if cfg.chroma_format == 1 and cfg.bit_depth <= 10:
+    if getattr(cfg, "rext_tools", False):
+        sps.ptl = W.rext_profile_ptl(cfg.bit_depth, cfg.chroma_format,
+                                     intra_only=True, high_throughput=True)
+        sps.transform_skip_rotation = 1
+        sps.transform_skip_context = 1
+        sps.implicit_rdpcm = 1
+        sps.explicit_rdpcm = 1
+        sps.persistent_rice_adaptation = 1
+        sps.cabac_bypass_alignment = 1
+    elif cfg.chroma_format == 1 and cfg.bit_depth <= 10:
         sps.ptl = W.main_profile_ptl(cfg.bit_depth > 8)
     else:
         # 4:0:0 / 4:2:2 / 4:4:4 / >10-bit: a named Main-RExt profile
@@ -262,6 +276,10 @@ class Encoder:
                 "4:2:2 encode is all-intra only (intra_period=1); "
                 "4:2:2 inter (chroma MV scaling + double-high residual "
                 "TUs on the P/B path) is not implemented")
+        if getattr(cfg, "rext_tools", False) and cfg.intra_period != 1:
+            raise NotImplementedError(
+                "rext_tools (HT-RExt) is all-intra only: explicit inter "
+                "RDPCM search/emission is not implemented")
         # cumulative per-stage wall-time (ms) across encoded frames:
         # plan (device dispatch+fetch) / commit (host CU walk) /
         # filters (deblock+SAO) / emit (pass-2 CABAC) / finish
@@ -420,6 +438,8 @@ class Encoder:
                 or sps.chroma_format_idc not in (0, 1)
                 or pps.transquant_bypass_enabled
                 or pps.transform_skip_enabled or sps.pcm_enabled
+                or sps.persistent_rice_adaptation
+                or sps.cabac_bypass_alignment or sps.implicit_rdpcm
                 or len(pic.tiles.col_bounds) != 2     # neighbor availability
                 or len(pic.tiles.row_bounds) != 2     # is single-slice/tile
                 or len(pic.slices) != 1               # only
@@ -2378,6 +2398,12 @@ class CtuSearch:
               # the native walk is the INTRA plan commit; inter plans
               # commit through _commit_planned_inter on the host
               and self.sh.slice_type == I_SLICE
+              # RExt HT tools (rotation/RDPCM/rice/alignment) live in the
+              # Python TU coders only
+              and not sps.transform_skip_rotation
+              and not sps.implicit_rdpcm
+              and not sps.persistent_rice_adaptation
+              and not sps.cabac_bypass_alignment
               and not os.environ.get("HM16_NO_COMMIT_ENGINE"))
         if not ok:
             self._cctx = False
@@ -3588,7 +3614,8 @@ class CtuSearch:
         bd = self.bit_depth[comp]
         if self.pps.transquant_bypass_enabled and pic.tqb[py, px]:
             pred = self._predict(px, py, log2, comp, mode)
-            return self._code_tu_bypass(comp, x0, y0, size, pred)
+            return self._code_tu_bypass(comp, x0, y0, size, pred,
+                                        mode=int(mode))
         if self.pps.transform_skip_enabled and \
                 size <= (1 << self.pps.log2_max_transform_skip_block_size):
             return self._code_tu_with_tskip(px, py, log2, comp, mode, size,
@@ -3670,17 +3697,38 @@ class CtuSearch:
             pred = intra_ref.predict_intra(pmode, top, left, cs, bd, False)
             orig = self.orig[comp][ys:ys + cs, x0:x0 + cs].astype(np.int64)
             resi = orig - pred
+            rotate, rd_axis = self._rext_tu_flags(cs, comp, pmode)
             if tqb:
-                pic.coeff[comp][ys:ys + cs, x0:x0 + cs] = resi
+                lv = resi
+                if rd_axis is not None:
+                    lv = np.diff(resi, axis=rd_axis, prepend=0)
+                if rotate:
+                    lv = lv[::-1, ::-1]
+                pic.coeff[comp][ys:ys + cs, x0:x0 + cs] = lv
                 pic.rec[comp][ys:ys + cs, x0:x0 + cs] = orig
-                cbfs.append(1 if np.any(resi) else 0)
+                cbfs.append(1 if np.any(lv) else 0)
                 continue
             best = None
             for ts in ((0, 1) if try_ts else (0,)):
+                if ts and rd_axis is not None:
+                    lv_pix, rec_resi = self._ts_rdpcm_quant(
+                        resi, qp, bd, log2_tr, slm, rd_axis)
+                    levels = lv_pix[::-1, ::-1] if rotate else lv_pix
+                    cbf = 1 if np.any(levels) else 0
+                    rec = np.clip(pred + rec_resi, 0, (1 << bd) - 1)
+                    d = (orig - rec).astype(np.float64)
+                    bits = (self._res_bits_est(levels) if cbf else 0.8) \
+                        + 1.0
+                    cost = wgt * float(np.dot(d.ravel(), d.ravel())) \
+                        + lam * bits
+                    if best is None or cost < best[0]:
+                        best = (cost, ts, cbf, levels, rec)
+                    continue
                 if ts:
+                    src = resi[::-1, ::-1] if rotate else resi
                     tshift = transforms_ref.transform_shift(bd, log2_tr, 15)
-                    fwd = (resi << tshift) if tshift >= 0 else \
-                        (resi >> (-tshift))
+                    fwd = (src << tshift) if tshift >= 0 else \
+                        (src >> (-tshift))
                 else:
                     fwd = transforms_ref.forward_transform(resi, bd, False)
                 levels = transforms_ref.quant(fwd, qp, bd, log2_tr,
@@ -3698,6 +3746,8 @@ class CtuSearch:
                         transforms_ref.inverse_transform_skip(deq, bd)
                         if ts else
                         transforms_ref.inverse_transform(deq, bd, False))
+                    if ts and rotate:
+                        rec_resi = rec_resi[::-1, ::-1]
                 else:
                     rec_resi = 0
                 rec = np.clip(pred + rec_resi, 0, (1 << bd) - 1)
@@ -3784,16 +3834,80 @@ class CtuSearch:
             pic.coeff[comp][cy0:cy0 + h, cx0:cx0 + w] = 0
             pic.cbf[comp][sl] = 0
 
-    def _code_tu_bypass(self, comp, x0, y0, cs, pred) -> int:
+    def _rext_tu_flags(self, size, comp, mode):
+        """(rotate, rdpcm_axis) for a TS/transquant-bypass intra TU:
+        residual rotation for 4x4 intra non-transformed blocks
+        (TComTU::isNonTransformedResidualRotated) and the implicit-RDPCM
+        axis when the prediction is exactly horizontal/vertical
+        (TComTrQuant::rdpcmNxN implicit branch).  rdpcm_axis: 1 = rows
+        cumsum (hor), 0 = cols cumsum (ver), None = off — matches
+        decode/ctu_dec.py _apply_rdpcm."""
+        from hm16_2_tpu.ops.intra_ref import HOR_IDX, VER_IDX
+        sps = self.sps
+        rotate = bool(sps.transform_skip_rotation) and size == 4
+        axis = None
+        if sps.implicit_rdpcm:
+            if mode == HOR_IDX:
+                axis = 1
+            elif mode == VER_IDX:
+                axis = 0
+        return rotate, axis
+
+    def _ts_rdpcm_quant(self, resi, qp, bd, log2_tr, slm, axis):
+        """Transform-skip quantization with implicit residual DPCM: each
+        row (axis=0, vertical prediction) / column (axis=1) is predicted
+        from the RECONSTRUCTED previous one, quantized, and accumulated —
+        the exact inverse of the decoder's dequant + inv-shift + cumsum
+        (TComTrQuant::rdpcmNxN quantized path).  Returns (levels,
+        rec_resi) in pixel orientation."""
+        tshift = transforms_ref.transform_shift(bd, log2_tr, 15)
+        s = resi.shape[0]
+        levels = np.zeros_like(resi)
+        rec = np.zeros_like(resi)
+        prev = np.zeros(s, dtype=np.int64)
+        for i in range(s):
+            line = resi[i] - prev if axis == 0 else resi[:, i] - prev
+            blk = np.zeros_like(resi)
+            if axis == 0:
+                blk[i] = line
+            else:
+                blk[:, i] = line
+            fwd = (blk << tshift) if tshift >= 0 else (blk >> (-tshift))
+            q = transforms_ref.quant(fwd, qp, bd, log2_tr, is_intra=True,
+                                     scaling_list_coeffs=slm)
+            deq = transforms_ref.dequant(q, qp, bd, log2_tr, slm, True)
+            r = transforms_ref.inverse_transform_skip(deq, bd)
+            if axis == 0:
+                levels[i] = q[i]
+                prev = prev + r[i]
+                rec[i] = prev
+            else:
+                levels[:, i] = q[:, i]
+                prev = prev + r[:, i]
+                rec[:, i] = prev
+        return levels, rec
+
+    def _code_tu_bypass(self, comp, x0, y0, cs, pred, mode=-1) -> int:
         """Transquant-bypass TU (cu_transquant_bypass_flag = 1): the
         residual samples are the coded coefficients, reconstruction is
-        lossless (HM QpParam/TComTrQuant transquant-bypass branches)."""
+        lossless (HM QpParam/TComTrQuant transquant-bypass branches).
+        RExt: implicit RDPCM codes the per-line differences; 4x4 intra
+        blocks are rotated 180 degrees prior to entropy coding."""
         pic = self.pic
         orig = self.orig[comp][y0:y0 + cs, x0:x0 + cs].astype(np.int64)
         resi = orig - pred
-        pic.coeff[comp][y0:y0 + cs, x0:x0 + cs] = resi
+        # mode < 0: inter CU (rotation and implicit RDPCM are intra-only
+        # on this path; explicit inter RDPCM is not searched)
+        rotate, axis = self._rext_tu_flags(cs, comp, mode) if mode >= 0 \
+            else (False, None)
+        lv = resi
+        if axis is not None:
+            lv = np.diff(resi, axis=axis, prepend=0)
+        if rotate:
+            lv = lv[::-1, ::-1]
+        pic.coeff[comp][y0:y0 + cs, x0:x0 + cs] = lv
         pic.rec[comp][y0:y0 + cs, x0:x0 + cs] = orig
-        return 1 if np.any(resi) else 0
+        return 1 if np.any(lv) else 0
 
     def _code_tu_with_tskip(self, px, py, log2, comp, mode, size, x0, y0,
                             bd):
@@ -3810,32 +3924,47 @@ class CtuSearch:
         lam = getattr(self, "lam", 1.0)
         wgt = 1.0 if comp == 0 else getattr(self, "chroma_weight", 1.0)
         best = None
+        rotate, rd_axis = self._rext_tu_flags(size, comp, int(mode))
         for ts in (0, 1):
-            if ts:
-                tshift = transforms_ref.transform_shift(bd, log2_tr, 15)
-                fwd = (resi << tshift) if tshift >= 0 else \
-                    (resi >> (-tshift))
-            else:
-                fwd = transforms_ref.forward_transform(resi, bd, use_dst)
             slm = self._scaling_for(comp, log2_tr, True)
-            levels = transforms_ref.quant(fwd, qp, bd, log2_tr,
-                                          is_intra=True,
-                                          scaling_list_coeffs=slm)
-            scan = self._sbh_scan(size, comp, int(mode))
-            if scan is not None and np.any(levels):
-                levels = transforms_ref.sign_bit_hiding(
-                    levels, fwd, qp, bd, log2_tr, scan)
-            cbf = 1 if np.any(levels) else 0
-            if cbf:
-                deq = transforms_ref.dequant(levels, qp, bd, log2_tr, slm)
-                if ts:
-                    rec_resi = transforms_ref.inverse_transform_skip(
-                        deq, bd)
-                else:
-                    rec_resi = transforms_ref.inverse_transform(
-                        deq, bd, use_dst)
+            if ts and rd_axis is not None:
+                # implicit RDPCM engages whenever the TU is
+                # transform-skipped and the intra mode is exactly hor/ver
+                lv_pix, rec_resi = self._ts_rdpcm_quant(
+                    resi, qp, bd, log2_tr, slm, rd_axis)
+                levels = lv_pix[::-1, ::-1] if rotate else lv_pix
+                cbf = 1 if np.any(levels) else 0
             else:
-                rec_resi = 0
+                if ts:
+                    src = resi[::-1, ::-1] if rotate else resi
+                    tshift = transforms_ref.transform_shift(bd, log2_tr,
+                                                            15)
+                    fwd = (src << tshift) if tshift >= 0 else \
+                        (src >> (-tshift))
+                else:
+                    fwd = transforms_ref.forward_transform(resi, bd,
+                                                           use_dst)
+                levels = transforms_ref.quant(fwd, qp, bd, log2_tr,
+                                              is_intra=True,
+                                              scaling_list_coeffs=slm)
+                scan = self._sbh_scan(size, comp, int(mode))
+                if scan is not None and np.any(levels):
+                    levels = transforms_ref.sign_bit_hiding(
+                        levels, fwd, qp, bd, log2_tr, scan)
+                cbf = 1 if np.any(levels) else 0
+                if cbf:
+                    deq = transforms_ref.dequant(levels, qp, bd, log2_tr,
+                                                 slm)
+                    if ts:
+                        rec_resi = transforms_ref.inverse_transform_skip(
+                            deq, bd)
+                        if rotate:
+                            rec_resi = rec_resi[::-1, ::-1]
+                    else:
+                        rec_resi = transforms_ref.inverse_transform(
+                            deq, bd, use_dst)
+                else:
+                    rec_resi = 0
             rec = np.clip(pred + rec_resi, 0, (1 << bd) - 1)
             d = (orig - rec).astype(np.float64)
             bits = (self._res_bits_est(levels) if cbf else 0.8) + 1.0

@@ -179,7 +179,25 @@ def write_sps(s: SPS) -> bytes:
     bw.flag(s.vui_present)
     if s.vui_present:
         _write_vui(bw, s)
-    bw.flag(0)                    # sps_extension_present
+    rext = (s.transform_skip_rotation or s.transform_skip_context
+            or s.implicit_rdpcm or s.explicit_rdpcm or s.extended_precision
+            or s.intra_smoothing_disabled or s.high_precision_offsets
+            or s.persistent_rice_adaptation or s.cabac_bypass_alignment)
+    bw.flag(1 if rext else 0)     # sps_extension_present
+    if rext:
+        # sps_range_extension (7.3.2.2.2; TEncCavlc codeSPSExtension)
+        bw.flag(1)                # sps_range_extension_flag
+        for _ in range(7):
+            bw.flag(0)            # multilayer/3d/scc/4 reserved
+        bw.flag(s.transform_skip_rotation)
+        bw.flag(s.transform_skip_context)
+        bw.flag(s.implicit_rdpcm)
+        bw.flag(s.explicit_rdpcm)
+        bw.flag(s.extended_precision)
+        bw.flag(s.intra_smoothing_disabled)
+        bw.flag(s.high_precision_offsets)
+        bw.flag(s.persistent_rice_adaptation)
+        bw.flag(s.cabac_bypass_alignment)
     bw.byte_align_with_stop_bit()
     return make_nal(NAL_SPS, bw.get_bytes())
 
@@ -234,7 +252,30 @@ def write_pps(p: PPS) -> bytes:
     bw.flag(p.lists_modification_present)
     bw.ue(p.log2_parallel_merge_level - 2)
     bw.flag(p.slice_header_extension_present)
-    bw.flag(0)                    # pps_extension_present
+    rext = ((p.transform_skip_enabled
+             and p.log2_max_transform_skip_block_size != 2)
+            or p.cross_component_prediction_enabled
+            or p.chroma_qp_offset_list_enabled
+            or p.log2_sao_offset_scale_luma
+            or p.log2_sao_offset_scale_chroma)
+    bw.flag(1 if rext else 0)     # pps_extension_present
+    if rext:
+        # pps_range_extension (7.3.2.3.2; TEncCavlc codePPSExtension)
+        bw.flag(1)                # pps_range_extension_flag
+        for _ in range(7):
+            bw.flag(0)
+        if p.transform_skip_enabled:
+            bw.ue(p.log2_max_transform_skip_block_size - 2)
+        bw.flag(p.cross_component_prediction_enabled)
+        bw.flag(p.chroma_qp_offset_list_enabled)
+        if p.chroma_qp_offset_list_enabled:
+            bw.ue(p.diff_cu_chroma_qp_offset_depth)
+            bw.ue(len(p.cb_qp_offset_list) - 1)
+            for cb, cr in zip(p.cb_qp_offset_list, p.cr_qp_offset_list):
+                bw.se(cb)
+                bw.se(cr)
+        bw.ue(p.log2_sao_offset_scale_luma)
+        bw.ue(p.log2_sao_offset_scale_chroma)
     bw.byte_align_with_stop_bit()
     return make_nal(NAL_PPS, bw.get_bytes())
 

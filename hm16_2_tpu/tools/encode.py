@@ -101,22 +101,28 @@ def build_options() -> Options:
     # remaining TAppEncCfg keys found in the CTC cfg fixtures — accepted so
     # reference config files parse cleanly; tools behind them land in later
     # build stages (TAppEncCfg.cpp:360-900)
-    for name in ("AMP AlignCABACBeforeBypass BipredSearchRange "
+    # RExt tool keys (encoder_intra_high_throughput_rext.cfg) — live
+    o.add("TransformSkip", 0, "4x4 transform skip evaluation")
+    for name in ("ImplicitResidualDPCM", "ExplicitResidualDPCM",
+                 "ResidualRotation", "SingleSignificanceMapContext",
+                 "GolombRiceParameterAdaptation", "AlignCABACBeforeBypass"):
+        o.add(name, 0, "HT-RExt tool (enables the rext tool set)")
+    for name in ("AMP BipredSearchRange "
                  "CrossComponentPrediction "
                  "DeblockingFilterControlPresent DeblockingFilterMetric "
-                 "DeltaQpRD ExplicitResidualDPCM ExtendedPrecision FDM FEN "
-                 "FastSearch GolombRiceParameterAdaptation HadamardME "
-                 "HighPrecisionPredictionWeighting ImplicitResidualDPCM "
+                 "DeltaQpRD ExtendedPrecision FDM FEN "
+                 "FastSearch HadamardME "
+                 "HighPrecisionPredictionWeighting "
                  "InitialQP IntraConstraintFlag IntraReferenceSmoothing "
                  "KeepHierarchicalBit "
                  "LFCrossSliceBoundaryFlag LFCrossTileBoundaryFlag "
                  "LoopFilterBetaOffset_div2 LoopFilterOffsetInPPS "
                  "LoopFilterTcOffset_div2 MaxCuDQPDepth MaxDeltaQP "
                  "PCMInputBitDepthFlag RCForceIntraQP "
-                 "RCLCUSeparateModel RDOQ RDOQTS ResidualRotation "
+                 "RCLCUSeparateModel RDOQ RDOQTS "
                  "SAOLcuBoundary SearchRange "
-                 "SingleSignificanceMapContext Tier "
-                 "TransformSkip TransformSkipFast TransformSkipLog2MaxSize "
+                 "Tier "
+                 "TransformSkipFast TransformSkipLog2MaxSize "
                  "UniformSpacingIdc "
                  "ColumnWidthArray RowHeightArray TileColumnWidthArray "
                  "TileRowHeightArray").split():
@@ -198,6 +204,11 @@ def main(argv=None):
         scaling_list_file=o["ScalingListFile"] or None,
         transquant_bypass=bool(o["TransquantBypassEnableFlag"]
                                and o["CUTransquantBypassFlagForce"]),
+        transform_skip=bool(o["TransformSkip"]),
+        rext_tools=bool(o["ImplicitResidualDPCM"] or o["ResidualRotation"]
+                        or o["SingleSignificanceMapContext"]
+                        or o["GolombRiceParameterAdaptation"]
+                        or o["AlignCABACBeforeBypass"]),
         pcm=bool(o["PCMEnabledFlag"]),
         pcm_log2_min=o["PCMLog2MinSize"], pcm_log2_max=o["PCMLog2MaxSize"],
         pcm_loop_filter_disabled=bool(o["PCMFilterDisableFlag"]),

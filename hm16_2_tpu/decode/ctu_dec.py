@@ -1691,8 +1691,11 @@ class SliceDecoder:
             mode, size, is_luma, sps.chroma_format_idc,
             bool(sps.intra_smoothing_disabled))
         if use_filter:
+            # strong bilinear smoothing is LUMA-ONLY (TComPattern.cpp:196
+            # isLuma(chType) gate); 4:4:4 chroma gets only [1 2 1]
             top, left = intra_ref.filter_reference_samples(
-                top, left, size, bd, bool(sps.strong_intra_smoothing))
+                top, left, size, bd,
+                bool(sps.strong_intra_smoothing) and is_luma)
         pred = intra_ref.predict_intra(mode, top, left, size, bd, is_luma,
                                        enable_edge_filters=True)
 

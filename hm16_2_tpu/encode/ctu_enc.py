@@ -511,10 +511,11 @@ class CtuEncoder(SliceDecoder):
                                     self._enc_residual(cu, px, py, log2,
                                                        comp, sub422=sub)
                     else:
-                        if cbf_cb:
-                            self._enc_residual(cu, px, py, log2, 1)
-                        if cbf_cr:
-                            self._enc_residual(cu, px, py, log2, 2)
+                        for comp, cbf_c in ((1, cbf_cb), (2, cbf_cr)):
+                            if cbf_y:
+                                self._enc_ccp(cu, px, py, comp)
+                            if cbf_c:
+                                self._enc_residual(cu, px, py, log2, comp)
                 elif log2 == 2 and is_chroma_holder:
                     bx, by = px - 1, py - 1
                     if is422:
@@ -531,6 +532,36 @@ class CtuEncoder(SliceDecoder):
                             self._enc_residual(cu, bx, by, 3, 1)
                         if cbf_cr:
                             self._enc_residual(cu, bx, by, 3, 2)
+
+    def _enc_ccp(self, cu, px, py, comp):
+        """Cross-component prediction alpha write (TEncSbac dual of
+        decode _parse_ccp, TDecSbac.cpp:847-896): flag, magnitude-1 flag,
+        truncated-unary(2) of log2|alpha|-1, sign."""
+        pps, pic, e, c = self.pps, self.pic, self.enc, self.ctx
+        if not pps.cross_component_prediction_enabled:
+            return
+        if cu.pred_mode == MODE_INTRA and \
+                int(pic.intra_chroma[py, px]) != DM_CHROMA_IDX:
+            return
+        alpha = int(pic.ccp_alpha[comp][py, px])
+        base = 5 if comp == 2 else 0
+        e.encode_bin(1 if alpha else 0, c.idx("cross_comp", base))
+        if alpha:
+            symbol = abs(alpha).bit_length() - 1   # 1,2,4,8 -> 0..3
+            e.encode_bin(1 if symbol > 0 else 0,
+                         c.idx("cross_comp", base + 1))
+            if symbol > 0:
+                # xWriteUnaryMaxSymbol(symbol-1, max=2), ctx base+2/+3
+                v = symbol - 1
+                e.encode_bin(1 if v else 0, c.idx("cross_comp", base + 2))
+                if v:
+                    code_last = 2 > v
+                    for _ in range(v - 1):
+                        e.encode_bin(1, c.idx("cross_comp", base + 3))
+                    if code_last:
+                        e.encode_bin(0, c.idx("cross_comp", base + 3))
+            e.encode_bin(1 if alpha < 0 else 0,
+                         c.idx("cross_comp", base + 4))
 
     def _cbf_at(self, comp, px, py, tr_depth):
         if tr_depth < 0:

@@ -1146,7 +1146,7 @@ def fetch_plan(packed, h, w):
 
 
 def plan_frame(orig_y, sps, sh, rc, prev_mv8, lam, lam_sqrt, device,
-               mesh=None):
+               mesh=None, fetch=True):
     """Dispatch + fetch the fused inter plan for one frame.
     rc: mvpred.RefCtx with the frame's reference lists.  When a `row`
     mesh is given (and the geometry allows exact 64-row banding), the
@@ -1254,4 +1254,6 @@ def plan_frame(orig_y, sps, sh, rc, prev_mv8, lam, lam_sqrt, device,
             packed.copy_to_host_async()
         except Exception:
             pass
+    if not fetch:
+        return lambda: fetch_plan(packed, h, w)
     return fetch_plan(packed, h, w)

@@ -139,7 +139,9 @@ def _bits_estimate(lvl):
     # weights regressed against exact CabacCounter fractional bits over
     # 519 real content TUs at QP 22..42 (R^2 = 0.99); zeros inside the
     # coded region are nearly free under the adaptive contexts, nonzero
-    # coefficients dominate at ~3.8 bits apiece
+    # coefficients dominate at ~3.8 bits apiece.  Regenerate with
+    # `python -m hm16_2_tpu.tools.fit_bits_model` (same oracle: counting
+    # coder on fresh slice-init contexts)
     bits = (-0.089 * n_zero_coded
             + 3.798 * nnz
             - 0.648 * gt1

@@ -59,7 +59,8 @@ class EncoderConfig:
                  top_field_first=True, decoding_refresh_type=1,
                  dependent_slices=False, transquant_bypass=False,
                  pcm=False, pcm_log2_min=3, pcm_log2_max=5,
-                 pcm_loop_filter_disabled=True, rext_tools=False):
+                 pcm_loop_filter_disabled=True, rext_tools=False,
+                 cross_component_prediction=False, delta_qp_rd=0):
         self.width, self.height = width, height
         self.qp = qp
         self.bit_depth = bit_depth
@@ -118,6 +119,14 @@ class EncoderConfig:
         # implicit/explicit RDPCM, persistent Golomb-Rice adaptation,
         # CABAC bypass alignment, HT-RExt profile signalling
         self.rext_tools = rext_tools
+        # RExt cross-component prediction (4:4:4 only): per-TU alpha
+        # predicting the chroma residual from the reconstructed luma
+        # residual (TComTrQuant.cpp:3290)
+        self.cross_component_prediction = cross_component_prediction
+        # slice-level multi-QP optimization (HM DeltaQpRD /
+        # TEncSlice::precompressSlice): trial-encode each picture at
+        # qp-n..qp+n and keep the cheapest by SSE + lambda * bits
+        self.delta_qp_rd = delta_qp_rd
         self.pcm_loop_filter_disabled = pcm_loop_filter_disabled
         self.rc_ctu = rc_ctu         # CTU-level R-lambda RC (LCULevelRC)
         self.hash_type = hash_type   # decoded-picture-hash SEI: 0 MD5 / 1 CRC / 2 checksum
@@ -216,6 +225,9 @@ def build_sps_pps(cfg: EncoderConfig):
         pps.weighted_pred = 1
     if cfg.transform_skip:
         pps.transform_skip_enabled = 1
+    if getattr(cfg, "cross_component_prediction", False) and \
+            cfg.chroma_format == 3:
+        pps.cross_component_prediction_enabled = 1
     if cfg.aq or (cfg.rc_ctu and cfg.target_bps):
         pps.cu_qp_delta_enabled = 1
         pps.diff_cu_qp_delta_depth = 0
@@ -280,6 +292,10 @@ class Encoder:
             raise NotImplementedError(
                 "rext_tools (HT-RExt) is all-intra only: explicit inter "
                 "RDPCM search/emission is not implemented")
+        if getattr(cfg, "cross_component_prediction", False) and \
+                cfg.intra_period != 1:
+            raise NotImplementedError(
+                "cross-component prediction encode is all-intra only")
         # cumulative per-stage wall-time (ms) across encoded frames:
         # plan (device dispatch+fetch) / commit (host CU walk) /
         # filters (deblock+SAO) / emit (pass-2 CABAC) / finish
@@ -349,8 +365,8 @@ class Encoder:
             sh.collocated_ref_idx = 0
         sh.qp = cfg.qp
         rc_lam = self._rc_begin(planes, sh, 0)
-        return self._encode_one(planes, poc, sh, rc_lam=rc_lam,
-                                plan_packed=_plan)
+        return self._encode_one_multi_qp(planes, poc, sh, rc_lam=rc_lam,
+                                         plan_packed=_plan)
 
     def _cur_pic_struct(self, poc) -> int:
         """pic_struct for the pic-timing SEI (D.3.3): 1 top / 2 bottom
@@ -406,7 +422,8 @@ class Encoder:
             self.sps.vui_field_seq = 1
         pipelined = (self.cfg.intra_period == 1 and self.rc is None
                      and self.cfg.rdo and self.gop_table is None
-                     and not self.field_coding)
+                     and not self.field_coding
+                     and not getattr(self.cfg, "delta_qp_rd", 0))
         if not pipelined:
             for poc, planes in enumerate(frames):
                 for au in self.push_frame(planes, poc):
@@ -716,7 +733,8 @@ class Encoder:
                     self.rc.begin_gop(1)
                 pl0 = buf.pop(0)
                 rc_lam = self._rc_begin(pl0, sh, 0)
-                aus.append(self._encode_one(pl0, 0, sh, rc_lam=rc_lam))
+                aus.append(self._encode_one_multi_qp(pl0, 0, sh,
+                                                     rc_lam=rc_lam))
                 self._next_coded = 1
                 self._gop_start = 0
                 continue
@@ -737,9 +755,12 @@ class Encoder:
                     top = self._gop_start + gsize
                     if top % ip == 0 and top > 0:
                         cra_poc = top
-                for gop_id, slot in enumerate(table):
-                    p = self._gop_start + slot["poc"]
+                order = [(gop_id, slot, self._gop_start + slot["poc"])
+                         for gop_id, slot in enumerate(table)]
+                pending = None       # (poc, (sh, plan_fetch))
+                for i, (gop_id, slot, p) in enumerate(order):
                     if p == cra_poc:
+                        pending = None   # CRA moves last_ira: don't carry
                         aus.append(self._encode_cra(
                             buf.pop(p), p, slot, gop_id,
                             recovery=self.cfg.decoding_refresh_type == 3))
@@ -747,8 +768,25 @@ class Encoder:
                     nal = NAL_RASL_R if (self.last_ira > 0
                                          and p < self.last_ira) \
                         else NAL_TRAIL_R
+                    pre = pending[1] if pending and pending[0] == p \
+                        else None
+                    pending = None
+                    # sibling overlap: dispatch the NEXT picture's plan
+                    # before this one's host commit when it does not
+                    # reference this picture (and no CRA intervenes)
+                    if i + 1 < len(order):
+                        g2, s2, p2 = order[i + 1]
+                        if p2 != cra_poc and \
+                                all(p2 + d != p for d in s2["refs"]):
+                            n2 = NAL_RASL_R if (self.last_ira > 0
+                                                and p2 < self.last_ira) \
+                                else NAL_TRAIL_R
+                            pd = self._predispatch_ra(buf[p2], p2, s2, n2)
+                            if pd is not None:
+                                pending = (p2, pd)
                     aus.append(self._encode_ra_picture(buf.pop(p), p, slot,
-                                                       gop_id, nal_type=nal))
+                                                       gop_id, nal_type=nal,
+                                                       pre=pre))
                 self._gop_start += gsize
                 self._next_coded = self._gop_start + 1
                 continue
@@ -787,11 +825,65 @@ class Encoder:
             self.last_ira = poc
         rc_lam = self._rc_begin(planes, sh, gop_id)
         alpha, mult = self._lambda_args(sh, slot)
-        return self._encode_one(planes, poc, sh, qp_factor=alpha,
-                                rc_lam=rc_lam, lam_mult=mult)
+        return self._encode_one_multi_qp(planes, poc, sh, qp_factor=alpha,
+                                         rc_lam=rc_lam, lam_mult=mult)
 
     def _encode_ra_picture(self, planes, poc, slot, gop_id=0,
-                           nal_type=NAL_TRAIL_R) -> bytes:
+                           nal_type=NAL_TRAIL_R, pre=None) -> bytes:
+        """pre: (sh, plan_fetch) from _predispatch_ra — the slice header
+        was already built and the fused inter plan is in flight on the
+        device while the previous picture was committing."""
+        if pre is not None:
+            sh, plan_fetch = pre
+            rc_lam = self._rc_begin(planes, sh, gop_id)
+            alpha, mult = self._lambda_args(sh, slot)
+            return self._encode_one_multi_qp(
+                planes, poc, sh, qp_factor=alpha, rc_lam=rc_lam,
+                lam_mult=mult, plan_packed=plan_fetch)
+        sh = self._ra_slice_header(poc, slot, nal_type)
+        rc_lam = self._rc_begin(planes, sh, gop_id)
+        alpha, mult = self._lambda_args(sh, slot)
+        return self._encode_one_multi_qp(planes, poc, sh, qp_factor=alpha,
+                                         rc_lam=rc_lam, lam_mult=mult)
+
+    def _predispatch_ra(self, planes, poc, slot, nal_type=NAL_TRAIL_R):
+        """Dispatch the fused inter plan for a picture whose references
+        are ALL already committed, so the device computes it while the
+        host commits the current picture — the hierarchical-B sibling
+        analogue of the AI pipeline (in RA GOP8 coding order, pictures
+        3, 6 and 7 are independent of their predecessors 1, 3 and 5).
+        Returns (sh, plan_fetch) for _encode_ra_picture, or None.
+        Uses the motion prior as of NOW (one picture staler than the
+        serial path) — a search-guidance difference only."""
+        import os
+        cfg = self.cfg
+        if (self.rc is not None or not cfg.rdo or not self.gop_table
+                or getattr(cfg, "delta_qp_rd", 0)
+                or os.environ.get("HM16_NO_INTER_PLAN")
+                or os.environ.get("HM16_EXACT_RD")
+                or os.environ.get("HM16_NO_PLAN_PIPELINE")):
+            return None
+        try:
+            sh = self._ra_slice_header(poc, slot, nal_type)
+            if self.pps.weighted_pred and sh.slice_type == P_SLICE:
+                return None          # WP estimation mutates sh per-frame
+            ref_lists = build_ref_lists(sh, self.dpb)
+            rc = RefCtx(sh, ref_lists)
+            alpha, mult = self._lambda_args(sh, slot)
+            lam = alpha * 2.0 ** ((sh.qp - 12) / 3.0) * mult
+            from hm16_2_tpu.encode import inter_plan
+            from hm16_2_tpu.encode.intra_rd import _pick_device
+            fetch = inter_plan.plan_frame(
+                planes[0], self.sps, sh, rc, self._prev_mv8,
+                float(lam), float(np.sqrt(lam)), _pick_device(),
+                fetch=False)
+            if fetch is None:
+                return None
+            return sh, fetch
+        except Exception:
+            return None
+
+    def _ra_slice_header(self, poc, slot, nal_type=NAL_TRAIL_R):
         sh = SliceHeader()
         sh.nal_type = nal_type
         sh.slice_type = B_SLICE
@@ -839,10 +931,7 @@ class Encoder:
             # candidate (HM: TEncSlice colFromL0Flag per GOP entry).
             sh.collocated_from_l0 = 0 if sh.slice_type == B_SLICE else 1
             sh.collocated_ref_idx = 0
-        rc_lam = self._rc_begin(planes, sh, gop_id)
-        alpha, mult = self._lambda_args(sh, slot)
-        return self._encode_one(planes, poc, sh, qp_factor=alpha,
-                                rc_lam=rc_lam, lam_mult=mult)
+        return sh
 
     def _lambda_args(self, sh, slot=None):
         """HM initEncSlice lambda derivation (TEncSlice.cpp:109-198):
@@ -862,8 +951,35 @@ class Encoder:
         # this encoder's SATD-driven decisions degrade at large lambda)
         return qp_factor, 1.0
 
+    def _encode_one_multi_qp(self, planes, poc, sh, **kw) -> bytes:
+        """DeltaQpRD (TEncSlice::precompressSlice, TEncSlice.cpp:526):
+        trial-encode the picture at 2n+1 QPs around the slice QP, pick
+        the best by SSE + lambda * actual AU bits, then run the real
+        encode at the winner.  Off (n=0) routes straight through."""
+        n = int(getattr(self.cfg, "delta_qp_rd", 0) or 0)
+        if not n or self.rc is not None:
+            return self._encode_one(planes, poc, sh, **kw)
+        base_qp = sh.qp
+        alpha = kw.get("qp_factor") or \
+            (0.57 if sh.slice_type == I_SLICE else 0.68)
+        lam = alpha * 2.0 ** ((base_qp - 12) / 3.0) * kw.get("lam_mult",
+                                                             1.0)
+        best = None
+        for dq in range(-n, n + 1):
+            sh.qp = int(np.clip(base_qp + dq, 0, 51))
+            self._encode_one(planes, poc, sh, trial=True, **kw)
+            sse, bits = self._trial_cost
+            cost = sse + lam * bits
+            if best is None or cost < best[0]:
+                best = (cost, dq)
+        sh.qp = int(np.clip(base_qp + best[1], 0, 51))
+        au = self._encode_one(planes, poc, sh, **kw)
+        sh.qp = base_qp
+        return au
+
     def _encode_one(self, planes, poc, sh, qp_factor=None,
-                    rc_lam=None, plan_packed=None, lam_mult=1.0) -> bytes:
+                    rc_lam=None, plan_packed=None, lam_mult=1.0,
+                    trial=False) -> bytes:
         cfg, sps, pps = self.cfg, self.sps, self.pps
         _st = self.stage_ms
 
@@ -995,7 +1111,14 @@ class Encoder:
             rc = RefCtx(sh, ref_lists)
             search.mvp = MvPredictor(pic, rc, 0)
             search.cenc.mvp = search.mvp
-            if cfg.rdo and not os.environ.get("HM16_NO_INTER_PLAN") \
+            if plan_packed is not None:
+                # pipelined hierarchical-B path: the fused plan was
+                # dispatched while the previous sibling committed
+                t0 = time.perf_counter()
+                search.plan = plan_packed()
+                _tick("plan", t0)
+            if search.plan is None and cfg.rdo \
+                    and not os.environ.get("HM16_NO_INTER_PLAN") \
                     and not os.environ.get("HM16_EXACT_RD"):
                 # fused inter frame plan: ME + subpel + merge/AMVP/bi
                 # pricing + residual RD + quadtree DP in ONE device
@@ -1338,6 +1461,22 @@ class Encoder:
                     self._cur_pic_struct(poc)))
         nals += slice_nals + [sei_nal]
         _tick("finish", t_fin)
+        if trial:
+            # precompress trial: report cost, leave encoder state alone
+            sse = 0.0
+            for c in range(pic.num_comps):
+                sx, sy = pic.comp_shift[c]
+                o = search.orig[c][: sps.pic_height >> sy,
+                                   : sps.pic_width >> sx]
+                r = pic.rec[c][: sps.pic_height >> sy,
+                               : sps.pic_width >> sx]
+                d = (np.asarray(o) - r).astype(np.float64).ravel()
+                wgt = 1.0 if c == 0 else getattr(search, "chroma_weight",
+                                                 1.0)
+                sse += wgt * float(np.dot(d, d))
+            au = write_annexb(nals)
+            self._trial_cost = (sse, len(au) * 8.0)
+            return au
         self.frames_coded += 1
         self.last_recon = recon
         # retain reference picture (coded-size planes, motion for deblock/BS)
@@ -3497,9 +3636,10 @@ class CtuSearch:
         top, left = self._refs_for(px, py, log2, comp)
         if intra_ref.should_filter(mode, size, comp == 0, sps.chroma_format_idc,
                                    bool(sps.intra_smoothing_disabled)):
+            # strong smoothing is luma-only (TComPattern.cpp:196)
             top, left = intra_ref.filter_reference_samples(
                 top, left, size, self.bit_depth[comp],
-                bool(sps.strong_intra_smoothing))
+                bool(sps.strong_intra_smoothing) and comp == 0)
         return intra_ref.predict_intra(mode, top, left, size,
                                        self.bit_depth[comp], comp == 0)
 
@@ -3628,13 +3768,19 @@ class CtuSearch:
         use_dst = (comp == 0 and size == 4)
         qp = self._tu_qp(px, py, comp)
 
-        cbf = self._native_code_tu(comp, x0, y0, size, log2_tr, bd, qp,
-                                   use_dst, True, pred, mode_for_scan=mode)
-        if cbf >= 0:
-            return cbf
+        ccp = bool(self.pps.cross_component_prediction_enabled)
+        if not ccp:
+            cbf = self._native_code_tu(comp, x0, y0, size, log2_tr, bd, qp,
+                                       use_dst, True, pred,
+                                       mode_for_scan=mode)
+            if cbf >= 0:
+                return cbf
 
         orig = self.orig[comp][y0:y0 + size, x0:x0 + size].astype(np.int64)
         resi = orig - pred
+        term = None
+        if ccp and comp:
+            resi, term = self._ccp_adjust(comp, px, py, x0, y0, size, resi)
         fwd = transforms_ref.forward_transform(resi, bd, use_dst)
         slm = self._scaling_for(comp, log2_tr, True)
         levels = transforms_ref.quant(fwd, qp, bd, log2_tr, is_intra=True,
@@ -3650,6 +3796,10 @@ class CtuSearch:
             rec_resi = transforms_ref.inverse_transform(deq, bd, use_dst)
         else:
             rec_resi = 0
+        if ccp and comp == 0:
+            self._ccp_capture_luma(x0, y0, size, rec_resi if cbf else 0)
+        if term is not None:
+            rec_resi = rec_resi + term
         pic.rec[comp][y0:y0 + size, x0:x0 + size] = np.clip(
             pred + rec_resi, 0, (1 << bd) - 1)
         return cbf
@@ -3692,8 +3842,9 @@ class CtuSearch:
                 pic.rec[comp], x0, ys, cs, 2, 4, avail, bd)
             if intra_ref.should_filter(pmode, cs, False, 2,
                                        bool(sps.intra_smoothing_disabled)):
+                # strong smoothing is luma-only (TComPattern.cpp:196)
                 top, left = intra_ref.filter_reference_samples(
-                    top, left, cs, bd, bool(sps.strong_intra_smoothing))
+                    top, left, cs, bd, False)
             pred = intra_ref.predict_intra(pmode, top, left, cs, bd, False)
             orig = self.orig[comp][ys:ys + cs, x0:x0 + cs].astype(np.int64)
             resi = orig - pred
@@ -3834,6 +3985,46 @@ class CtuSearch:
             pic.coeff[comp][cy0:cy0 + h, cx0:cx0 + w] = 0
             pic.cbf[comp][sl] = 0
 
+    def _ccp_capture_luma(self, x0, y0, size, rec_resi):
+        """Record this luma TU's reconstructed residual (UNCLIPPED inverse
+        transform output — decode/ctu_dec.py stores the same) for the
+        chroma cross-component prediction of the co-located TU."""
+        buf = getattr(self, "_ccp_lresi", None)
+        if buf is None:
+            buf = self._ccp_lresi = np.zeros(self.pic.rec[0].shape,
+                                             dtype=np.int64)
+        buf[y0:y0 + size, x0:x0 + size] = rec_resi
+
+    def _ccp_adjust(self, comp, px, py, x0, y0, size, resi):
+        """Cross-component prediction alpha search (TEncSearch.cpp:1910
+        xCalcCrossComponentPredictionAlpha, decision by direct SSE over
+        the signallable set {0,+-1,+-2,+-4,+-8}): stores the winning alpha
+        for the emitter and returns (adjusted_residual, term) where term
+        is the reconstruction-side addend (alpha * luma_resi) >> 3."""
+        pic = self.pic
+        n = max(size >> 2, 1)
+        if int(pic.intra_chroma[py, px]) != DM_CHROMA_IDX:
+            return resi, None
+        buf = getattr(self, "_ccp_lresi", None)
+        lr = None if buf is None else buf[y0:y0 + size, x0:x0 + size]
+        if lr is None or not np.any(lr):
+            pic.ccp_alpha[comp][py:py + n, px:px + n] = 0
+            return resi, None
+        lam = getattr(self, "lam", 1.0)
+        r64 = resi.astype(np.float64).ravel()
+        best = (float(np.dot(r64, r64)) + lam * 1.0, 0, resi, None)
+        for a in (1, -1, 2, -2, 4, -4, 8, -8):
+            term = (a * lr) >> 3
+            adj = resi - term
+            a64 = adj.astype(np.float64).ravel()
+            bits = 1.0 + 2.0 + abs(a).bit_length()   # flag+sign+unary
+            cost = float(np.dot(a64, a64)) + lam * bits
+            if cost < best[0]:
+                best = (cost, a, adj, term)
+        _, alpha, adj, term = best
+        pic.ccp_alpha[comp][py:py + n, px:px + n] = alpha
+        return adj, term
+
     def _rext_tu_flags(self, size, comp, mode):
         """(rotate, rdpcm_axis) for a TS/transquant-bypass intra TU:
         residual rotation for 4x4 intra non-transformed blocks
@@ -3896,6 +4087,15 @@ class CtuSearch:
         pic = self.pic
         orig = self.orig[comp][y0:y0 + cs, x0:x0 + cs].astype(np.int64)
         resi = orig - pred
+        if self.pps.cross_component_prediction_enabled and mode >= 0:
+            if comp == 0:
+                self._ccp_capture_luma(x0, y0, cs, resi)
+            else:
+                # adjusted residual still reconstructs losslessly:
+                # pred + (resi - term) + term == orig  (4:4:4 only, so
+                # plane coords are luma coords; parts = coords // 4)
+                resi, _ = self._ccp_adjust(comp, x0 // 4, y0 // 4,
+                                           x0, y0, cs, resi)
         # mode < 0: inter CU (rotation and implicit RDPCM are intra-only
         # on this path; explicit inter RDPCM is not searched)
         rotate, axis = self._rext_tu_flags(cs, comp, mode) if mode >= 0 \
@@ -3921,6 +4121,10 @@ class CtuSearch:
         qp = self._tu_qp(px, py, comp)
         orig = self.orig[comp][y0:y0 + size, x0:x0 + size].astype(np.int64)
         resi = orig - pred
+        ccp = bool(self.pps.cross_component_prediction_enabled)
+        term = None
+        if ccp and comp:
+            resi, term = self._ccp_adjust(comp, px, py, x0, y0, size, resi)
         lam = getattr(self, "lam", 1.0)
         wgt = 1.0 if comp == 0 else getattr(self, "chroma_weight", 1.0)
         best = None
@@ -3965,13 +4169,16 @@ class CtuSearch:
                             deq, bd, use_dst)
                 else:
                     rec_resi = 0
-            rec = np.clip(pred + rec_resi, 0, (1 << bd) - 1)
+            full = rec_resi if term is None else rec_resi + term
+            rec = np.clip(pred + full, 0, (1 << bd) - 1)
             d = (orig - rec).astype(np.float64)
             bits = (self._res_bits_est(levels) if cbf else 0.8) + 1.0
             cost = wgt * float(np.dot(d.ravel(), d.ravel())) + lam * bits
             if best is None or cost < best[0]:
-                best = (cost, ts, cbf, levels, rec)
-        _, ts, cbf, levels, rec = best
+                best = (cost, ts, cbf, levels, rec, rec_resi)
+        _, ts, cbf, levels, rec, rec_resi = best
+        if ccp and comp == 0:
+            self._ccp_capture_luma(x0, y0, size, rec_resi)
         pic.coeff[comp][y0:y0 + size, x0:x0 + size] = levels
         pic.rec[comp][y0:y0 + size, x0:x0 + size] = rec
         n = max((1 << log2) >> 2, 1)
@@ -3990,6 +4197,7 @@ class CtuSearch:
         pic = self.pic
         if lib is None or self.pps.constrained_intra_pred or \
                 self.sps.scaling_list_enabled or \
+                self.pps.cross_component_prediction_enabled or \
                 self.pps.transquant_bypass_enabled or \
                 len(pic.tiles.col_bounds) != 2 or \
                 len(pic.tiles.row_bounds) != 2 or len(pic.slices) != 1:

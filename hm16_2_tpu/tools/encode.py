@@ -107,10 +107,11 @@ def build_options() -> Options:
                  "ResidualRotation", "SingleSignificanceMapContext",
                  "GolombRiceParameterAdaptation", "AlignCABACBeforeBypass"):
         o.add(name, 0, "HT-RExt tool (enables the rext tool set)")
+    o.add("CrossComponentPrediction", 0, "RExt CCP (4:4:4)")
+    o.add("DeltaQpRD", 0, "Slice-based multi-QP optimization (2n+1 QPs)")
     for name in ("AMP BipredSearchRange "
-                 "CrossComponentPrediction "
                  "DeblockingFilterControlPresent DeblockingFilterMetric "
-                 "DeltaQpRD ExtendedPrecision FDM FEN "
+                 "ExtendedPrecision FDM FEN "
                  "FastSearch HadamardME "
                  "HighPrecisionPredictionWeighting "
                  "InitialQP IntraConstraintFlag IntraReferenceSmoothing "
@@ -205,6 +206,8 @@ def main(argv=None):
         transquant_bypass=bool(o["TransquantBypassEnableFlag"]
                                and o["CUTransquantBypassFlagForce"]),
         transform_skip=bool(o["TransformSkip"]),
+        cross_component_prediction=bool(o["CrossComponentPrediction"]),
+        delta_qp_rd=int(o["DeltaQpRD"]),
         rext_tools=bool(o["ImplicitResidualDPCM"] or o["ResidualRotation"]
                         or o["SingleSignificanceMapContext"]
                         or o["GolombRiceParameterAdaptation"]

@@ -476,3 +476,62 @@ def test_encode_422_reference_decode(tmp_path):
                           str(tmp_path / "o.yuv")],
                          capture_output=True, text=True)
     assert out.stdout.count("(OK)") == 1, out.stdout
+
+
+@pytest.mark.slow
+def test_ra_sibling_pipelined_selfdecode():
+    """Hierarchical-B sibling overlap: pictures whose references are all
+    committed get their fused inter plan dispatched while the previous
+    picture commits (in RA GOP8 coding order: 3, 6 and 7).  The stream
+    must stay valid and self-consistent."""
+    import hm16_2_tpu.encode.top as T
+    cnt = [0]
+    orig = T.Encoder._predispatch_ra
+
+    def counting(self, *a, **kw):
+        r = orig(self, *a, **kw)
+        if r is not None:
+            cnt[0] += 1
+        return r
+
+    T.Encoder._predispatch_ra = counting
+    try:
+        rng = np.random.default_rng(3)
+        w, h = 192, 128
+        base = rng.integers(0, 200, (h, w)).astype(np.int32)
+        frames = []
+        for t in range(9):
+            y = np.clip(np.roll(base, t * 2, axis=1)
+                        + rng.integers(0, 20, (h, w)), 0, 255) \
+                .astype(np.int32)
+            frames.append([y, np.full((h // 2, w // 2), 100, np.int32),
+                           np.full((h // 2, w // 2), 140, np.int32)])
+        enc = Encoder(EncoderConfig(w, h, qp=32, intra_period=-1,
+                                    gop="ra8"))
+        aus = b"".join(enc.encode_stream(frames))
+    finally:
+        T.Encoder._predispatch_ra = orig
+    pics = Decoder().decode_stream(aus)
+    assert cnt[0] == 3                      # pictures 3, 6, 7
+    assert len(pics) == 9 and all(p.hash_ok for p in pics)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("kw", [dict(intra_period=1),
+                                dict(intra_period=-1, gop="ld")])
+def test_delta_qp_rd(kw):
+    """DeltaQpRD=1 (TEncSlice::precompressSlice): three QP trials per
+    picture, winner re-encoded; stream decodes with matching hashes."""
+    rng = np.random.default_rng(3)
+    w, h = 128, 96
+    base = rng.integers(0, 200, (h, w)).astype(np.int32)
+    frames = []
+    for t in range(2):
+        y = np.clip(np.roll(base, t * 2, axis=1)
+                    + rng.integers(0, 25, (h, w)), 0, 255).astype(np.int32)
+        frames.append([y, np.full((h // 2, w // 2), 100, np.int32),
+                       np.full((h // 2, w // 2), 140, np.int32)])
+    enc = Encoder(EncoderConfig(w, h, qp=32, delta_qp_rd=1, **kw))
+    aus = b"".join(enc.encode_stream(frames))
+    pics = Decoder().decode_stream(aus)
+    assert len(pics) == 2 and all(p.hash_ok for p in pics)

@@ -107,3 +107,52 @@ def test_rext_cfg_cli(tmp_path):
     out = subprocess.run([HM_DEC, "-b", str(b), "-o", "/dev/null"],
                          capture_output=True, text=True)
     assert out.stdout.count("(OK)") == 1, out.stdout
+
+
+@pytest.mark.parametrize("kw", [
+    dict(), dict(transform_skip=True, rext_tools=True),
+    dict(transquant_bypass=True),
+    dict(transquant_bypass=True, rext_tools=True),
+])
+def test_ccp_selfdecode(kw):
+    """Cross-component prediction (4:4:4): per-TU alpha search on the
+    reconstructed luma residual, emission and recon (TComTrQuant.cpp:3290
+    crossComponentPrediction; TEncSearch.cpp:1910 alpha estimation)."""
+    w, h = 192, 128
+    rng = np.random.default_rng(5)
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    base = (rng.integers(0, 64, (h, w)) + yy + xx).astype(np.int32)
+    y = np.clip(base, 0, 255)
+    u = np.clip(200 - (base // 2), 0, 255).astype(np.int32)
+    v = np.clip(base // 2 + 30, 0, 255).astype(np.int32)
+    enc = Encoder(EncoderConfig(w, h, qp=27, intra_period=1,
+                                chroma_format=3,
+                                cross_component_prediction=True, **kw))
+    au = enc.encode_frame([y, u, v], 0)
+    pics = Decoder().decode_stream(au)
+    assert pics[0].hash_ok
+    if kw.get("transquant_bypass"):
+        for c, pl in enumerate((y, u, v)):
+            assert np.array_equal(pics[0].planes[c], pl), c
+
+
+@pytest.mark.skipif(not os.path.exists(HM_DEC), reason="reference decoder absent")
+def test_ccp_reference_decode(tmp_path):
+    """HM decodes our CCP stream (OK) — covers the luma-only strong
+    intra smoothing gate (TComPattern.cpp:196) on 32x32 4:4:4 chroma."""
+    w, h = 192, 128
+    rng = np.random.default_rng(5)
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    base = (rng.integers(0, 64, (h, w)) + yy + xx).astype(np.int32)
+    y = np.clip(base, 0, 255)
+    u = np.clip(200 - (base // 2), 0, 255).astype(np.int32)
+    v = np.clip(base // 2 + 30, 0, 255).astype(np.int32)
+    enc = Encoder(EncoderConfig(w, h, qp=27, intra_period=1,
+                                chroma_format=3,
+                                cross_component_prediction=True))
+    au = enc.encode_frame([y, u, v], 0)
+    f = tmp_path / "ccp.bin"
+    f.write_bytes(au)
+    out = subprocess.run([HM_DEC, "-b", str(f), "-o", "/dev/null"],
+                         capture_output=True, text=True)
+    assert out.stdout.count("(OK)") == 1, out.stdout

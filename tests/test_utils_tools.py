@@ -120,3 +120,18 @@ def test_decoder_bit_stats(capsys):
     assert "Decoder statistics" in out and "sig" in out
     from hm16_2_tpu.bitstream import cabac
     assert cabac.STATS is None          # cleaned up after printing
+
+
+def test_fit_bits_model_regenerates():
+    """The plan bit-model's provenance script runs and reaches a high-R^2
+    fit against the exact counting-coder oracle (intra_rd._bits_estimate
+    regeneration path)."""
+    import numpy as np
+    from hm16_2_tpu.tools import fit_bits_model as F
+    X, Y = F.collect(frames=1, seed=7)
+    assert len(Y) > 50
+    coef, *_ = np.linalg.lstsq(X, Y, rcond=None)
+    pred = X @ coef
+    r2 = 1.0 - float(((Y - pred) ** 2).sum()) / \
+        float(((Y - Y.mean()) ** 2).sum())
+    assert r2 > 0.97, r2

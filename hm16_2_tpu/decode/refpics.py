@@ -86,7 +86,12 @@ def build_ref_lists(sh, dpb: DPB, conceal: bool = True):
     after.sort(key=lambda x: x[0])
     st_before = [p for _, p in before]
     st_after = [p for _, p in after]
-    lt = [dpb.get(p) for p, u in zip(sh.lt_poc, sh.lt_used) if u]
+    # long-term entries are re-badged so MV prediction applies the
+    # no-scaling / exclusion rules for LT references (TComSlice
+    # setRefPicList; mvpred ref_is_lt consumers)
+    from dataclasses import replace as _replace
+    lt = [_replace(dpb.get(p), is_long_term=True)
+          for p, u in zip(sh.lt_poc, sh.lt_used) if u and dpb.get(p)]
 
     temp0 = st_before + st_after + lt
     temp1 = st_after + st_before + lt

@@ -60,7 +60,8 @@ class EncoderConfig:
                  dependent_slices=False, transquant_bypass=False,
                  pcm=False, pcm_log2_min=3, pcm_log2_max=5,
                  pcm_loop_filter_disabled=True, rext_tools=False,
-                 cross_component_prediction=False, delta_qp_rd=0):
+                 cross_component_prediction=False, delta_qp_rd=0,
+                 long_term_ref=False):
         self.width, self.height = width, height
         self.qp = qp
         self.bit_depth = bit_depth
@@ -127,6 +128,10 @@ class EncoderConfig:
         # TEncSlice::precompressSlice): trial-encode each picture at
         # qp-n..qp+n and keep the cheapest by SSE + lambda * bits
         self.delta_qp_rd = delta_qp_rd
+        # keep the last IDR/anchor picture as a LONG-TERM reference in
+        # every low-delay P slice (a golden frame; TEncGOP.cpp:2582
+        # long-term handling + slice-header LT signalling)
+        self.long_term_ref = long_term_ref
         self.pcm_loop_filter_disabled = pcm_loop_filter_disabled
         self.rc_ctu = rc_ctu         # CTU-level R-lambda RC (LCULevelRC)
         self.hash_type = hash_type   # decoded-picture-hash SEI: 0 MD5 / 1 CRC / 2 checksum
@@ -225,6 +230,8 @@ def build_sps_pps(cfg: EncoderConfig):
         pps.weighted_pred = 1
     if cfg.transform_skip:
         pps.transform_skip_enabled = 1
+    if getattr(cfg, "long_term_ref", False):
+        sps.long_term_ref_pics_present = 1
     if getattr(cfg, "cross_component_prediction", False) and \
             cfg.chroma_format == 3:
         pps.cross_component_prediction_enabled = 1
@@ -359,6 +366,14 @@ class Encoder:
             sh.rps_idx = 0
             sh.rps = sps.rps_list[0]
             sh.num_ref_idx = [1, 0]
+            anchor = getattr(self, "_lt_anchor", 0)
+            if self.cfg.long_term_ref and poc >= anchor + 2 and \
+                    self.dpb.get(anchor) is not None:
+                # the anchor survives as a long-term 'golden' reference
+                sh.lt_poc = [anchor]
+                sh.lt_used = [1]
+                sh.lt_msb_present = [1]
+                sh.num_ref_idx = [2, 0]
             sh.max_num_merge_cand = 5
             sh.temporal_mvp_enabled = 1
             sh.collocated_from_l0 = 1
@@ -988,9 +1003,12 @@ class Encoder:
         is_idr = sh.nal_type in (NAL_IDR_W_RADL, NAL_IDR_N_LP)
         if is_idr:
             self.dpb.clear()
+            self._lt_anchor = poc
         elif sh.rps is not None:
             # DPB marking: the decoder drops pictures absent from the RPS
-            keep = {poc + d for d in sh.rps.delta_poc}
+            # (long-term pictures referenced by this slice survive too)
+            keep = {poc + d for d in sh.rps.delta_poc} | \
+                set(getattr(sh, "lt_poc", ()) or ())
             for p in [p for p in self.dpb.pics if p not in keep]:
                 del self.dpb.pics[p]
         sh.poc = poc

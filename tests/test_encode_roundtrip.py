@@ -535,3 +535,35 @@ def test_delta_qp_rd(kw):
     aus = b"".join(enc.encode_stream(frames))
     pics = Decoder().decode_stream(aus)
     assert len(pics) == 2 and all(p.hash_ok for p in pics)
+
+
+@pytest.mark.slow
+def test_long_term_ref(tmp_path):
+    """Long-term 'golden' reference (LD): the IDR anchor stays in every
+    P slice's list as a long-term picture (slice-header LT signalling,
+    LT-aware MV-prediction rules).  On content that returns to the
+    anchor scene the LTR stream is smaller."""
+    rng = np.random.default_rng(3)
+    w, h = 128, 96
+    base = rng.integers(0, 200, (h, w)).astype(np.int32)
+    frames = []
+    for t in range(6):
+        shift = [0, 4, 8, 12, 16, 0][t]
+        y = np.clip(np.roll(base, shift, axis=1)
+                    + rng.integers(0, 15, (h, w)), 0, 255).astype(np.int32)
+        frames.append([y, np.full((h // 2, w // 2), 100, np.int32),
+                       np.full((h // 2, w // 2), 140, np.int32)])
+    enc = Encoder(EncoderConfig(w, h, qp=32, intra_period=-1, gop="ld",
+                                long_term_ref=True))
+    aus = b"".join(enc.encode_stream(frames))
+    pics = Decoder().decode_stream(aus)
+    assert len(pics) == 6 and all(p.hash_ok for p in pics)
+    enc2 = Encoder(EncoderConfig(w, h, qp=32, intra_period=-1, gop="ld"))
+    aus2 = b"".join(enc2.encode_stream(frames))
+    assert len(aus) < len(aus2)     # the golden frame pays off
+    if os.path.exists(HM_DEC):
+        f = tmp_path / "ltr.bin"
+        f.write_bytes(aus)
+        out = subprocess.run([HM_DEC, "-b", str(f), "-o", "/dev/null"],
+                             capture_output=True, text=True)
+        assert out.stdout.count("(OK)") == 6, out.stdout

@@ -290,11 +290,6 @@ class Encoder:
         if self.field_coding:
             assert cfg.height % 2 == 0, "field coding needs even height"
             cfg.height //= 2          # pictures are fields
-        if cfg.chroma_format == 2 and cfg.intra_period != 1:
-            raise NotImplementedError(
-                "4:2:2 encode is all-intra only (intra_period=1); "
-                "4:2:2 inter (chroma MV scaling + double-high residual "
-                "TUs on the P/B path) is not implemented")
         if getattr(cfg, "rext_tools", False) and cfg.intra_period != 1:
             raise NotImplementedError(
                 "rext_tools (HT-RExt) is all-intra only: explicit inter "
@@ -3038,6 +3033,38 @@ class CtuSearch:
             pic.inter_dir[sl] = inter_dir
         return self._inter_residual_commit(px, py, log2, kind == "merge")
 
+    def _code_inter_tu422(self, comp, cx0, cy0, cs, qp, bd, cpred):
+        """Inter chroma TU of a 4:2:2 CU: the double-high chroma block is
+        coded as two square (cs x cs) sub-TUs stacked vertically
+        (TComTU.h:48-162; decode dual _accum_inter_resi sub422).
+        Returns (cbf_up, cbf_low)."""
+        pic = self.pic
+        log2_tr = cs.bit_length() - 1
+        slm = self._scaling_for(comp, log2_tr, False)
+        out = []
+        for sub in range(2):
+            ys = cy0 + sub * cs
+            pr = cpred[sub * cs:(sub + 1) * cs]
+            co = self.orig[comp][ys:ys + cs, cx0:cx0 + cs].astype(np.int64)
+            fwd = transforms_ref.forward_transform(co - pr, bd, False)
+            levels = transforms_ref.quant(fwd, qp, bd, log2_tr,
+                                          is_intra=False,
+                                          scaling_list_coeffs=slm)
+            scan = self._sbh_scan(cs, comp, -1)
+            if scan is not None and np.any(levels):
+                levels = transforms_ref.sign_bit_hiding(
+                    levels, fwd, qp, bd, log2_tr, scan, False)
+            cbf = 1 if np.any(levels) else 0
+            pic.coeff[comp][ys:ys + cs, cx0:cx0 + cs] = levels
+            rec_resi = 0
+            if cbf:
+                deq = transforms_ref.dequant(levels, qp, bd, log2_tr, slm)
+                rec_resi = transforms_ref.inverse_transform(deq, bd, False)
+            pic.rec[comp][ys:ys + cs, cx0:cx0 + cs] = np.clip(
+                pr + rec_resi, 0, (1 << bd) - 1)
+            out.append(cbf)
+        return out
+
     def _inter_residual_commit(self, px, py, log2, is_merge,
                                skip_hint=False):
         """MC + residual coding + zero-residual RD for an inter CU whose
@@ -3059,6 +3086,9 @@ class CtuSearch:
         # only usable with an all-zero residual: skip / root-cbf-0)
         any_cbf = 0
         max_tb = 1 << self.sps.log2_max_tb
+        is422 = self.sps.chroma_format_idc == 2
+        if is422 and size > max_tb:
+            return False     # 4:2:2 >max-TB inter CUs: unsupported shape
         for comp in range(pic.num_comps):
             sx, sy = pic.comp_shift[comp]
             cx0, cy0 = x0 >> sx, y0 >> sy
@@ -3066,6 +3096,26 @@ class CtuSearch:
             qp = self._tu_qp(px, py, comp)
             bd = self.bit_depth[comp]
             cpred = preds[comp]
+            if is422 and comp:
+                # double-high chroma: two square sub-TUs, cbf sub-flags
+                # one depth below (combined at bit 0, halves at bit 1 —
+                # the leaf-TU convention _enc_tu_tree emits)
+                half = max(n >> 1, 1)
+                if self.pps.transquant_bypass_enabled and pic.tqb[py, px]:
+                    c0 = self._code_tu_bypass(comp, cx0, cy0, cs,
+                                              cpred[:cs])
+                    c1 = self._code_tu_bypass(comp, cx0, cy0 + cs, cs,
+                                              cpred[cs:])
+                else:
+                    c0, c1 = self._code_inter_tu422(comp, cx0, cy0, cs,
+                                                    qp, bd, cpred)
+                comb = c0 | c1
+                pic.cbf[comp][py:py + half, px:px + n] = \
+                    comb | (c0 << 1)
+                pic.cbf[comp][py + half:py + n, px:px + n] = \
+                    comb | (c1 << 1)
+                any_cbf |= comb
+                continue
             if self.pps.transquant_bypass_enabled and pic.tqb[py, px]:
                 # lossless CU: residual coded directly; a >max-TB CU still
                 # implicitly splits into four TUs per component, but the
@@ -3169,7 +3219,7 @@ class CtuSearch:
         # TEncSearch.cpp:4680): try coding the residual as four half-size
         # TUs with per-TU cbf; adopt when the RD total (SSE + estimated
         # residual bits + subdiv/cbf flags) beats the whole-TU coding
-        if any_cbf and log2 >= 4 and size <= max_tb:
+        if any_cbf and log2 >= 4 and size <= max_tb and not is422:
             split_cbf = self._try_inter_tusplit(px, py, log2, preds)
             if split_cbf is not None:
                 any_cbf = split_cbf
@@ -3184,27 +3234,32 @@ class CtuSearch:
             for comp in range(pic.num_comps):
                 sx, sy = pic.comp_shift[comp]
                 cx0, cy0 = x0 >> sx, y0 >> sy
-                cs = size >> sx
+                cw, ch = size >> sx, size >> sy
                 w = 1.0 if comp == 0 else self.chroma_weight
-                co = self.orig[comp][cy0:cy0 + cs, cx0:cx0 + cs]
-                dc = (co - pic.rec[comp][cy0:cy0 + cs,
-                                         cx0:cx0 + cs]).astype(np.float64)
+                co = self.orig[comp][cy0:cy0 + ch, cx0:cx0 + cw]
+                dc = (co - pic.rec[comp][cy0:cy0 + ch,
+                                         cx0:cx0 + cw]).astype(np.float64)
                 bdc = self.bit_depth[comp]
                 pz = np.clip(preds[comp], 0, (1 << bdc) - 1)
                 dz = (co - pz).astype(np.float64)
                 dist_c += w * float(np.dot(dc.ravel(), dc.ravel()))
                 dist_z += w * float(np.dot(dz.ravel(), dz.ravel()))
-                lv = pic.coeff[comp][cy0:cy0 + cs, cx0:cx0 + cs]
+                lv = pic.coeff[comp][cy0:cy0 + ch, cx0:cx0 + cw]
                 if np.any(lv):
-                    bits_c += self._res_bits_est(lv)
+                    if ch != cw:     # 4:2:2: per square sub-TU
+                        for subl in (lv[:cw], lv[cw:]):
+                            if np.any(subl):
+                                bits_c += self._res_bits_est(subl)
+                    else:
+                        bits_c += self._res_bits_est(lv)
             if dist_z + self.lam * 1.0 < dist_c + self.lam * bits_c:
                 for comp in range(pic.num_comps):
                     sx, sy = pic.comp_shift[comp]
                     cx0, cy0 = x0 >> sx, y0 >> sy
-                    cs = size >> sx
+                    cw, ch = size >> sx, size >> sy
                     bdc = self.bit_depth[comp]
-                    pic.coeff[comp][cy0:cy0 + cs, cx0:cx0 + cs] = 0
-                    pic.rec[comp][cy0:cy0 + cs, cx0:cx0 + cs] = np.clip(
+                    pic.coeff[comp][cy0:cy0 + ch, cx0:cx0 + cw] = 0
+                    pic.rec[comp][cy0:cy0 + ch, cx0:cx0 + cw] = np.clip(
                         preds[comp], 0, (1 << bdc) - 1)
                     pic.cbf[comp][sl] = 0
                 pic.tr_idx[sl] = 0

@@ -567,3 +567,36 @@ def test_long_term_ref(tmp_path):
         out = subprocess.run([HM_DEC, "-b", str(f), "-o", "/dev/null"],
                              capture_output=True, text=True)
         assert out.stdout.count("(OK)") == 6, out.stdout
+
+
+@pytest.mark.slow
+def test_encode_422_inter_selfdecode(tmp_path):
+    """4:2:2 INTER encode (LD): double-high chroma residual as two
+    square sub-TUs on the P/B path (decode dual _accum_inter_resi
+    sub422), chroma MC through the shared normative path."""
+    rng = np.random.default_rng(3)
+    w, h = 128, 96
+    base = rng.integers(0, 200, (h, w)).astype(np.int32)
+    cbase = rng.integers(0, 220, (h, w // 2)).astype(np.int32)
+    frames = []
+    for t in range(5):
+        y = np.clip(np.roll(base, t * 3, axis=1)
+                    + rng.integers(0, 12, (h, w)), 0, 255).astype(np.int32)
+        u = np.clip(np.roll(cbase, t * 2, axis=1)
+                    + rng.integers(0, 8, (h, w // 2)), 0,
+                    255).astype(np.int32)
+        v = np.clip(np.roll(cbase, -t, axis=0)
+                    + rng.integers(0, 8, (h, w // 2)), 0,
+                    255).astype(np.int32)
+        frames.append([y, u, v])
+    enc = Encoder(EncoderConfig(w, h, qp=32, intra_period=-1, gop="ld",
+                                chroma_format=2))
+    aus = b"".join(enc.encode_stream(frames))
+    pics = Decoder().decode_stream(aus)
+    assert len(pics) == 5 and all(p.hash_ok for p in pics)
+    if os.path.exists(HM_DEC):
+        f = tmp_path / "i422.bin"
+        f.write_bytes(aus)
+        out = subprocess.run([HM_DEC, "-b", str(f), "-o", "/dev/null"],
+                             capture_output=True, text=True)
+        assert out.stdout.count("(OK)") == 5, out.stdout

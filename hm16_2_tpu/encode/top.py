@@ -34,7 +34,8 @@ from hm16_2_tpu.encode.ctu_enc import CtuEncoder
 from hm16_2_tpu.headers import write as W
 from hm16_2_tpu.headers.params import (
     B_SLICE, I_SLICE, P_SLICE, NAL_CRA, NAL_IDR_N_LP, NAL_IDR_W_RADL,
-    NAL_RASL_R, NAL_TRAIL_R, NAL_TSA_R, PPS, SPS, ShortTermRPS,
+    NAL_RADL_N, NAL_RADL_R, NAL_RASL_R, NAL_TRAIL_R, NAL_TSA_R, PPS, SPS,
+    ShortTermRPS,
     SliceHeader, VPS, is_irap)
 from hm16_2_tpu.ops import interp_ref, intra_ref, transforms_ref
 from hm16_2_tpu.ops.intra_ref import DM_CHROMA_IDX
@@ -775,9 +776,20 @@ class Encoder:
                             buf.pop(p), p, slot, gop_id,
                             recovery=self.cfg.decoding_refresh_type == 3))
                         continue
-                    nal = NAL_RASL_R if (self.last_ira > 0
-                                         and p < self.last_ira) \
-                        else NAL_TRAIL_R
+                    nal = NAL_TRAIL_R
+                    if self.last_ira > 0 and p < self.last_ira:
+                        # leading picture: RADL when it references only
+                        # the IRAP / other RADLs (decodable after a
+                        # tune-in), else RASL (TEncGOP getNalUnitType,
+                        # TEncGOP.cpp:2462-2512)
+                        nal_of = getattr(self, "_nal_of", {})
+                        radl = all(
+                            p + d >= self.last_ira
+                            or nal_of.get(p + d) in (NAL_RADL_R,
+                                                     NAL_RADL_N)
+                            for d in slot["refs"]
+                            if self.dpb.get(p + d) is not None)
+                        nal = NAL_RADL_R if radl else NAL_RASL_R
                     pre = pending[1] if pending and pending[0] == p \
                         else None
                     pending = None
@@ -788,15 +800,26 @@ class Encoder:
                         g2, s2, p2 = order[i + 1]
                         if p2 != cra_poc and \
                                 all(p2 + d != p for d in s2["refs"]):
-                            n2 = NAL_RASL_R if (self.last_ira > 0
-                                                and p2 < self.last_ira) \
-                                else NAL_TRAIL_R
+                            if self.last_ira > 0 and p2 < self.last_ira:
+                                nal_of2 = getattr(self, "_nal_of", {})
+                                radl2 = all(
+                                    p2 + d >= self.last_ira
+                                    or nal_of2.get(p2 + d) in
+                                    (NAL_RADL_R, NAL_RADL_N)
+                                    for d in s2["refs"]
+                                    if self.dpb.get(p2 + d) is not None)
+                                n2 = NAL_RADL_R if radl2 else NAL_RASL_R
+                            else:
+                                n2 = NAL_TRAIL_R
                             pd = self._predispatch_ra(buf[p2], p2, s2, n2)
                             if pd is not None:
                                 pending = (p2, pd)
                     aus.append(self._encode_ra_picture(buf.pop(p), p, slot,
                                                        gop_id, nal_type=nal,
                                                        pre=pre))
+                    if not hasattr(self, "_nal_of"):
+                        self._nal_of = {}
+                    self._nal_of[p] = nal
                 self._gop_start += gsize
                 self._next_coded = self._gop_start + 1
                 continue

@@ -600,3 +600,39 @@ def test_encode_422_inter_selfdecode(tmp_path):
         out = subprocess.run([HM_DEC, "-b", str(f), "-o", "/dev/null"],
                              capture_output=True, text=True)
         assert out.stdout.count("(OK)") == 5, out.stdout
+
+
+@pytest.mark.slow
+def test_radl_leading_pictures(tmp_path):
+    """RADL derivation (TEncGOP getNalUnitType): a leading picture that
+    references only the CRA (or other RADLs) is coded RADL_R; ones that
+    reach behind the CRA stay RASL_R."""
+    from hm16_2_tpu.bitstream.bitio import split_annexb
+    from hm16_2_tpu.headers.params import NAL_RADL_R
+    rng = np.random.default_rng(3)
+    w, h = 128, 96
+    base = rng.integers(0, 200, (h, w)).astype(np.int32)
+    frames = []
+    for t in range(9):
+        y = np.clip(np.roll(base, t * 2, axis=1)
+                    + rng.integers(0, 12, (h, w)), 0, 255).astype(np.int32)
+        frames.append([y, np.full((h // 2, w // 2), 100, np.int32),
+                       np.full((h // 2, w // 2), 140, np.int32)])
+    tbl = [dict(poc=2, qpoff=1, qpfac=0.5, refs=(-2,), n_active=1,
+                depth=0),
+           dict(poc=1, qpoff=2, qpfac=0.5, refs=(1,), n_active=1,
+                depth=1)]
+    enc = Encoder(EncoderConfig(w, h, qp=32, intra_period=4, gop="ra8",
+                                gop_table=tbl))
+    aus = b"".join(enc.encode_stream(frames))
+    types = [((n[0] >> 1) & 0x3F) for n in split_annexb(aus)
+             if ((n[0] >> 1) & 0x3F) < 32]
+    assert NAL_RADL_R in types, types
+    pics = Decoder().decode_stream(aus)
+    assert len(pics) == 9 and all(p.hash_ok for p in pics)
+    if os.path.exists(HM_DEC):
+        f = tmp_path / "radl.bin"
+        f.write_bytes(aus)
+        out = subprocess.run([HM_DEC, "-b", str(f), "-o", "/dev/null"],
+                             capture_output=True, text=True)
+        assert out.stdout.count("(OK)") == 9, out.stdout

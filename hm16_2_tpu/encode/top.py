@@ -62,7 +62,8 @@ class EncoderConfig:
                  pcm=False, pcm_log2_min=3, pcm_log2_max=5,
                  pcm_loop_filter_disabled=True, rext_tools=False,
                  cross_component_prediction=False, delta_qp_rd=0,
-                 long_term_ref=False):
+                 long_term_ref=False, deblock_beta_offset=0,
+                 deblock_tc_offset=0, intra_smoothing_disabled=False):
         self.width, self.height = width, height
         self.qp = qp
         self.bit_depth = bit_depth
@@ -133,6 +134,12 @@ class EncoderConfig:
         # every low-delay P slice (a golden frame; TEncGOP.cpp:2582
         # long-term handling + slice-header LT signalling)
         self.long_term_ref = long_term_ref
+        # PPS-signalled deblocking offsets (LoopFilterBetaOffset_div2 /
+        # LoopFilterTcOffset_div2 with LoopFilterOffsetInPPS semantics)
+        self.deblock_beta_offset = deblock_beta_offset
+        self.deblock_tc_offset = deblock_tc_offset
+        # RExt IntraReferenceSmoothing=0 (sps_range_extension flag)
+        self.intra_smoothing_disabled = intra_smoothing_disabled
         self.pcm_loop_filter_disabled = pcm_loop_filter_disabled
         self.rc_ctu = rc_ctu         # CTU-level R-lambda RC (LCULevelRC)
         self.hash_type = hash_type   # decoded-picture-hash SEI: 0 MD5 / 1 CRC / 2 checksum
@@ -233,6 +240,8 @@ def build_sps_pps(cfg: EncoderConfig):
         pps.transform_skip_enabled = 1
     if getattr(cfg, "long_term_ref", False):
         sps.long_term_ref_pics_present = 1
+    if getattr(cfg, "intra_smoothing_disabled", False):
+        sps.intra_smoothing_disabled = 1
     if getattr(cfg, "cross_component_prediction", False) and \
             cfg.chroma_format == 3:
         pps.cross_component_prediction_enabled = 1
@@ -282,6 +291,11 @@ def build_sps_pps(cfg: EncoderConfig):
     if not cfg.deblock:
         pps.deblocking_filter_control_present = 1
         pps.deblocking_filter_disabled = 1
+    elif getattr(cfg, "deblock_beta_offset", 0) or \
+            getattr(cfg, "deblock_tc_offset", 0):
+        pps.deblocking_filter_control_present = 1
+        pps.beta_offset_div2 = cfg.deblock_beta_offset
+        pps.tc_offset_div2 = cfg.deblock_tc_offset
     return sps, pps
 
 
@@ -1032,6 +1046,8 @@ class Encoder:
         sh.poc = poc
         sh.sps, sh.pps = sps, pps
         sh.deblocking_filter_disabled = pps.deblocking_filter_disabled
+        sh.beta_offset_div2 = pps.beta_offset_div2
+        sh.tc_offset_div2 = pps.tc_offset_div2
 
         pic = PictureState(sps, pps)
         pic.poc = poc

@@ -109,16 +109,20 @@ def build_options() -> Options:
         o.add(name, 0, "HT-RExt tool (enables the rext tool set)")
     o.add("CrossComponentPrediction", 0, "RExt CCP (4:4:4)")
     o.add("DeltaQpRD", 0, "Slice-based multi-QP optimization (2n+1 QPs)")
+    o.add("LoopFilterBetaOffset_div2", 0, "Deblocking beta offset / 2")
+    o.add("LoopFilterTcOffset_div2", 0, "Deblocking tc offset / 2")
+    o.add("IntraReferenceSmoothing", 1,
+          "0: disable intra reference smoothing (RExt)")
     for name in ("AMP BipredSearchRange "
                  "DeblockingFilterControlPresent DeblockingFilterMetric "
                  "ExtendedPrecision FDM FEN "
                  "FastSearch HadamardME "
                  "HighPrecisionPredictionWeighting "
-                 "InitialQP IntraConstraintFlag IntraReferenceSmoothing "
+                 "InitialQP IntraConstraintFlag "
                  "KeepHierarchicalBit "
                  "LFCrossSliceBoundaryFlag LFCrossTileBoundaryFlag "
-                 "LoopFilterBetaOffset_div2 LoopFilterOffsetInPPS "
-                 "LoopFilterTcOffset_div2 MaxCuDQPDepth MaxDeltaQP "
+                 "LoopFilterOffsetInPPS "
+                 "MaxCuDQPDepth MaxDeltaQP "
                  "PCMInputBitDepthFlag RCForceIntraQP "
                  "RCLCUSeparateModel RDOQ RDOQTS "
                  "SAOLcuBoundary SearchRange "
@@ -208,6 +212,9 @@ def main(argv=None):
         transform_skip=bool(o["TransformSkip"]),
         cross_component_prediction=bool(o["CrossComponentPrediction"]),
         delta_qp_rd=int(o["DeltaQpRD"]),
+        deblock_beta_offset=int(o["LoopFilterBetaOffset_div2"]),
+        deblock_tc_offset=int(o["LoopFilterTcOffset_div2"]),
+        intra_smoothing_disabled=not int(o["IntraReferenceSmoothing"]),
         rext_tools=bool(o["ImplicitResidualDPCM"] or o["ResidualRotation"]
                         or o["SingleSignificanceMapContext"]
                         or o["GolombRiceParameterAdaptation"]

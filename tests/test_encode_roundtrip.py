@@ -636,3 +636,26 @@ def test_radl_leading_pictures(tmp_path):
         out = subprocess.run([HM_DEC, "-b", str(f), "-o", "/dev/null"],
                              capture_output=True, text=True)
         assert out.stdout.count("(OK)") == 9, out.stdout
+
+
+@pytest.mark.skipif(not os.path.exists(HM_DEC), reason="reference decoder absent")
+@pytest.mark.parametrize("kw", [
+    dict(deblock_beta_offset=3, deblock_tc_offset=-2),
+    dict(intra_smoothing_disabled=True),
+])
+def test_deblock_offsets_and_smoothing_disable(tmp_path, kw):
+    """PPS deblocking offsets (LoopFilterBetaOffset_div2/TcOffset_div2)
+    and RExt IntraReferenceSmoothing=0 signalling + behavior."""
+    rng = np.random.default_rng(1)
+    w, h = 128, 96
+    y = rng.integers(0, 256, (h, w)).astype(np.int32)
+    u = np.full((h // 2, w // 2), 100, np.int32)
+    v = np.full((h // 2, w // 2), 140, np.int32)
+    enc = Encoder(EncoderConfig(w, h, qp=34, intra_period=1, **kw))
+    au = enc.encode_frame([y, u, v], 0)
+    assert Decoder().decode_stream(au)[0].hash_ok
+    f = tmp_path / "dbo.bin"
+    f.write_bytes(au)
+    out = subprocess.run([HM_DEC, "-b", str(f), "-o", "/dev/null"],
+                         capture_output=True, text=True)
+    assert out.stdout.count("(OK)") == 1, out.stdout

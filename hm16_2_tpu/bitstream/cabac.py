@@ -82,6 +82,11 @@ class BitStats:
         self.bits = {}
         self.bins = {}
         self._names = None     # (sorted offsets, names) for index lookup
+        # per-TU-size attribution scope (TComCodingStatistics' per-size
+        # STATS__CABAC_BITS__ taxonomy, TComCodingStatistics.h:49-100):
+        # the residual parser sets scope to "WxH" so every bin inside
+        # residual_coding lands in a size-split row
+        self.scope = None
 
     def _name_of(self, ctx_idx):
         if self._names is None:
@@ -94,13 +99,17 @@ class BitStats:
 
     def add_regular(self, ctx_idx, state, binv):
         name = self._name_of(ctx_idx)
+        if self.scope is not None:
+            name = f"{name}[{self.scope}]"
         self.bits[name] = self.bits.get(name, 0.0) + \
             float(ENTROPY_BITS[state ^ binv]) / 32768.0
         self.bins[name] = self.bins.get(name, 0) + 1
 
     def add_ep(self, n=1):
-        self.bits["(bypass)"] = self.bits.get("(bypass)", 0.0) + n
-        self.bins["(bypass)"] = self.bins.get("(bypass)", 0) + n
+        name = "(bypass)" if self.scope is None else \
+            f"(bypass)[{self.scope}]"
+        self.bits[name] = self.bits.get(name, 0.0) + n
+        self.bins[name] = self.bins.get(name, 0) + n
 
     def add_trm(self):
         self.bins["(terminate)"] = self.bins.get("(terminate)", 0) + 1

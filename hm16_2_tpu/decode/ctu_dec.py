@@ -1047,6 +1047,9 @@ class SliceDecoder:
         extended_precision = bool(sps.extended_precision)
 
         self._tr(f"coeff etype={comp} w={w} part={self._zidx(px, py)}")
+        from hm16_2_tpu.bitstream import cabac as _cab
+        if _cab.STATS is not None:
+            _cab.STATS.scope = f"{'y' if comp == 0 else 'c'}{w}x{h}"
         be_valid = bool(pps.sign_data_hiding)
         if cu.tqb:
             be_valid = False
@@ -1230,6 +1233,9 @@ class SliceDecoder:
                 coeffs[pos[idx]] = val
 
         pic.coeff[comp][y0:y0 + h, x0:x0 + w] = coeffs.reshape(h, w)
+
+        if _cab.STATS is not None:
+            _cab.STATS.scope = None
 
     def _golomb_rice_stat_index(self, comp, ts_or_tqb):
         # rTu.getGolombRiceStatisticsIndex: 2*isChroma + isTSorBypass

@@ -62,3 +62,27 @@ def test_batched_quant_matches_reference():
         want = np.stack([transforms_ref.quant(x.astype(np.int64), 32, 8, log2, True)
                          for x in c])
         np.testing.assert_array_equal(got, want)
+
+
+def test_stats_per_tu_size_breakdown(tmp_path):
+    """The analyser decoder splits residual syntax classes per TU size
+    (TComCodingStatistics per-size taxonomy)."""
+    import os
+    import numpy as np
+    from hm16_2_tpu.bitstream import cabac
+    from hm16_2_tpu.decode.top import Decoder
+    from hm16_2_tpu.encode.top import Encoder, EncoderConfig
+    rng = np.random.default_rng(2)
+    w, h = 128, 96
+    y = rng.integers(0, 256, (h, w)).astype(np.int32)
+    enc = Encoder(EncoderConfig(w, h, qp=30, intra_period=1))
+    au = enc.encode_frame([y, np.full((h // 2, w // 2), 99, np.int32),
+                           np.full((h // 2, w // 2), 150, np.int32)], 0)
+    cabac.STATS = cabac.BitStats()
+    try:
+        Decoder().decode_stream(au)
+        keys = set(cabac.STATS.bits)
+    finally:
+        cabac.STATS = None
+    assert any(k.startswith("sig[y") for k in keys), sorted(keys)
+    assert any("[c" in k for k in keys), sorted(keys)

@@ -2385,8 +2385,15 @@ class CtuSearch:
     def _plan_chroma(self, px, py, luma_mode):
         """Resolve the planned chroma candidate: (stored syntax value,
         actual prediction mode).  Candidates: planar/ver/hor/dc with the
-        34-substitution on collision, or DM (index 4)."""
-        ci = 4 if self.plan is None else int(self.plan.cmode[py, px])
+        34-substitution on collision, or DM (index 4).
+        HM16_FORCE_CHROMA_MODE forces the decision (Debug.h
+        ForceChromaMode dual): 0..3 = planar/ver/hor/dc, 4 = DM."""
+        import os
+        fc = os.environ.get("HM16_FORCE_CHROMA_MODE")
+        if fc is not None:
+            ci = int(fc)
+        else:
+            ci = 4 if self.plan is None else int(self.plan.cmode[py, px])
         if ci == 4:
             return DM_CHROMA_IDX, luma_mode
         base = (0, 26, 10, 1)[ci]
@@ -2400,8 +2407,17 @@ class CtuSearch:
         n = (1 << log2) // 4
         self._mark_cu_fields(px, py, log2, SIZE_2Nx2N)
         sl = np.s_[py:py + n, px:px + n]
+        fl = os.environ.get("HM16_FORCE_LUMA_MODE")
+        if fl is not None:
+            # Debug.h ForceLumaMode dual: targeted debugging with a fixed
+            # intra direction everywhere (>max-TB CUs keep their forced
+            # TU split)
+            mode = int(fl)
+            if log2 <= self.sps.log2_max_tb:
+                tusplit = False
         if not tusplit:
-            r = self._refine_mode(px, py, log2, mode)
+            r = None if fl is not None else \
+                self._refine_mode(px, py, log2, mode)
             if r is not None:
                 mode, cbf_y = r
             pic.intra_luma[sl] = mode
@@ -2473,10 +2489,13 @@ class CtuSearch:
         pic.tr_idx[sl] = 1
         pic.coded[sl] = False
         is444 = pic.num_comps > 1 and self.sps.chroma_format_idc == 3
+        fl = os.environ.get("HM16_FORCE_LUMA_MODE")
         for oy in range(2):
             for ox in range(2):
-                mode = int(plan.mode[py + oy, px + ox])
-                r = self._refine_mode(px + ox, py + oy, 2, mode)
+                mode = int(fl) if fl is not None else \
+                    int(plan.mode[py + oy, px + ox])
+                r = None if fl is not None else \
+                    self._refine_mode(px + ox, py + oy, 2, mode)
                 if r is not None:
                     mode, cbf = r
                     pic.intra_luma[py + oy, px + ox] = mode
@@ -2790,7 +2809,9 @@ class CtuSearch:
         if log2 > sps.log2_max_tb:
             return False   # intra CU above max TB needs RQT split (unsupported)
 
-        best_mode = self._search_luma_mode(px, py, log2)
+        fl = os.environ.get("HM16_FORCE_LUMA_MODE")
+        best_mode = int(fl) if fl is not None else \
+            self._search_luma_mode(px, py, log2)
         pic.intra_luma[py:py + n, px:px + n] = best_mode
         pic.intra_chroma[py:py + n, px:px + n] = DM_CHROMA_IDX
 

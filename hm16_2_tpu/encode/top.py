@@ -63,7 +63,8 @@ class EncoderConfig:
                  pcm_loop_filter_disabled=True, rext_tools=False,
                  cross_component_prediction=False, delta_qp_rd=0,
                  long_term_ref=False, deblock_beta_offset=0,
-                 deblock_tc_offset=0, intra_smoothing_disabled=False):
+                 deblock_tc_offset=0, intra_smoothing_disabled=False,
+                 level=0.0, tier_high=False):
         self.width, self.height = width, height
         self.qp = qp
         self.bit_depth = bit_depth
@@ -140,6 +141,8 @@ class EncoderConfig:
         self.deblock_tc_offset = deblock_tc_offset
         # RExt IntraReferenceSmoothing=0 (sps_range_extension flag)
         self.intra_smoothing_disabled = intra_smoothing_disabled
+        self.level = level           # general_level_idc = level * 30
+        self.tier_high = tier_high
         self.pcm_loop_filter_disabled = pcm_loop_filter_disabled
         self.rc_ctu = rc_ctu         # CTU-level R-lambda RC (LCULevelRC)
         self.hash_type = hash_type   # decoded-picture-hash SEI: 0 MD5 / 1 CRC / 2 checksum
@@ -242,6 +245,22 @@ def build_sps_pps(cfg: EncoderConfig):
         sps.long_term_ref_pics_present = 1
     if getattr(cfg, "intra_smoothing_disabled", False):
         sps.intra_smoothing_disabled = 1
+    lv = float(getattr(cfg, "level", 0.0) or 0.0)
+    if not lv:
+        # derive the minimum level from the picture size and rate the
+        # way TEncTop leaves it to the user (Table A.6 sample limits)
+        luma_ps = cfg.width * cfg.height
+        for cand, max_ps in ((2.0, 122880), (2.1, 245760), (3.0, 552960),
+                             (3.1, 983040), (4.0, 2228224),
+                             (4.1, 2228224), (5.0, 8912896),
+                             (5.1, 8912896), (6.0, 35651584)):
+            if luma_ps <= max_ps:
+                lv = cand
+                break
+        else:
+            lv = 6.2
+    sps.ptl.level_idc = int(round(lv * 30))
+    sps.ptl.tier_flag = 1 if getattr(cfg, "tier_high", False) else 0
     if getattr(cfg, "cross_component_prediction", False) and \
             cfg.chroma_format == 3:
         pps.cross_component_prediction_enabled = 1

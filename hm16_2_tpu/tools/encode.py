@@ -89,7 +89,8 @@ def build_options() -> Options:
     o.add("DER", 16, "SBD border-strip width R (8/16/32/64)")
     o.add("InputChromaFormat", 420, "Input chroma format")
     o.add("ConformanceWindowMode", 0, "Conformance window")
-    o.add("Level", 0.0, "Level limit")
+    o.add("Level", 0.0, "Level limit (signalled general_level_idc)")
+    o.add("Tier", "main", "main or high tier")
     o.add("Profile", "main", "Profile")
     # registered-but-informational (accepted from HM cfgs without effect)
     for name, dflt in (("MaxCUWidth", 64), ("MaxCUHeight", 64),
@@ -126,7 +127,6 @@ def build_options() -> Options:
                  "PCMInputBitDepthFlag RCForceIntraQP "
                  "RCLCUSeparateModel RDOQ RDOQTS "
                  "SAOLcuBoundary SearchRange "
-                 "Tier "
                  "TransformSkipFast TransformSkipLog2MaxSize "
                  "UniformSpacingIdc "
                  "ColumnWidthArray RowHeightArray TileColumnWidthArray "
@@ -212,6 +212,8 @@ def main(argv=None):
         transform_skip=bool(o["TransformSkip"]),
         cross_component_prediction=bool(o["CrossComponentPrediction"]),
         delta_qp_rd=int(o["DeltaQpRD"]),
+        level=float(o["Level"]),
+        tier_high=str(o["Tier"]).lower() == "high",
         deblock_beta_offset=int(o["LoopFilterBetaOffset_div2"]),
         deblock_tc_offset=int(o["LoopFilterTcOffset_div2"]),
         intra_smoothing_disabled=not int(o["IntraReferenceSmoothing"]),

@@ -919,8 +919,9 @@ class Encoder:
         analogue of the AI pipeline (in RA GOP8 coding order, pictures
         3, 6 and 7 are independent of their predecessors 1, 3 and 5).
         Returns (sh, plan_fetch) for _encode_ra_picture, or None.
-        Uses the motion prior as of NOW (one picture staler than the
-        serial path) — a search-guidance difference only."""
+        The motion prior is one picture staler than on the serial path
+        (the current picture's motion is not committed yet) — a
+        search-guidance difference only."""
         import os
         cfg = self.cfg
         if (self.rc is not None or not cfg.rdo or not self.gop_table
@@ -931,6 +932,7 @@ class Encoder:
             return None
         try:
             sh = self._ra_slice_header(poc, slot, nal_type)
+            sh.poc = poc             # plan_frame prices by POC distances
             if self.pps.weighted_pred and sh.slice_type == P_SLICE:
                 return None          # WP estimation mutates sh per-frame
             ref_lists = build_ref_lists(sh, self.dpb)

@@ -243,7 +243,9 @@ def _run_phase(name, retries=2, timeout=1800):
         except subprocess.TimeoutExpired:
             sys.stderr.write(f"{name} attempt {attempt}: timeout\n")
         if attempt < retries:
-            time.sleep(10)
+            # the axon worker often dies when a fresh client connects
+            # right after the previous process exited — cool down
+            time.sleep(30)
     return None
 
 
@@ -285,14 +287,14 @@ def main():
     _emit(out)
 
     # --- Inter fps on real content (same clip for us and HM) ---
-    v = _run_phase("ldp_fps")
+    v = _run_phase("ldp_fps", retries=3)
     if v is not None:
         out["fps_ldp"] = round(v, 4)
         hm_v = measure_hm_inter_fps("ldp")
         out["hm_fps_ldp"] = round(hm_v or HM_LDP_416_FPS_STORED, 4)
         out["ldp_vs_hm"] = round(out["fps_ldp"] / out["hm_fps_ldp"], 2)
         _emit(out)
-    v = _run_phase("ra_fps")
+    v = _run_phase("ra_fps", retries=3)
     if v is not None:
         out["fps_ra"] = round(v, 4)
         hm_v = measure_hm_inter_fps("ra")

@@ -196,8 +196,10 @@ def _frame_stats_np(pic, orig, comp):
     return S_eo, N_eo, S_bo, N_bo
 
 
-def estimate_sao_fast(pic, orig, lam):
-    """Vectorized estimate_sao for the every-neighbor-available case."""
+def estimate_sao_fast(pic, orig, lam, luma=True, chroma=True):
+    """Vectorized estimate_sao for the every-neighbor-available case.
+    luma/chroma=False skips the channel (picture-level SAO disable,
+    decidePicParams): its sao_mode stays 0 and nothing is applied."""
     n_ctu = pic.w_ctbs * pic.h_ctbs
     pic.sao_merge = np.zeros(n_ctu, dtype=np.int8)
     bd_max = [(1 << (min((pic.sps.bit_depth_luma if c == 0 else
@@ -207,7 +209,8 @@ def estimate_sao_fast(pic, orig, lam):
 
     # per-channel NEW-mode decision across all CTUs at once
     nc = pic.num_comps
-    chan_comps = [(0, [0])] + ([(1, [1, 2])] if nc > 1 else [])
+    chan_comps = ([(0, [0])] if luma else []) + \
+        ([(1, [1, 2])] if (nc > 1 and chroma) else [])
     best_cost = {}
     best_type = {}
     best_offs = {}
@@ -307,8 +310,10 @@ def estimate_sao_fast(pic, orig, lam):
                         pic.sao_band[rs, c] = best_band[chan][rs, ci]
 
 
-def estimate_sao(pic, orig, lam):
-    """Fill pic.sao_mode/type/offsets/band (+ pic.sao_merge) for all CTUs."""
+def estimate_sao(pic, orig, lam, luma=True, chroma=True):
+    """Fill pic.sao_mode/type/offsets/band (+ pic.sao_merge) for all CTUs.
+    luma/chroma=False: picture-level component disable (no stats, no
+    decisions, no application for the channel)."""
     # fast full-frame path: one slice, one tile, loop filter across
     # boundaries on -> every CTU neighbor is available everywhere
     if len(pic.slices) == 1 and \
@@ -317,7 +322,9 @@ def estimate_sao(pic, orig, lam):
             len(pic.tiles.row_bounds) == 2 and \
             pic.rec[0].shape[0] % pic.ctb == 0 and \
             pic.rec[0].shape[1] % pic.ctb == 0:
-        return estimate_sao_fast(pic, orig, lam)
+        return estimate_sao_fast(pic, orig, lam, luma, chroma)
+    if not (luma or (chroma and pic.num_comps > 1)):
+        return
     src = [p.copy() for p in pic.rec]        # deblocked, pre-SAO
     n_ctu = pic.w_ctbs * pic.h_ctbs
     pic.sao_merge = np.zeros(n_ctu, dtype=np.int8)

@@ -710,7 +710,7 @@ class Encoder:
                     sbw = BitWriter()
                     cab = CabacEncoder(sbw, ctx)
                     enc.attach(cab)
-                if use_sao:
+                if use_sao and (enc.sh.sao_luma or enc.sh.sao_chroma):
                     own = 0 if dep else si
                     left_ok = cx > 0 and slice_at(cx - 1, cy) == own
                     above_ok = cy > 0 and slice_at(cx, cy - 1) == own
@@ -1017,6 +1017,11 @@ class Encoder:
         # applied to B slices only.
         # (measured: the multiplier loses BD-rate for BOTH P and B here —
         # this encoder's SATD-driven decisions degrade at large lambda)
+        import os
+        if os.environ.get("HM16_BMULT") and slot and \
+                sh.slice_type == B_SLICE and \
+                int(slot.get("depth", slot.get("tid", 0)) or 0) > 0:
+            return qp_factor, min(4.0, max(2.0, (sh.qp - 12) / 6.0))
         return qp_factor, 1.0
 
     def _encode_one_multi_qp(self, planes, poc, sh, **kw) -> bytes:
@@ -1355,10 +1360,40 @@ class Encoder:
             lam = getattr(search, "lam", None)
             if lam is None:
                 lam = 0.68 * 2.0 ** ((sh.qp - 12) / 3.0)
+            # picture-level early termination (SAO_ENCODING_RATE,
+            # TEncSampleAdaptiveOffset::decidePicParams): when the
+            # previous picture of this temporal level enabled SAO on
+            # fewer than 75% (luma) / 50% (chroma) of its CTUs, skip the
+            # component for this picture entirely — the per-CTU syntax
+            # of a mostly-off SAO costs real bits on near-skip B frames
+            tid = int(getattr(sh, "temporal_id", 0) or 0)
+            hist = getattr(self, "_sao_rate", None)
+            if hist is None:
+                hist = self._sao_rate = {}
+            prev_l, prev_c = hist.get(tid, (1.0, 1.0))
+            en_l = prev_l >= 0.75 or sh.slice_type == I_SLICE
+            en_c = (prev_c >= 0.50 or sh.slice_type == I_SLICE) and \
+                pic.num_comps > 1
             for s_ in pic.slices:
-                s_.sao_luma = 1
-                s_.sao_chroma = 1
-            estimate_sao(pic, search.orig, lam)
+                s_.sao_luma = 1 if en_l else 0
+                s_.sao_chroma = 1 if en_c else 0
+            if en_l or en_c:
+                estimate_sao(pic, search.orig, lam, luma=en_l,
+                             chroma=en_c)
+                n_ctu = pic.w_ctbs * pic.h_ctbs
+                on_l = float((pic.sao_mode[:, 0] != 0).sum()) / n_ctu
+                on_c = float((pic.sao_mode[:, 1] != 0).sum()) / n_ctu \
+                    if pic.num_comps > 1 else 0.0
+                # slice-level all-off: signalling "off" per CTU is never
+                # cheaper than clearing the slice flag
+                if en_l and on_l == 0.0:
+                    for s_ in pic.slices:
+                        s_.sao_luma = 0
+                if en_c and on_c == 0.0:
+                    for s_ in pic.slices:
+                        s_.sao_chroma = 0
+                hist[tid] = (on_l if en_l else prev_l,
+                             on_c if en_c else prev_c)
         _tick("filters", t_filt)
         t_emit = time.perf_counter()
 
@@ -1411,7 +1446,7 @@ class Encoder:
                     cab = CabacEncoder(sbw, ctx)
                     enc.attach(cab)
                 prev_tile = tile_id
-                if use_sao:
+                if use_sao and (enc.sh.sao_luma or enc.sh.sao_chroma):
                     enc.enc_sao(rs, _syn_avail(cx - 1, cy, cx, cy),
                                 _syn_avail(cx, cy - 1, cx, cy))
                 if ce_ctx is None or not self._native_encode_ctu(

@@ -1071,7 +1071,8 @@ static int cc_commit_cu(const CommitCtx *C, int px, int py, int log2,
     // adopt the split when SSE + estimated bits wins, then fall into
     // the shared-mode split commit below for fields and chroma.
     int size = 1 << log2;
-    if (size >= 16 && size <= 32 && !getenv("HM16_NO_INTRA_RQT")) {
+    int min_rqt = getenv("HM16_RQT8") ? 8 : 16;
+    if (size >= min_rqt && size <= 32 && !getenv("HM16_NO_INTRA_RQT")) {
       static thread_local int32_t srec[32 * 32], scoef[32 * 32];
       int64_t st = C->plane_stride[0];
       int64_t ost = C->orig_stride[0];

@@ -214,12 +214,21 @@ def _remaining():
 
 
 def _run_phase(name, retries=2, timeout=1800):
-    """Run one phase in a subprocess; never exceed the global budget."""
-    for attempt in range(retries + 1):
+    """Run one phase in a subprocess; never exceed the global budget.
+
+    The axon TPU worker dies roughly half the time when a fresh client
+    connects shortly after the previous process exited — those crashes
+    happen within seconds and don't consume meaningful budget, so fast
+    failures (<120 s) get free retries (bounded) instead of eating the
+    per-phase attempt count."""
+    attempt = 0
+    free_left = 6
+    while attempt <= retries:
         t = min(timeout, max(60, _remaining() - 30))
         if _remaining() < 90:
             sys.stderr.write(f"{name}: skipped (budget exhausted)\n")
             return None
+        t0 = time.time()
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--phase", name],
@@ -242,9 +251,12 @@ def _run_phase(name, retries=2, timeout=1800):
                 f"(rc={r.returncode})\n{r.stderr[-400:]}\n")
         except subprocess.TimeoutExpired:
             sys.stderr.write(f"{name} attempt {attempt}: timeout\n")
-        if attempt < retries:
-            # the axon worker often dies when a fresh client connects
-            # right after the previous process exited — cool down
+        fast_crash = (time.time() - t0) < 120
+        if fast_crash and free_left > 0 and _remaining() > 180:
+            free_left -= 1
+        else:
+            attempt += 1
+        if attempt <= retries:
             time.sleep(30)
     return None
 

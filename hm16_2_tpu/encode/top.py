@@ -2238,12 +2238,15 @@ class CtuSearch:
         lam = self.lam
         nmerge = max(len(cands), 1)
         best = None                   # (cost, m_idx or None=planned AMVP)
+        best_merge_c = None
         for i, cand in enumerate(cands):
             sse = self._cand_sse(x0, y0, size, size, cand)
             if sse is None:
                 continue
             bits = 1.0 + (i + 1 if i < nmerge - 1 else max(nmerge - 1, 1))
             c = sse + lam * bits
+            if best_merge_c is None or c < best_merge_c[0]:
+                best_merge_c = (c, i)
             if best is None or c < best[0]:
                 best = (c, i)
         if _match_merge() is None:
@@ -2273,42 +2276,82 @@ class CtuSearch:
                     best = (c, None)
         if best is None:
             return False
-        if best[1] is not None:
-            kind, m_idx = 0, best[1]
-        elif kind == 0:
-            kind = 1                  # planned-merge motion coded as AMVP
-        if kind == 0:
-            cd, m0, m1 = cands[m_idx]
-            pic.merge_flag[sl] = 1
-            pic.mvp_idx[0][sl] = m_idx
-            pic.inter_dir[sl] = cd
-            for lx, m in ((0, m0), (1, m1)):
-                if not ((cd >> lx) & 1):
-                    continue
-                r_idx, mvc = m
-                pic.ref_idx[lx][sl] = r_idx
-                pic.mv[lx][sl] = mvc
-                pic.ref_poc[lx][sl] = rc.ref_poc(lx, r_idx)
-            return self._commit_inter_residual_fast(px, py, log2, True,
+
+        def commit_choice(m_idx):
+            """m_idx: merge candidate index, or None = planned AMVP."""
+            if m_idx is not None:
+                cd, m0, m1 = cands[m_idx]
+                pic.merge_flag[sl] = 1
+                pic.mvp_idx[0][sl] = m_idx
+                pic.inter_dir[sl] = cd
+                for lx2 in range(2):
+                    pic.ref_idx[lx2][sl] = -1
+                    pic.mv[lx2][sl] = 0
+                    pic.mvd[lx2][sl] = 0
+                    pic.ref_poc[lx2][sl] = -(10 ** 9)
+                for lx2, m in ((0, m0), (1, m1)):
+                    if not ((cd >> lx2) & 1):
+                        continue
+                    r_idx, mvc = m
+                    pic.ref_idx[lx2][sl] = r_idx
+                    pic.mv[lx2][sl] = mvc
+                    pic.ref_poc[lx2][sl] = rc.ref_poc(lx2, r_idx)
+                return self._commit_inter_residual_fast(px, py, log2, True,
+                                                        skip_hint)
+            pic.merge_flag[sl] = 0
+            pic.inter_dir[sl] = dirv
+            for j2, lx2 in enumerate(active):
+                r_idx = prefs[j2]
+                amvp = self.mvp.amvp_candidates(x0, y0, size, size, lx2,
+                                                r_idx)
+                mvq = mv[lx2]
+                db = sorted((self._mvd_bits((mvq[0] - amvp[k][0],
+                                             mvq[1] - amvp[k][1])), k)
+                            for k in range(2))
+                k = db[0][1]
+                pic.ref_idx[lx2][sl] = r_idx
+                pic.mv[lx2][sl] = mvq
+                pic.mvd[lx2][sl] = (mvq[0] - amvp[k][0],
+                                    mvq[1] - amvp[k][1])
+                pic.mvp_idx[lx2][sl] = k
+                pic.ref_poc[lx2][sl] = rc.ref_poc(lx2, r_idx)
+            return self._commit_inter_residual_fast(px, py, log2, False,
                                                     skip_hint)
 
-        # AMVP-signalled uni / bi
-        pic.inter_dir[sl] = dirv
-        for j, lx in enumerate(active):
-            r_idx = prefs[j]
-            amvp = self.mvp.amvp_candidates(x0, y0, size, size, lx, r_idx)
-            mvq = mv[lx]
-            db = sorted((self._mvd_bits((mvq[0] - amvp[k][0],
-                                         mvq[1] - amvp[k][1])), k)
-                        for k in range(2))
-            k = db[0][1]
-            pic.ref_idx[lx][sl] = r_idx
-            pic.mv[lx][sl] = mvq
-            pic.mvd[lx][sl] = (mvq[0] - amvp[k][0], mvq[1] - amvp[k][1])
-            pic.mvp_idx[lx][sl] = k
-            pic.ref_poc[lx][sl] = rc.ref_poc(lx, r_idx)
-        return self._commit_inter_residual_fast(px, py, log2, False,
-                                                skip_hint)
+        sel = best[1]
+        if sel is None and kind == 0:
+            kind = 1                  # planned-merge motion coded as AMVP
+        # optional true-RD tiebreak (TEncCu tests merge-2Nx2N and
+        # inter-2Nx2N as full-RD siblings): when the zero-residual SSE
+        # ranking puts the planned AMVP and the best merge candidate
+        # close, commit BOTH with residual coding and pick by SSE +
+        # exact context-counted CU bits.  Measured BD-neutral on the
+        # bench clip (11.37 vs 11.26 RA 2QP probe) at ~15% commit cost,
+        # so opt-in (HM16_KIND_RD=1)
+        alt = None
+        if sel is None and best_merge_c is not None and \
+                best_merge_c[0] < 2.5 * max(best[0], 1.0):
+            alt = best_merge_c[1]
+        if alt is not None and os.environ.get("HM16_KIND_RD"):
+            pre = self._snapshot(px, py, log2)
+            best_rd = None
+            win = None
+            for cand_sel in (sel, alt):
+                if not commit_choice(cand_sel):
+                    self._restore(pre)
+                    continue
+                bits = self._count_cu_bits(px, py, log2,
+                                           self.rd_ctx.copy())
+                cost = self._sse_region(px, py, log2) + lam * bits
+                if best_rd is None or cost < best_rd:
+                    best_rd = cost
+                    win = self._snapshot(px, py, log2)
+                self._restore(pre)
+            if win is None:
+                return False
+            self._restore(win)
+            return True
+        return commit_choice(sel)
 
     def _commit_planned_rect(self, px, py, log2, part) -> bool:
         """Commit one rect-partitioned inter CU decided by the fused

@@ -1145,6 +1145,40 @@ def fetch_plan(packed, h, w):
     return plan
 
 
+_REF_CACHE: dict = {}     # id(plane) -> (weakref(plane), device array)
+
+
+def _device_ref(plane, h, w, device):
+    """Device-resident copy of a reference plane, cached across frames.
+
+    References live in the DPB for many pictures; re-uploading every
+    ref every frame dominates the 1080p plan wall-time over the host
+    link.  Keyed by object identity with a weakref guard (a recycled id
+    after gc cannot alias a new plane).  Evicts LRU beyond 24 entries.
+    WP-weighted planes are NOT cached (the caller passes derived arrays
+    it just built; identity has no reuse)."""
+    import weakref
+    key = id(plane)
+    ent = _REF_CACHE.get(key)
+    if ent is not None:
+        ref_w, arr = ent
+        if ref_w() is plane and arr.shape == (h, w):
+            _REF_CACHE[key] = _REF_CACHE.pop(key)   # LRU bump
+            return arr
+        del _REF_CACHE[key]
+    import jax
+    with jax.default_device(device):
+        arr = jnp.asarray(plane[:h, :w], jnp.int32)
+    try:
+        ref_w = weakref.ref(plane)
+    except TypeError:
+        return arr                                  # uncacheable type
+    _REF_CACHE[key] = (ref_w, arr)
+    while len(_REF_CACHE) > 24:
+        _REF_CACHE.pop(next(iter(_REF_CACHE)))
+    return arr
+
+
 def plan_frame(orig_y, sps, sh, rc, prev_mv8, lam, lam_sqrt, device,
                mesh=None, fetch=True):
     """Dispatch + fetch the fused inter plan for one frame.
@@ -1237,8 +1271,10 @@ def plan_frame(orig_y, sps, sh, rc, prev_mv8, lam, lam_sqrt, device,
                           for p in planes_u]),
                 mvn16_np, np.asarray(dists, np.int32), float(lam_sqrt),
                 h, w)
+    cacheable = not getattr(sh, "pred_weights", None)
     with jax.default_device(device):
-        refs = jnp.stack([jnp.asarray(p[:h, :w], jnp.int32)
+        refs = jnp.stack([_device_ref(p, h, w, device) if cacheable
+                          else jnp.asarray(p[:h, :w], jnp.int32)
                           for p in planes_u])
         cur = jnp.asarray(orig_y[:h, :w], jnp.int32)
         mvn16 = jnp.asarray(mvn16_np, jnp.int32)

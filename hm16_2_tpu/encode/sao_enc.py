@@ -343,7 +343,9 @@ def estimate_sao(pic, orig, lam, luma=True, chroma=True):
             # ---- NEW mode decision ----
             # luma: best of OFF / EO0-3 / BO
             choices = []       # per channel: (cost, mode, type, offs, band)
-            for chan, comps in ((0, [0]), (1, [1, 2])):
+            chan_list = ([(0, [0])] if luma else []) + \
+                ([(1, [1, 2])] if chroma else [])
+            for chan, comps in chan_list:
                 if comps[0] >= pic.num_comps or stats[comps[0]] is None:
                     break
                 best = (lam * 1.0, 0, 0, {c: [0, 0, 0, 0] for c in comps},
@@ -433,8 +435,8 @@ def estimate_sao(pic, orig, lam, luma=True, chroma=True):
                     pic.sao_band[rs, c] = pic.sao_band[src_rs, c]
                 continue
 
-            for chan, (cost, mode, t, offs, bands) in enumerate(choices):
-                comps = [0] if chan == 0 else [1, 2]
+            for (chan, comps), (cost, mode, t, offs, bands) in \
+                    zip(chan_list, choices):
                 for c in comps:
                     if c >= pic.num_comps:
                         continue

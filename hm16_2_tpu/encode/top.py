@@ -2132,6 +2132,36 @@ class CtuSearch:
         pic = self.pic
         rc = self.mvp.rc
         inter_dir, m0, m1 = cand
+        ic = None if os.environ.get("HM16_RERANK_LUMA_ONLY") \
+            else self._inter_ctx()
+        if ic is not None:
+            # native path: write the candidate's motion into the PU
+            # origin part, predict+SSE in one C call, restore
+            import ctypes
+
+            from hm16_2_tpu import native
+            ppx, ppy = x0 // 4, y0 // 4
+            sd = (int(pic.inter_dir[ppy, ppx]),
+                  int(pic.ref_idx[0][ppy, ppx]),
+                  int(pic.ref_idx[1][ppy, ppx]),
+                  pic.mv[0][ppy, ppx].copy(),
+                  pic.mv[1][ppy, ppx].copy())
+            pic.inter_dir[ppy, ppx] = inter_dir
+            for lx, m in ((0, m0), (1, m1)):
+                if (inter_dir >> lx) & 1:
+                    pic.ref_idx[lx][ppy, ppx] = m[0]
+                    pic.mv[lx][ppy, ppx] = m[1]
+                else:
+                    pic.ref_idx[lx][ppy, ppx] = -1
+            v = native.get_dsp().ic_cand_sse(
+                ctypes.byref(ic), x0, y0, w, h, ppx, ppy)
+            pic.inter_dir[ppy, ppx] = sd[0]
+            pic.ref_idx[0][ppy, ppx] = sd[1]
+            pic.ref_idx[1][ppy, ppx] = sd[2]
+            pic.mv[0][ppy, ppx] = sd[3]
+            pic.mv[1][ppy, ppx] = sd[4]
+            if v >= 0:
+                return float(v)
         ncomp = 1 if os.environ.get("HM16_RERANK_LUMA_ONLY") \
             else pic.num_comps
         total = 0.0

@@ -336,6 +336,10 @@ def get_dsp():
         ctypes.POINTER(InterCtx), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.inter_commit_cu.restype = ctypes.c_int
+    lib.ic_cand_sse.argtypes = [
+        ctypes.POINTER(InterCtx), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.ic_cand_sse.restype = ctypes.c_double
     lib.mc_block_native.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,

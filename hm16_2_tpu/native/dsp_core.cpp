@@ -2195,6 +2195,39 @@ static int ic_code_tu(const InterCtx *I, int comp, int cx0, int cy0, int cs,
 
 }  // namespace
 
+// weighted multi-component SSE of the CURRENT part-array motion's
+// prediction vs the original over one PU rect — the host writes a
+// candidate's (dir, ref, mv) into the PU-origin part, calls this, and
+// restores; replaces the per-candidate numpy MC in the merge/AMVP
+// rerank (TEncCu::xCheckRDCostMerge2Nx2N pricing).  -1 = not
+// compensable with this context.
+extern "C" double ic_cand_sse(const InterCtx *I, int x0, int y0, int pw,
+                              int ph, int ppx, int ppy) {
+  if (I->chroma_fmt != 1 && I->num_comps != 1) return -1.0;
+  static thread_local int32_t buf[64 * 64];
+  double tot = 0.0;
+  for (int comp = 0; comp < I->num_comps; comp++) {
+    int sx = comp ? 1 : 0;
+    int cw = pw >> sx, ch = ph >> sx;
+    if (ic_pred_pu(I, x0, y0, pw, ph, ppx, ppy, comp, buf, cw) < 0)
+      return -1.0;
+    const int32_t *o = I->orig_p[comp]
+        + (int64_t)(y0 >> sx) * I->orig_stride[comp] + (x0 >> sx);
+    double w = comp ? I->chroma_weight : 1.0;
+    double s = 0.0;
+    for (int yy = 0; yy < ch; yy++) {
+      const int32_t *orow = o + (int64_t)yy * I->orig_stride[comp];
+      const int32_t *prow = buf + yy * cw;
+      for (int xx = 0; xx < cw; xx++) {
+        double d = (double)(orow[xx] - prow[xx]);
+        s += d * d;
+      }
+    }
+    tot += w * s;
+  }
+  return tot;
+}
+
 extern "C" int inter_commit_cu(const InterCtx *I, int px, int py, int log2,
                                int skip_hint, int is_merge, int psize) {
   if (I->chroma_fmt != 1 && I->num_comps != 1) return -1;

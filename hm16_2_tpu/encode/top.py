@@ -2122,6 +2122,36 @@ class CtuSearch:
         self._ictx = I
         return I
 
+    def _cand_sse_batch(self, x0, y0, w, h, cand_list):
+        """Weighted SSEs of many motion candidates over one PU rect in a
+        single native call (ic_cand_sse_batch); python per-candidate
+        fallback.  Entries are None when not compensable."""
+        import os
+        ic = None if os.environ.get("HM16_RERANK_LUMA_ONLY") \
+            else self._inter_ctx()
+        if ic is not None and cand_list:
+            import ctypes
+
+            from hm16_2_tpu import native
+            arr = np.zeros((len(cand_list), 8), np.int32)
+            for i, (d, m0, m1) in enumerate(cand_list):
+                arr[i, 0] = d
+                if d & 1:
+                    arr[i, 1] = m0[0]
+                    arr[i, 2] = int(m0[1][0])
+                    arr[i, 3] = int(m0[1][1])
+                if d & 2:
+                    arr[i, 4] = m1[0]
+                    arr[i, 5] = int(m1[1][0])
+                    arr[i, 6] = int(m1[1][1])
+            out = np.zeros(len(cand_list), np.float64)
+            rc_ = native.get_dsp().ic_cand_sse_batch(
+                ctypes.byref(ic), x0, y0, w, h, x0 // 4, y0 // 4,
+                arr.ctypes.data, len(cand_list), out.ctypes.data)
+            if rc_ == 0:
+                return [None if v < 0 else float(v) for v in out]
+        return [self._cand_sse(x0, y0, w, h, c) for c in cand_list]
+
     def _cand_sse(self, x0, y0, w, h, cand):
         """Weighted multi-component SSE of one motion candidate's
         prediction vs the original (merge-RD pricing; HM prices full
@@ -2269,8 +2299,8 @@ class CtuSearch:
         nmerge = max(len(cands), 1)
         best = None                   # (cost, m_idx or None=planned AMVP)
         best_merge_c = None
-        for i, cand in enumerate(cands):
-            sse = self._cand_sse(x0, y0, size, size, cand)
+        cand_sses = self._cand_sse_batch(x0, y0, size, size, cands)
+        for i, (cand, sse) in enumerate(zip(cands, cand_sses)):
             if sse is None:
                 continue
             bits = 1.0 + (i + 1 if i < nmerge - 1 else max(nmerge - 1, 1))

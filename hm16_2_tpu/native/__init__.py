@@ -340,6 +340,11 @@ def get_dsp():
         ctypes.POINTER(InterCtx), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.ic_cand_sse.restype = ctypes.c_double
+    lib.ic_cand_sse_batch.argtypes = [
+        ctypes.POINTER(InterCtx), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
+    lib.ic_cand_sse_batch.restype = ctypes.c_int
     lib.mc_block_native.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,

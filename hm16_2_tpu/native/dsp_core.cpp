@@ -2228,6 +2228,39 @@ extern "C" double ic_cand_sse(const InterCtx *I, int x0, int y0, int pw,
   return tot;
 }
 
+// batched ic_cand_sse: candidates as int32 rows [dir, r0, mvx0, mvy0,
+// r1, mvx1, mvy1, pad]; writes each into the PU-origin part (the part
+// arrays are writable numpy buffers — const in the struct only because
+// the commit engine reads them), prices, restores the original motion.
+// out[i] = weighted SSE or -1 (not compensable).
+extern "C" int ic_cand_sse_batch(const InterCtx *I, int x0, int y0,
+                                 int pw, int ph, int ppx, int ppy,
+                                 const int32_t *cands, int n,
+                                 double *out) {
+  if (I->chroma_fmt != 1 && I->num_comps != 1) return -1;
+  int part = ppy * I->parts_w + ppx;
+  int32_t *mv0 = const_cast<int32_t *>(I->mv) + part * 2;
+  int32_t *mv1 = const_cast<int32_t *>(I->mv) + I->mv_list_stride + part * 2;
+  int8_t *ri0 = const_cast<int8_t *>(I->ref_idx) + part;
+  int8_t *ri1 = const_cast<int8_t *>(I->ref_idx) + I->ri_list_stride + part;
+  int8_t *dirp = const_cast<int8_t *>(I->inter_dir) + part;
+  int32_t smv0[2] = {mv0[0], mv0[1]}, smv1[2] = {mv1[0], mv1[1]};
+  int8_t sri0 = *ri0, sri1 = *ri1, sdir = *dirp;
+  for (int i = 0; i < n; i++) {
+    const int32_t *c = cands + i * 8;
+    *dirp = (int8_t)c[0];
+    *ri0 = (c[0] & 1) ? (int8_t)c[1] : -1;
+    mv0[0] = c[2]; mv0[1] = c[3];
+    *ri1 = (c[0] & 2) ? (int8_t)c[4] : -1;
+    mv1[0] = c[5]; mv1[1] = c[6];
+    out[i] = ic_cand_sse(I, x0, y0, pw, ph, ppx, ppy);
+  }
+  mv0[0] = smv0[0]; mv0[1] = smv0[1];
+  mv1[0] = smv1[0]; mv1[1] = smv1[1];
+  *ri0 = sri0; *ri1 = sri1; *dirp = sdir;
+  return 0;
+}
+
 extern "C" int inter_commit_cu(const InterCtx *I, int px, int py, int log2,
                                int skip_hint, int is_merge, int psize) {
   if (I->chroma_fmt != 1 && I->num_comps != 1) return -1;

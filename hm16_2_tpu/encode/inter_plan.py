@@ -318,9 +318,10 @@ def _subpel_planes(refs, bd: int, h: int, w: int):
         return (acc << (-sh1)) - OFFS
 
     planes = []
+    hcache = [hfilt(fx) for fx in range(4)]   # hoisted: shared across fy
     for fy in range(4):
         for fx in range(4):
-            hh = hfilt(fx)                                # (R, Hrows, Wp)
+            hh = hcache[fx]                               # (R, Hrows, Wp)
             if fy == 0:
                 out = (hh[:, 4: 4 + Hp] + OFFS + (1 << (hr - 1))) >> hr
             else:
